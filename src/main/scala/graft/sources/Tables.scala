@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the driver-provided parquet fixtures (see FIXTURES.md §2).
+  *
+  * Reference analog: the directory-scan + extension-filter source
+  * (`send_file_paths.cpp:22-28`) — here the source is a columnar parquet
+  * scan planned by Catalyst (`FileSourceScanExec`), which subsumes the
+  * reference's static block partitioning (`send_file_paths.cpp:37-44`)
+  * with dynamic split scheduling. At 100 TB the same call scales by
+  * split planning (`spark.sql.files.maxPartitionBytes`); nothing here is
+  * driver-materialized.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it
+    * as raw nanos (`legacy.parquet.nanosAsLong`) and rebuild a
+    * microsecond TIMESTAMP_NTZ with integer division — `DIV`, not `/`:
+    * double division of int64 nanos (~1.7e18) would lose precision past
+    * 2^53. Truncation toward zero matches DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast, which the oracle SQL relies on.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    load(s, d, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts_ns DIV 1000"))
+        .cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Glob-filtered file scan — Spark-native form of the reference's
+    * rank-0 `.tif` directory listing (`send_file_paths.cpp:22-28`).
+    * Listing and split planning are distributed; the predicate prunes
+    * files before any byte is read.
+    */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+}

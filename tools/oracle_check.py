@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare (dev tooling only,
+not part of the Spark library). Usage:
+    python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs
+<verifyOutDir>/oracle_sql.json[name] in DuckDB with views over
+<sfDir>/*.parquet, sorts columns by name and rows by all columns, and
+compares values (exact for non-floats; floats must match to 1e-9 after
+the query's own rounding)."""
+import json, sys, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v  # exact: the engine-side canonicalization must be bit-identical
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = sorted(spark_rel.columns)
+            spark_rows = sorted(con.sql(
+                f"SELECT {', '.join(scols)} FROM spark_rel").fetchall(),
+                key=lambda r: tuple((x is None, str(x)) for x in r))
+            duck_rel = con.sql(sql)
+            dcols = sorted(duck_rel.columns)
+            duck_rows = sorted(con.sql(
+                f"SELECT {', '.join(dcols)} FROM duck_rel").fetchall(),
+                key=lambda r: tuple((x is None, str(x)) for x in r))
+            if scols != dcols:
+                print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+                fail += 1; continue
+            if len(spark_rows) != len(duck_rows):
+                print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+                fail += 1; continue
+            bad = None
+            for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+                if tuple(map(norm, a)) != tuple(map(norm, b)):
+                    bad = (i, a, b); break
+            if bad:
+                print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+                fail += 1
+            else:
+                print(f"OK   {name} ({len(spark_rows)} rows)")
+                ok += 1
+        except Exception as e:
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
