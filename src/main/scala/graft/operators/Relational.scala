@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface (SURVEY §2.3,
+  * §2.5-2.7: the reference implements no joins, windows, sorts, or set
+  * ops — the new engine exposes them as first-class, Spark-planned
+  * operators so a reference user gets the full relational algebra).
+  *
+  * Everything here is declarative DataFrame composition: Catalyst picks
+  * broadcast-hash vs sort-merge joins (we hint broadcast for dimension
+  * tables), pushes filters into scans, and AQE re-plans skew at runtime.
+  * Nothing collects to the driver.
+  */
+object Relational {
+
+  /** Star-schema join: fact table joined to each dimension with an
+    * explicit broadcast hint. At 100 TB the fact side streams while each
+    * dim ships once to every executor — no fact-side shuffle at all.
+    * Dims that outgrow the broadcast threshold should instead be
+    * pre-bucketed on the join key; Catalyst falls back to sort-merge
+    * automatically if the hint is ignored by AQE size checks.
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, keys)) =>
+      acc.join(broadcast(dim), keys, "inner")
+    }
+
+  /** Top-k rows per group — `row_number` over a fully-deterministic
+    * ordering (caller must supply a total order, e.g. a tie-breaking key
+    * column). One shuffle on the partition keys; the window is rank-only
+    * so Spark applies the rank-limit pushdown (WindowGroupLimit) and
+    * never materializes more than k rows per group per partition.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Global top-k — `orderBy().limit()` plans as TakeOrderedAndProject:
+    * each partition keeps only its local top-k, the driver merges k·p
+    * rows, never a full sort of the input. Safe at any scale for small k.
+    */
+  def globalTopK(df: DataFrame, orderCols: Seq[Column], k: Int): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+
+  /** Running aggregate per key over a deterministic total order —
+    * `rowsBetween(unboundedPreceding, currentRow)`. One shuffle on the
+    * partition key; within a partition the frame is computed in a single
+    * sorted pass.
+    */
+  def runningAgg(df: DataFrame, partitionCols: Seq[String],
+                 orderCols: Seq[Column], agg: Column,
+                 outCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, agg.over(w))
+  }
+}

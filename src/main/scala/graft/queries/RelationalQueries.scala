@@ -1,0 +1,304 @@
+package graft.queries
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.operators.Relational
+import graft.sources.Tables
+import Canon._
+
+/** Relational-algebra suite over the TPC-H-ish star schema: joins
+  * (broadcast/semi/anti), grouped+rollup aggregation, window functions,
+  * global and per-group top-k, set operations, distinct aggregation.
+  * The reference has none of these (SURVEY §2.3, §2.5-2.7); they complete
+  * the engine's query surface.
+  */
+object RelationalQueries {
+
+  private def ts(s: String): java.time.LocalDateTime =
+    LocalDateTime.parse(s + "T00:00:00")
+
+  /** TPC-H Q1-shaped pricing summary: scan-side filter, grouped exact
+    * sums and means, incl. the 12-decimal-exact charge product. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= lit(ts("2000-12-01")))
+    val discFactor = (lit(1.0) - col("l_discount"))
+    val taxFactor = (lit(1.0) + col("l_tax"))
+    // 1±x of a 2-decimal double is an exact 2-decimal double; the
+    // pre-combined 8-decimal factor keeps the 3-way product inside
+    // DECIMAL(38,12) in both engines (no precision-loss truncation).
+    val chargeFactor = (dec(discFactor) * dec(taxFactor)).cast(DecimalType(18, 8))
+    li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      exactSum(col("l_quantity")).as("sum_qty"),
+      exactSum(col("l_extendedprice")).as("sum_base_price"),
+      exactSumProd(col("l_extendedprice"), discFactor).as("sum_disc_price"),
+      sum(dec(col("l_extendedprice")) * chargeFactor).cast(DoubleType).as("sum_charge"),
+      exactAvg(col("l_quantity")).as("avg_qty"),
+      exactAvg(col("l_extendedprice")).as("avg_price"),
+      exactAvg(col("l_discount")).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-shaped: broadcast dim join x2 + grouped revenue + global
+    * top-10 (TakeOrderedAndProject — no full sort at scale). */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit(ts("1998-01-01")))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(ts("1998-01-01")))
+    val joined = li
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val grouped = joined
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+             .as("revenue"))
+    Relational.globalTopK(grouped,
+      Seq(col("revenue").desc, col("l_orderkey").asc), 10)
+  }
+
+  /** TPC-H Q5-shaped 6-way star join: local-supplier revenue per nation.
+    * region/nation/supplier/customer broadcast; orders⋈lineitem is the
+    * only shuffled join. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val joined = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(
+              col("o_orderdate") >= lit(ts("1996-01-01")) &&
+              col("o_orderdate") < lit(ts("1998-01-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy(col("n_name"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-semi join (EXISTS): orders having at least one high-discount
+    * line, counted per priority. */
+  def semiJoinHighDiscount(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.lineitem(s, dir).filter(col("l_discount") >= 0.08)
+      .select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders since 2000,
+    * per segment (the date filter makes the anti side non-trivial — every
+    * fixture customer has *some* order). */
+  def antiJoinNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(ts("2000-01-01")))
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(ordered, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactSum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): grand total + per-flag
+    * subtotals + leaves in one pass (the (file×band)→(band) rollup
+    * generalization of SURVEY §2.4). */
+  def rollupSales(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n_lines"))
+
+  /** Per-group top-k via rank-limited window (WindowGroupLimit pushdown):
+    * top-3 orders per customer, fully tie-broken ordering. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+                                   col("o_totalprice")),
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+
+  /** Running (prefix) sum per supplier over a deterministic total order.
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
+    * so quantities are first aggregated per (suppkey, orderkey) — an
+    * order-free step — making orderkey a unique (total) sort key within
+    * each supplier partition; exact decimal accumulation keeps every
+    * prefix cross-engine stable. */
+  def runningQuantity(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("order_qty"))
+    Relational.runningAgg(perOrder, Seq("l_suppkey"),
+                          Seq(col("l_orderkey").asc),
+                          sum(col("order_qty")), "running_qty")
+      .withColumn("order_qty", col("order_qty").cast(DoubleType))
+      .withColumn("running_qty", col("running_qty").cast(DoubleType))
+  }
+
+  /** UNION / INTERSECT / EXCEPT in one result, tagged by op: BUILDING
+    * customers vs customers with >10k-total orders in 1997. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigSpenders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(ts("1997-01-01")) &&
+              col("o_orderdate") < lit(ts("1998-01-01")) &&
+              col("o_totalprice") > 10000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(bigSpenders).withColumn("op", lit("intersect"))
+      .unionAll(building.except(bigSpenders).withColumn("op", lit("except")))
+      .unionAll(building.union(bigSpenders).distinct().withColumn("op", lit("union")))
+  }
+
+  /** Distinct aggregation per segment (COUNT(DISTINCT) expands to a
+    * two-phase aggregate — no driver-side dedup). */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"),
+           exactAvg(col("c_acctbal")).as("avg_acctbal"))
+
+  /** Global top-20 (TakeOrderedAndProject). */
+  def topLineitems(s: SparkSession, dir: String): DataFrame =
+    Relational.globalTopK(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+                                     col("l_extendedprice")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc), 20)
+
+  /** TPC-H Q13-shaped: orders-per-customer histogram via left outer join
+    * + two-level aggregation. */
+  def customerOrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary"   -> (pricingSummary _),
+    "rel_shipping_priority" -> (shippingPriority _),
+    "rel_local_supplier"    -> (localSupplierVolume _),
+    "rel_semi_join"         -> (semiJoinHighDiscount _),
+    "rel_anti_join"         -> (antiJoinNoOrders _),
+    "rel_rollup_sales"      -> (rollupSales _),
+    "rel_top_orders_per_customer" -> (topOrdersPerCustomer _),
+    "rel_running_quantity"  -> (runningQuantity _),
+    "rel_set_ops"           -> (setOps _),
+    "rel_distinct_agg"      -> (distinctAgg _),
+    "rel_top_lineitems"     -> (topLineitems _),
+    "rel_customer_order_histogram" -> (customerOrderHistogram _),
+  )
+
+  private val revenueSql = sqlSumProd("l_extendedprice", "(1.0 - l_discount)")
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlSum("l_quantity")} AS sum_qty,
+         |${sqlSum("l_extendedprice")} AS sum_base_price,
+         |$revenueSql AS sum_disc_price,
+         |${sqlToDouble(s"""SUM(${sqlDec("l_extendedprice")} *
+         |  CAST(${sqlDec("(1.0 - l_discount)")} * ${sqlDec("(1.0 + l_tax)")} AS DECIMAL(18,8)))""")}
+         |  AS sum_charge,
+         |${sqlAvg("l_quantity")} AS avg_qty,
+         |${sqlAvg("l_extendedprice")} AS avg_price,
+         |${sqlAvg("l_discount")} AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "rel_local_supplier" ->
+      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "rel_semi_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+         |GROUP BY o_orderpriority""".stripMargin,
+    "rel_anti_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |${sqlSum("c_acctbal")} AS sum_acctbal
+         |FROM customer WHERE NOT EXISTS (
+         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment""".stripMargin,
+    "rel_rollup_sales" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_top_orders_per_customer" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rel_running_quantity" ->
+      s"""SELECT l_suppkey, l_orderkey,
+         |${sqlToDouble("order_qty")} AS order_qty,
+         |${sqlToDouble(
+             """SUM(order_qty) OVER (
+               |  PARTITION BY l_suppkey ORDER BY l_orderkey ASC
+               |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)}
+         |  AS running_qty
+         |FROM (SELECT l_suppkey, l_orderkey,
+         |        SUM(${sqlDec("l_quantity")}) AS order_qty
+         |      FROM lineitem GROUP BY 1, 2)""".stripMargin,
+    "rel_set_ops" ->
+      s"""WITH building AS (
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |big AS (
+         |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |    AND o_totalprice > 10000)
+         |SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+         |UNION ALL
+         |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+         |UNION ALL
+         |SELECT c_custkey, 'union' AS op FROM (SELECT * FROM building UNION SELECT * FROM big)""".stripMargin,
+    "rel_distinct_agg" ->
+      s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+         |COUNT(*) AS n_customers, ${sqlAvg("c_acctbal")} AS avg_acctbal
+         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "rel_top_lineitems" ->
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 20""".stripMargin,
+    "rel_customer_order_histogram" ->
+      s"""SELECT c_count, COUNT(*) AS n_customers FROM (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_custkey) GROUP BY c_count""".stripMargin,
+  )
+}
