@@ -26,6 +26,7 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (BandQueries.registry, BandQueries.oracles),
     (RelationalQueries.registry, RelationalQueries.oracles),
+    (DocQueries.registry, DocQueries.oracles),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

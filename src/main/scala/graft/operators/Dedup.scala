@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline: exact,
+  * MinHash+LSH, n-gram Jaccard, and SimHash near-dup — each expressed as
+  * shuffle-conscious DataFrame composition.
+  *
+  * Scale posture (100 TB): every variant is
+  *   per-doc map-side sketch  →  shuffle on a SMALL key (hash / band
+  *   bucket / shingle)  →  bucket-local pair generation,
+  * never an all-pairs cross join. The candidate-pair step's cost is
+  * bounded by bucket sizes, which the band/shingle granularity controls.
+  *
+  * Determinism: hash families are md5 with distinct string prefixes as
+  * seeds (no RNG), so results are reproducible across engines and runs —
+  * the DuckDB oracle replays the identical computation in SQL.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content-hash → group size + canonical keeper
+    * (min id). `SELECT hash, count, min(id)` — one shuffle on the hash.
+    * `dropDuplicates` semantics = keep rows whose id == keeper_id.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.contentHash(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** MinHash signatures: k seeded hashes, each the min over shingles of
+    * md5(seed || '|' || shingle). One explode + one grouped aggregation
+    * with k conditional-free `min`s — a single shuffle on the doc id,
+    * k columns h1..hk. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol),
+      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
+        .as("shingle"))
+    val mins = (1 to k).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the k-column signature into bands of `rowsPerBand`
+    * consecutive hashes, bucket key = md5 of the band's concatenation.
+    * Output long format: (id, band, bucket). */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int,
+               rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH candidate duplicate pairs: docs sharing ≥1 band bucket.
+    * The self-join shuffles on (band, bucket) — bucket-local pair
+    * blow-up is the standard LSH cost model, tuned by k/rowsPerBand.
+    */
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 12,
+                            rowsPerBand: Int = 3): DataFrame = {
+    val bands = lshBands(
+      minHashSignatures(df, idCol, textCol, shingleN, k), idCol, k, rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    * J = |A∩B| / (|A|+|B|-|A∩B|). Shuffles on the shingle (inverted
+    * index); only co-occurring pairs are ever materialized. At scale,
+    * hot shingles are the skew risk — cap or drop shingles with
+    * document frequency above a threshold (stop-shingles), standard
+    * practice mirrored by `maxShingleDf`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val docShingles = df.select(
+      col(idCol),
+      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
+        .as("shingle"))
+    val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val filtered = docShingles
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf).drop("df")
+    val common = filtered.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(filtered.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: band the 16-bit sketch into 4 nibbles
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one nibble equal), verify exact
+    * hamming on candidates. Shuffle key = (band, nibble). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sketched = df.select(col(idCol), TextOps.simHash(col(textCol)).as("sh"))
+    val banded = sketched.select(col(idCol), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+               shiftright(col("sh"), b * 4).bitwiseAND(lit(15)).as("nib"))): _*))
+        .as("bn"))
+      .select(col(idCol), col("sh"), col("bn.band"), col("bn.nib"))
+    val a = banded.select(col(idCol).as("doc_a"), col("sh").as("sh_a"),
+                          col("band"), col("nib"))
+    val b = banded.select(col(idCol).as("doc_b"), col("sh").as("sh_b"),
+                          col("band"), col("nib"))
+    a.join(b, Seq("band", "nib"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              TextOps.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting, shingling,
+  * SimHash. All column-level (pure Catalyst expressions, no UDFs, no
+  * shuffles by themselves) so they fuse into whole-stage codegen and
+  * scale linearly with the scan — at 100 TB these run entirely map-side.
+  *
+  * Cross-engine determinism: everything is built from integer counts,
+  * md5 hex strings, and IEEE double arithmetic on identical inputs, so
+  * DuckDB oracle twins reproduce results bit-for-bit (no RNG — hash
+  * "seeds" are string prefixes baked into the md5 input).
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The fixture corpus is single-space
+    * separated (FIXTURES.md documents table); a production corpus would
+    * pass a richer delimiter regex here. */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, or single
+    * other non-space chars — the shape of a byte-level BPE pre-tokenizer
+    * split rule. Same regex dialect subset (character classes,
+    * alternation) evaluates identically in Java regex and RE2/DuckDB. */
+  val SubTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubTokenPattern), lit(0)))
+
+  /** Mean token length from character/token counts (no second pass). */
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - lit(1))).cast("double") / n
+  }
+
+  /** Tokens of `text` that appear in `words`. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokenize(text), t => array_contains(lit(words.toArray), t)))
+
+  // ------------------------------------------------------------- quality
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column): Column = wordHits(text, EnglishStopwords)
+
+  /** Heuristic quality score in [0,1]: stopword density + length +
+    * word-shape, the standard cheap pre-filter before expensive model
+    * scoring. Pure double arithmetic over integer counts. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / n
+    val lenScore = least(lit(1.0), n / lit(50.0))
+    val shape = greatest(lit(0.0),
+      lit(1.0) - abs(avgWordLen(text) - lit(5.5)) / lit(5.5))
+    lit(0.4) * stopRatio + lit(0.4) * lenScore + lit(0.2) * shape
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Stopword lists per language for the n-gram-free language-ID
+    * heuristic. Overlapping function words (de/la/en) are deliberate —
+    * scores just accumulate per language. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStopwords,
+    "es" -> Seq("el", "la", "de", "los", "las", "un", "una", "es", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "un", "une", "est", "et", "en"),
+  )
+
+  /** Predicted language = argmax of stopword hits, ties broken by the
+    * fixed list order above; no hits at all → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> wordHits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score === best && score > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ------------------------------------------------------- fingerprints
+
+  /** Exact-content fingerprint. */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** Word n-gram shingles (with duplicates; `array_distinct` for set
+    * semantics). Empty array when the doc has fewer than n tokens —
+    * guards `sequence`'s descending-step surprise. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+                i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash-style document fingerprint: lexicographic min of the md5s
+    * of the doc's shingles. A 1-hash signature — [[Dedup]] extends this
+    * to k seeded hashes for LSH. */
+  def minShingleHash(text: Column, n: Int): Column =
+    array_min(transform(wordShingles(text, n), s => md5(s.cast("binary"))))
+
+  // ------------------------------------------------------------ simhash
+
+  /** 16-bit SimHash over word tokens (multiplicity-weighted). Each
+    * word's 16-bit sketch is the first 4 hex digits of its md5; bit b of
+    * the simhash is 1 iff the ±1 vote sum over words is ≥ 0. 16 bits
+    * keeps the oracle SQL tractable while exercising the full
+    * bit-vote structure; widen the loop bound for 64-bit production use.
+    */
+  val SimHashBits = 16
+
+  private def wordSketch(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("int")
+
+  def simHash(text: Column): Column = {
+    val sketches = transform(tokenize(text), wordSketch(_))
+    val bits = (0 until SimHashBits).map { b =>
+      val votes = aggregate(sketches, lit(0),
+        (acc, v) => acc + when(shiftright(v, b).bitwiseAND(lit(1)) === 1,
+                               lit(1)).otherwise(lit(-1)))
+      when(votes >= 0, lit(1 << b)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+import Canon._
+
+/** Text-analysis + deduplication queries over the `documents` fixture —
+  * the LLM-pipeline extension surface (builder prompt; SURVEY §7.2 item
+  * 5). DuckDB twins are GENERATED from the same constants
+  * (stopword lists, hash seeds, band layout) as the Spark operators so
+  * the two sides cannot drift.
+  */
+object DocQueries {
+
+  // --------------------------------------------------------- SQL builders
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** words CTE fragment: tokenized text per doc. */
+  private val wordsSql = "string_split(text, ' ')"
+
+  private def sqlWordHits(words: Seq[String]): String =
+    s"len(list_filter($wordsSql, w_ -> list_contains(${sqlList(words)}, w_)))"
+
+  /** n-gram shingles of the words list (duplicates preserved),
+    * mirroring TextOps.wordShingles. */
+  private def sqlShingles(n: Int): String =
+    s"""CASE WHEN len($wordsSql) >= $n
+       | THEN list_transform(range(1, len($wordsSql) - ${n - 2}),
+       |        i_ -> array_to_string($wordsSql[i_:i_+${n - 1}], ' '))
+       | ELSE [] END""".stripMargin
+
+  /** Mirror of TextOps.simHash: 16 bit-votes over per-word 16-bit md5
+    * sketches. */
+  private val simHashSql: String = {
+    val sketch = s"CAST('0x' || substr(md5(w_), 1, 4) AS INTEGER)"
+    val bits = (0 until TextOps.SimHashBits).map { b =>
+      s"""CASE WHEN list_sum(list_transform($wordsSql,
+         | w_ -> CASE WHEN ($sketch >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         | THEN ${1 << b} ELSE 0 END""".stripMargin
+    }
+    s"CAST(${bits.mkString(" + ")} AS INTEGER)"
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** Token counting + quality scoring per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(t).as("n_tokens"),
+      TextOps.subTokenCount(t).as("n_subtokens"),
+      TextOps.avgWordLen(t).as("avg_word_len"),
+      TextOps.stopwordCount(t).as("n_stopwords"),
+      TextOps.qualityScore(t).as("quality_score"))
+  }
+
+  /** Language ID vs the labeled `lang` column. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Content + MinHash + SimHash fingerprints per document. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.contentHash(col("text")).as("content_hash"),
+      TextOps.minShingleHash(col("text"), 3).as("min_shingle_hash"),
+      TextOps.simHash(col("text")).as("simhash"))
+
+  /** Exact dedup groups over document content. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Exact row-dedup summary over events (dropDuplicates cardinality). */
+  def dedupExactRows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id"), col("event_type"), col("value"))
+        .as("n_distinct"))
+
+  /** MinHash-LSH candidate near-duplicate pairs (k=12, 4 bands × 3). */
+  def dedupMinHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Exact 3-gram Jaccard pairs ≥ 0.5 via shingle inverted index. */
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** SimHash near-dup pairs (hamming ≤ 3) via nibble banding. */
+  def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"          -> (textStats _),
+    "text_lang_id"        -> (textLangId _),
+    "text_fingerprint"    -> (textFingerprint _),
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_exact_rows"    -> (dedupExactRows _),
+    "dedup_minhash_pairs" -> (dedupMinHashPairs _),
+    "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
+    "dedup_simhash_pairs" -> (dedupSimHashPairs _),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val nTok = s"len($wordsSql)"
+  private val avgWl = s"CAST(length(text) - ($nTok - 1) AS DOUBLE) / $nTok"
+  private val stopCnt = sqlWordHits(TextOps.EnglishStopwords)
+
+  private val sigsSql: String = {
+    val mins = (1 to 12).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(",\n")
+    s"""SELECT doc_id, $mins
+       |FROM (SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS shingle
+       |      FROM documents)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  private val bandsSql: String =
+    (0 until 4).map { b =>
+      val cols = (1 to 3).map(r => s"h${b * 3 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, $nTok AS n_tokens,
+         |len(regexp_extract_all(text, '${TextOps.SubTokenPattern}')) AS n_subtokens,
+         |$avgWl AS avg_word_len,
+         |$stopCnt AS n_stopwords,
+         |0.4 * (CAST($stopCnt AS DOUBLE) / $nTok)
+         | + 0.4 * least(1.0, CAST($nTok AS DOUBLE) / 50.0)
+         | + 0.2 * greatest(0.0, 1.0 - abs(($avgWl) - 5.5) / 5.5) AS quality_score
+         |FROM documents""".stripMargin,
+    "text_lang_id" -> {
+      val scores = TextOps.LangStopwords.map { case (lang, words) =>
+        lang -> sqlWordHits(words)
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = best_ AND $sc > 0 THEN '$lang'"
+      }.mkString("\n")
+      s"""SELECT doc_id, lang,
+         |CASE $cases ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, lang, text, $best AS best_ FROM documents)""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_hash,
+         |list_aggregate(list_transform(${sqlShingles(3)}, s_ -> md5(s_)), 'min')
+         |  AS min_shingle_hash,
+         |$simHashSql AS simhash
+         |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+         |MIN(doc_id) AS keeper_id FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_rows" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |COUNT(DISTINCT (user_id, event_type, value)) AS n_distinct
+         |FROM events""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH sigs AS ($sigsSql),
+         |bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH docsh AS (
+         |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS shingle
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM docsh GROUP BY 1),
+         |sdf AS (SELECT shingle, COUNT(*) AS c FROM docsh GROUP BY 1),
+         |filtered AS (
+         |  SELECT doc_id, docsh.shingle FROM docsh
+         |  JOIN sdf ON docsh.shingle = sdf.shingle WHERE sdf.c <= 1000),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH sk AS (SELECT doc_id, $simHashSql AS sh FROM documents),
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+               s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 4}) & 15 AS nib FROM sk")
+              .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.sh, b.sh)) AS hamming
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.nib = b.nib
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+  )
+}
