@@ -27,6 +27,9 @@ object SparkEntry {
     (BandQueries.registry, BandQueries.oracles),
     (RelationalQueries.registry, RelationalQueries.oracles),
     (DocQueries.registry, DocQueries.oracles),
+    (VectorQueries.registry, VectorQueries.oracles),
+    (EventQueries.registry, EventQueries.oracles),
+    (MediaQueries.registry, MediaQueries.oracles),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

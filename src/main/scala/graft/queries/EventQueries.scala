@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.sources.Tables
+import Canon._
+
+/** Event-time windowing over the `events` fixture — the batch
+  * realizations of the streaming surface (tumbling / sliding / session
+  * windows, per-window ranking). `graft.streaming.StreamOps` wires the
+  * same logic as real Structured Streaming queries; these batch twins
+  * are what the DuckDB oracle can replay.
+  *
+  * Time canonicalization: DuckDB's parquet reader truncates the
+  * fixture's TIMESTAMP(NANOS) to microseconds, so all bucket arithmetic
+  * is on epoch-µs (`ts_ns DIV 1000` ≡ DuckDB `epoch_us(ts)`); window
+  * starts are rebuilt with `timestamp_micros`/`make_timestamp`.
+  */
+object EventQueries {
+
+  private val HourUs = 3600L * 1000000L
+  private val HalfHourUs = 1800L * 1000000L
+  private val DayUs = 86400L * 1000000L
+
+  private def withTsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts_ns DIV 1000"))
+
+  /** Tumbling 1-hour windows × event_type — Spark's native `window()`
+    * (struct of ntz start/end), exact-decimal value sums. */
+  def tumblingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), exactAvg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap — the
+    * batch form of `mapGroupsWithState` sessionization: lag → gap flag →
+    * prefix-sum session ids → per-session aggregates. Two window passes
+    * over one shuffle on user_id (same partitioning reused). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    withTsUs(Tables.events(s, dir))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") > lit(HalfHourUs), 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("start_us"),
+           max(col("ts_us")).as("end_us"))
+      .withColumn("duration_min",
+        (col("end_us") - col("start_us")).cast(DoubleType) / lit(60000000.0))
+  }
+
+  /** Per-(user, day) top event by value — rank-limited window. */
+  def dailyTopEvent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    withTsUs(Tables.events(s, dir))
+      .withColumn("day", expr(s"ts_us DIV $DayUs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_id"), col("value"))
+  }
+
+  /** Daily event-type share: grouped counts + a second windowed pass for
+    * the day totals (count ratios of identical longs — exact). */
+  def dailyTypeShare(s: SparkSession, dir: String): DataFrame = {
+    val counts = withTsUs(Tables.events(s, dir))
+      .withColumn("day", expr(s"ts_us DIV $DayUs"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts.withColumn("share",
+      col("n_events").cast(DoubleType) /
+        sum(col("n_events")).over(Window.partitionBy(col("day"))))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_tumbling_hourly" -> (tumblingHourly _),
+    "evt_sliding_counts"  -> (slidingCounts _),
+    "evt_session_windows" -> (sessionWindows _),
+    "evt_daily_top_event" -> (dailyTopEvent _),
+    "evt_daily_type_share" -> (dailyTypeShare _),
+  )
+
+  private val usExpr = "epoch_us(ts)"
+
+  val oracles: Map[String, String] = Map(
+    "evt_tumbling_hourly" ->
+      s"""SELECT make_timestamp(($usExpr // $HourUs) * $HourUs) AS window_start,
+         |event_type, COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "evt_sliding_counts" ->
+      s"""SELECT make_timestamp(h * $HalfHourUs) AS window_start,
+         |COUNT(*) AS n_events, ${sqlAvg("value")} AS avg_value
+         |FROM (SELECT unnest([($usExpr // $HalfHourUs),
+         |                     ($usExpr // $HalfHourUs) - 1]) AS h, value
+         |      FROM events)
+         |GROUP BY 1""".stripMargin,
+    "evt_session_windows" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, $usExpr AS ts_us,
+         |    CASE WHEN lag($usExpr) OVER w IS NULL
+         |           OR $usExpr - lag($usExpr) OVER w > $HalfHourUs
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $usExpr ASC, event_id ASC)),
+         |sessions AS (
+         |  SELECT user_id, ts_us,
+         |    SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 60000000.0 AS duration_min
+         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "evt_daily_top_event" ->
+      s"""SELECT user_id, day, event_id, value FROM (
+         |  SELECT user_id, $usExpr // $DayUs AS day, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, $usExpr // $DayUs
+         |      ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+    "evt_daily_type_share" ->
+      s"""SELECT day, event_type, n_events,
+         |  CAST(n_events AS DOUBLE) /
+         |    SUM(n_events) OVER (PARTITION BY day) AS share
+         |FROM (SELECT $usExpr // $DayUs AS day, event_type,
+         |        COUNT(*) AS n_events
+         |      FROM events GROUP BY 1, 2)""".stripMargin,
+  )
+}

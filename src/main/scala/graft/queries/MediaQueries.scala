@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-plumbing queries: the `documents` text bytes stand in for
+  * opaque media blobs (no media fixtures exist), exercising the real
+  * mapPartitions batch path end-to-end. The oracle replays the same
+  * byte arithmetic in SQL (fixture text is pure ASCII, so
+  * `ord(char) == byte`).
+  */
+object MediaQueries {
+
+  /** Per-blob decoded features via the FakeCodec mapPartitions path. */
+  def mmByteStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Tables.documents(s, dir).select(col("doc_id"),
+                                      col("text").cast("binary").as("bin")),
+      "doc_id", "bin").toDF()
+
+  /** Frame sampling (256-byte frames, stride 2) via mapPartitions. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Tables.documents(s, dir).select(col("doc_id"),
+                                      col("text").cast("binary").as("bin")),
+      "doc_id", "bin").toDF()
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_stats"   -> (mmByteStats _),
+    "mm_frame_sample" -> (mmFrameSample _),
+  )
+
+  private val fs = Multimodal.DefaultFrameSize
+
+  val oracles: Map[String, String] = Map(
+    "mm_byte_stats" ->
+      s"""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |CAST(list_sum(list_transform(range(1, length(text) + 1),
+         |  i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))) AS BIGINT) AS byte_sum,
+         |CAST(list_sum(list_transform(range(1, length(text) + 1),
+         |  i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))) AS DOUBLE)
+         |  / length(text) AS byte_mean,
+         |CAST((length(text) + ${fs - 1}) // $fs AS INTEGER) AS n_frames
+         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      s"""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |CAST(least($fs, length(text) - f * $fs) AS INTEGER) AS n_bytes
+         |FROM (SELECT doc_id, text,
+         |        unnest(range(0, (length(text) + ${fs - 1}) // $fs, 2)) AS f
+         |      FROM documents)""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over the `embeddings` fixture (64-dim
+  * float vectors). DuckDB twins spell out the same arithmetic as the
+  * native codegen expressions — explicit left-associated 64-term sums —
+  * so cosines are bit-identical (see VectorExprs determinism contract).
+  */
+object VectorQueries {
+
+  private val Dims = 64
+  private val QueryPredSql = "vec_id < 16"
+  private def queryPred = col("vec_id") < 16
+
+  // --------------------------------------------------------- SQL builders
+
+  /** Left-associated Σ aExpr[i]·bExpr[i], mirroring DotProductFloat. */
+  private def sqlDot(a: String, b: String): String =
+    (1 to Dims).map(i => s"CAST($a[$i] AS DOUBLE)*$b[$i]").mkString(" + ")
+
+  private def sqlCos(a: String, b: String): String = {
+    val na = sqlDot(a, a); val nb = sqlDot(b, b)
+    s"""CASE WHEN ($na) = 0.0 OR ($nb) = 0.0 THEN 0.0
+       | ELSE (${sqlDot(a, b)}) / (sqrt($na) * sqrt($nb)) END""".stripMargin
+  }
+
+  /** Mirror of Similarity.lshBucket with the same build-time ±1 planes. */
+  private def sqlBucket(e: String, nPlanes: Int): String = {
+    val planes = Similarity.planeSigns(nPlanes, Dims)
+    planes.zipWithIndex.map { case (p, j) =>
+      val s = (1 to Dims)
+        .map(d => s"CAST($e[$d] AS DOUBLE)*(${p(d - 1).toDouble})")
+        .mkString(" + ")
+      s"CASE WHEN ($s) >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** Exact cosine top-5 for 16 query vectors against the corpus. */
+  def simTopKBrute(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                              queryPred, 5)
+  }
+
+  /** LSH-blocked approximate top-3 (8 sign planes, deterministic). */
+  def simTopKLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                       queryPred, 3)
+  }
+
+  /** Exact all-pairs cosine ≥ 0.4 — embedding near-dup detection. */
+  def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+                                  "embedding", 0.4)
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute"    -> (simTopKBrute _),
+    "sim_topk_lsh"      -> (simTopKLsh _),
+    "sim_neardup_pairs" -> (simNearDupPairs _),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE $QueryPredSql),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${sqlCos("q.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |      FROM b WHERE $QueryPredSql),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${sqlCos("q.qv", "e.embedding")} AS cosine
+         |  FROM b e JOIN q ON e.bucket = q.bucket
+         |  WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+    "sim_neardup_pairs" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${sqlCos("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+  )
+}

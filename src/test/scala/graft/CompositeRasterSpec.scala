@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Composite
+import graft.sources.Raster
+import graft.sources.Raster.GraftRasterCodec
+
+/** Golden composite test (SURVEY §5.2): fixed synthetic 4×4 6-band
+  * raster → byte-exact RGB output with the reference's band contract
+  * (R,G,B) = (band4, band3, band2) (color_image_composite.cpp:34-53,
+  * 179-181), plus the decode → long-format → pivot pipeline end-to-end
+  * and the path-derivation rule. */
+class CompositeRasterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 4; private val H = 4
+  /** band b, pixel (y,x) → 100·b + 10·y + x — unique, easy to assert. */
+  private def bandVals(b: Int): Array[Float] =
+    Array.tabulate(W * H)(p => (100 * b + 10 * (p / W) + (p % W)).toFloat)
+
+  test("codec round-trips") {
+    val bands = Array.tabulate(6)(i => bandVals(i + 1))
+    val Some((w, h, back)) = GraftRasterCodec.decode(
+      GraftRasterCodec.encode(W, H, bands))
+    assert(w == W && h == H && back.length == 6)
+    assert(back.zip(bands).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("malformed blobs decode to None (reference zeros-on-error, cpp:13-16)") {
+    assert(GraftRasterCodec.decode(null).isEmpty)
+    assert(GraftRasterCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    // header promising more data than present
+    val truncated = GraftRasterCodec.encode(W, H, Array.tabulate(6)(i => bandVals(i + 1)))
+      .take(20)
+    assert(GraftRasterCodec.decode(truncated).isEmpty)
+  }
+
+  test("golden composite: (r,g,b) = bands (4,3,2) per pixel") {
+    val dir = Files.createTempDirectory("graft_raster").toFile
+    val blob = GraftRasterCodec.encode(W, H, Array.tabulate(6)(i => bandVals(i + 1)))
+    Files.write(new java.io.File(dir, "scene1.graftraster").toPath, blob)
+
+    val px = Raster.pixels(spark, dir.getAbsolutePath)
+    assert(px.count() == 6L * W * H)
+
+    val rgb = Composite.rgbComposite(px).orderBy("y", "x").collect()
+    assert(rgb.length == W * H)
+    rgb.foreach { r =>
+      val (y, x) = (r.getInt(1), r.getInt(2))
+      assert(r.getFloat(3) == 400f + 10 * y + x, "r must be band 4")
+      assert(r.getFloat(4) == 300f + 10 * y + x, "g must be band 3")
+      assert(r.getFloat(5) == 200f + 10 * y + x, "b must be band 2")
+    }
+  }
+
+  test("output path derivation (cpp:15-19)") {
+    val out = Seq("dataset/foo.tif").toDF("path")
+      .select(Composite.colorOutputPath($"path", "colorimage").as("p"))
+      .as[String].head()
+    assert(out == "colorimage/foo_color.tif")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blobs = Seq(
+    (1L, Array.tabulate(600)(i => (i % 251).toByte)),  // 3 frames of 256
+    (2L, Array[Byte](10, 20, 30)),
+    (3L, Array.emptyByteArray)
+  ).toDF("media_id", "bin")
+
+  test("feature extraction: exact byte arithmetic incl. unsigned bytes") {
+    val f = Multimodal.extractFeatures(blobs, "media_id", "bin")
+      .collect().map(m => m.media_id -> m).toMap
+    assert(f(2L).n_bytes == 3 && f(2L).byte_sum == 60 && f(2L).byte_mean == 20.0)
+    assert(f(2L).n_frames == 1)
+    assert(f(1L).n_bytes == 600 && f(1L).n_frames == 3)
+    val expectedSum = (0 until 600).map(_ % 251).sum
+    assert(f(1L).byte_sum == expectedSum, "bytes must be treated unsigned")
+    assert(f(3L).n_bytes == 0 && f(3L).byte_mean == 0.0 && f(3L).n_frames == 0)
+  }
+
+  test("frame sampling: stride, last-frame remainder, empty blob") {
+    val fr = Multimodal.sampleFrames(blobs, "media_id", "bin", frameSize = 256,
+                                     stride = 2)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.n_bytes).toMap
+    assert(fr((1L, 0)) == 256)
+    assert(fr((1L, 2)) == 88)          // 600 - 2*256
+    assert(!fr.contains((1L, 1)))      // stride skips odd frames
+    assert(fr((2L, 0)) == 3)
+    assert(!fr.keySet.exists(_._1 == 3L))
+  }
+
+  test("real decode is an explicit stub (documented ???)") {
+    intercept[NotImplementedError] {
+      Multimodal.FakeCodec.decode(Array[Byte](1))
+    }
+  }
+}

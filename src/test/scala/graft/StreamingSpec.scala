@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{SessionOut, StreamEvent}
+
+/** Structured Streaming specs: the streaming ops run on a MemoryStream
+  * and must agree with their batch twins on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    StreamEvent(1, ts(5), 1, "click", 1.0),
+    StreamEvent(2, ts(20), 1, "click", 2.0),
+    StreamEvent(3, ts(65), 1, "view", 3.0),    // new hour, >30min gap? no (45m) yes
+    StreamEvent(4, ts(200), 1, "click", 4.0),  // big gap → new session
+    StreamEvent(5, ts(10), 2, "view", 5.0)
+  )
+
+  test("tumbling counts over MemoryStream equal the batch computation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows: _*)
+    val q = StreamOps.tumblingCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().toSet
+    val batch = StreamOps.tumblingCounts(rows.toDF(), watermark = "0 seconds")
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("built-in session windows over MemoryStream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows: _*)
+    val q = StreamOps.sessionCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
+    // user 1: {5,20} gap<=30 merges with 65? gap 45m > 30m → [5,20], [65], [200]
+    assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows: _*)
+    val q = StreamOps.sessionizeWithState(mem.toDS())
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("state_sessions").as[SessionOut].collect()
+      .map(s => (s.user_id, s.n_events)).toSeq.sorted
+    // only sessions CLOSED by a later event are emitted (open state held):
+    // user1 [5,20] closed by 65, [65] closed by 200; [200] and user2 open
+    assert(closed == Seq((1L, 1L), (1L, 2L)))
+  }
+}

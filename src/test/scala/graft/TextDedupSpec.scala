@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: count, content, short-doc guard") {
+    val sh = docs.select($"doc_id", TextOps.wordShingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).length == 7)                       // 9 words → 7 trigrams
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).last == "the lazy dog")
+    val tiny = Seq((9L, "just two")).toDF("doc_id", "text")
+      .select(TextOps.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(tiny.isEmpty)
+  }
+
+  test("exact groups find the duplicate and keep min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"n_docs" > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(1) == 2 && g.head.getLong(2) == 1)
+  }
+
+  test("jaccard: exact dup = 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) == 6.0 / 8.0)   // 6 shared of 7+7-6 distinct trigrams
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH surfaces exact and near dups as candidates") {
+    val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 4L)), "identical docs must share all bands")
+    assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs equal, near-dups close, hamming sane") {
+    val sh = docs.select($"doc_id", TextOps.simHash($"text").as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+  }
+
+  test("langId picks the best stopword list deterministically") {
+    val preds = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y el gato es de la casa"),
+      (3L, "der hund und die katze ist ein tier"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.langId($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(preds == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("quality score is bounded and favors stopword-rich prose") {
+    val q = docs.select(TextOps.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    val qm = docs.select($"doc_id", TextOps.qualityScore($"text"))
+      .as[(Long, Double)].collect().toMap
+    assert(qm(1L) > qm(3L), "stopword-rich doc should outscore stopword-free")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class VectorSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = { super.beforeAll(); VectorFunctions.register(spark) }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),     // orthogonal to 0
+    (2L, Array(2.0f, 0.0f, 0.0f)),     // colinear with 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),    // opposite of 0
+    (4L, Array(0.0f, 0.0f, 0.0f))      // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: known geometry, zero-norm guard") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+              VectorFunctions.cosineSim($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(c((0L, 2L)) == 1.0)
+    assert(c((0L, 1L)) == 0.0)
+    assert(c((0L, 3L)) == -1.0)
+    assert(c((0L, 4L)) == 0.0, "zero vector → 0.0, not NaN")
+  }
+
+  test("dot product matches manual sum; interpreted == codegen") {
+    val df = vecs.select(VectorFunctions.dotProduct($"embedding", $"embedding").as("d"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 1.0, 4.0, 1.0, 0.0))
+    // force the interpreted path too (codegen off) and compare
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.as[Double].collect().toSeq == Seq(1.0, 1.0, 4.0, 1.0, 0.0))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration: cosine_sim usable from spark.sql") {
+    vecs.createOrReplaceTempView("v")
+    val r = spark.sql(
+      "SELECT cosine_sim(a.embedding, b.embedding) FROM v a JOIN v b " +
+      "ON a.vec_id = 0 AND b.vec_id = 2").as[Double].head()
+    assert(r == 1.0)
+  }
+
+  test("brute-force top-k ranks colinear first, excludes self") {
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+                                         col("vec_id") === 0, 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(topk.head == ((2L, 1)))         // cos=1 colinear
+    assert(topk.map(_._1).forall(_ != 0L)) // self excluded
+  }
+
+  test("LSH planes are deterministic and bucket agreement implies candidates") {
+    val p1 = Similarity.planeSigns(8, 64)
+    val p2 = Similarity.planeSigns(8, 64)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.forall(_.forall(v => v == 1.0f || v == -1.0f)))
+    // colinear vectors land in the same bucket → candidate must appear
+    val planes = Similarity.planeSigns(4, 3)
+    val b = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", planes).as("bucket"))
+      .as[(Long, Int)].collect().toMap
+    assert(b(0L) == b(2L), "colinear vectors share all sign bits")
+  }
+}
