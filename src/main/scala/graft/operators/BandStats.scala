@@ -90,11 +90,17 @@ object BandStats {
            count(valid).as("n_valid"))
   }
 
+  /** Exact level-2 arithmetic quantizes its input to DECIMAL(18,6)
+    * itself (identity when level 1 already quantized): per-group casts
+    * are order-independent, decimal sums are exact, so the rollup is
+    * invariant under repartitioning even over a double-typed level 1 —
+    * the property spec's process-count axis. */
   private def l2Mean(exact: Boolean): Column =
-    if (exact) sum(col("mean_value")).cast(DoubleType) / count(lit(1))
+    if (exact) sum(col("mean_value").cast(MeanDec)).cast(DoubleType) / count(lit(1))
     else avg(col("mean_value"))
   private def l2Extreme(f: Column => Column, exact: Boolean): Column =
-    if (exact) f(col("mean_value")).cast(DoubleType) else f(col("mean_value"))
+    if (exact) f(col("mean_value").cast(MeanDec)).cast(DoubleType)
+    else f(col("mean_value"))
 
   /** Level 2: per-band mean of the level-1 means — the collective-mean
     * program (`band_mean_computation.cpp:143-158`, `MPI_SUM` then
@@ -105,7 +111,7 @@ object BandStats {
                       exact: Boolean = false): DataFrame =
     level1.groupBy(col(bandCol)).agg(
       l2Mean(exact).as("mean_of_means"),
-      (sum(col("mean_value")).cast(DoubleType) / count(lit(1))).as("sum_over_count"),
+      l2Mean(exact).as("sum_over_count"), // sum/count ≡ avg witness column
       count(lit(1)).as("n_files"))
 
   /** Level 2 max — `band_max_computation.cpp:143-153` with true-fold

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Mark a small intermediate that the plan references from BOTH sides
+    * of a self-join for reuse. Without this, Spark recomputes the full
+    * upstream pipeline per reference (no exchange to reuse under a
+    * broadcast join). At production scale the equivalent is a
+    * materialized stage (write to a bucketed table); in-process,
+    * MEMORY_AND_DISK persist expresses the same reuse. Evicted LRU;
+    * callers can `spark.catalog.clearCache()`. */
+  private def reused(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact dedup groups: content-hash → group size + canonical keeper
     * (min id). `SELECT hash, count, min(id)` — one shuffle on the hash.
     * `dropDuplicates` semantics = keep rows whose id == keeper_id.
@@ -28,9 +38,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
   /** MinHash signatures: k seeded hashes, each the min over shingles of
-    * md5(seed || '|' || shingle). One explode + one grouped aggregation
-    * with k conditional-free `min`s — a single shuffle on the doc id,
-    * k columns h1..hk. */
+    * the first 60 bits of md5(seed || '|' || shingle) as a long. One
+    * explode + one grouped aggregation with k `min`s — a single shuffle
+    * on the doc id, k BIGINT columns h1..hk.
+    *
+    * Longs, not hex strings: min(STRING) forces SortAggregate (string
+    * aggregation buffers aren't fixed-width), which sorts the whole
+    * exploded shingle set; min(BIGINT) runs as a mutable-buffer
+    * HashAggregate with map-side partials. Same min order (hex prefix vs
+    * its numeric value) — the oracle uses CAST('0x'||prefix AS BIGINT).
+    */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
     val exploded = df.select(
@@ -38,7 +55,8 @@ object Dedup {
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
         .as("shingle"))
     val mins = (1 to k).map { i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")
+      min(conv(substring(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")),
+                         1, 15), 16, 10).cast("long")).as(s"h$i")
     }
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
@@ -50,7 +68,8 @@ object Dedup {
                rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val bands = (0 until k / rowsPerBand).map { b =>
-      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val cols = (1 to rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("bucket"))
     }
     sigs.select(col(idCol), explode(array(bands: _*)).as("bb"))
@@ -60,12 +79,15 @@ object Dedup {
   /** MinHash-LSH candidate duplicate pairs: docs sharing ≥1 band bucket.
     * The self-join shuffles on (band, bucket) — bucket-local pair
     * blow-up is the standard LSH cost model, tuned by k/rowsPerBand.
+    * Docs with fewer than `shingleN` tokens have an empty shingle set,
+    * hence no signature and no candidacy — route such stubs through
+    * [[exactGroups]] instead.
     */
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 12,
                             rowsPerBand: Int = 3): DataFrame = {
-    val bands = lshBands(
-      minHashSignatures(df, idCol, textCol, shingleN, k), idCol, k, rowsPerBand)
+    val bands = reused(lshBands(
+      minHashSignatures(df, idCol, textCol, shingleN, k), idCol, k, rowsPerBand))
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -82,10 +104,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val docShingles = df.select(
+    val docShingles = reused(df.select(
       col(idCol),
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
-        .as("shingle"))
+        .as("shingle")))
     val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val filtered = docShingles
       .withColumn("df", count(lit(1)).over(
@@ -107,25 +129,41 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 16-bit sketch into 4 nibbles
     * (pigeonhole: hamming ≤ 3 ⇒ at least one nibble equal), verify exact
-    * hamming on candidates. Shuffle key = (band, nibble). */
+    * hamming on candidates. Shuffle key = (band, nibble).
+    *
+    * The candidate join runs over DISTINCT sketch values, not documents:
+    * a 16-bit space saturates (≤65k values regardless of corpus size),
+    * so doc-level banding would blow up quadratically with duplicates of
+    * each value, while value-level banding is bounded by the space size.
+    * Doc pairs are recovered by joining the value-pair table back to the
+    * (small) doc→value map on each side. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sketched = df.select(col(idCol), TextOps.simHash(col(textCol)).as("sh"))
-    val banded = sketched.select(col(idCol), col("sh"),
+    val sketched = reused(
+      df.select(col(idCol), TextOps.simHash(col(textCol)).as("sh")))
+    val values = sketched.select(col("sh")).distinct()
+    val banded = values.select(col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
                shiftright(col("sh"), b * 4).bitwiseAND(lit(15)).as("nib"))): _*))
         .as("bn"))
-      .select(col(idCol), col("sh"), col("bn.band"), col("bn.nib"))
-    val a = banded.select(col(idCol).as("doc_a"), col("sh").as("sh_a"),
-                          col("band"), col("nib"))
-    val b = banded.select(col(idCol).as("doc_b"), col("sh").as("sh_b"),
-                          col("band"), col("nib"))
-    a.join(b, Seq("band", "nib"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-              TextOps.hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(col("sh"), col("bn.band"), col("bn.nib"))
+    val valuePairs = banded.select(col("sh").as("sh_a"), col("band"), col("nib"))
+      .join(banded.select(col("sh").as("sh_b"), col("band"), col("nib")),
+            Seq("band", "nib"))
+      .filter(col("sh_a") <= col("sh_b"))
+      .select(col("sh_a"), col("sh_b"))
       .distinct()
+      .withColumn("hamming", TextOps.hammingDist(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
+    // symmetric orientations so doc_a < doc_b can land on either sketch
+    val sym = valuePairs.unionAll(
+      valuePairs.filter(col("sh_a") < col("sh_b"))
+        .select(col("sh_b").as("sh_a"), col("sh_a").as("sh_b"), col("hamming")))
+    sym
+      .join(sketched.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("sh_a"))
+      .join(sketched.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("sh_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

@@ -115,7 +115,9 @@ object DocQueries {
   private val stopCnt = sqlWordHits(TextOps.EnglishStopwords)
 
   private val sigsSql: String = {
-    val mins = (1 to 12).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(",\n")
+    val mins = (1 to 12).map(i =>
+      s"min(CAST('0x' || substr(md5('$i|' || shingle), 1, 15) AS BIGINT)) AS h$i")
+      .mkString(",\n")
     s"""SELECT doc_id, $mins
        |FROM (SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS shingle
        |      FROM documents)
@@ -124,7 +126,7 @@ object DocQueries {
 
   private val bandsSql: String =
     (0 until 4).map { b =>
-      val cols = (1 to 3).map(r => s"h${b * 3 + r}").mkString(" || ")
+      val cols = (1 to 3).map(r => s"CAST(h${b * 3 + r} AS VARCHAR)").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
 

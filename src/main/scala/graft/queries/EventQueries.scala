@@ -89,7 +89,19 @@ object EventQueries {
         sum(col("n_events")).over(Window.partitionBy(col("day"))))
   }
 
+  /** JSON scalar extraction from the props payload column + grouped
+    * integer stats (exact: int sums, double division of identical
+    * values). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+           sum(col("k")).as("sum_k"),
+           (sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_json_extract"    -> (jsonExtract _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sliding_counts"  -> (slidingCounts _),
     "evt_session_windows" -> (sessionWindows _),
@@ -100,6 +112,11 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_json_extract" ->
+      s"""SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+         |CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+         |FROM (SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+         |GROUP BY event_type""".stripMargin,
     "evt_tumbling_hourly" ->
       s"""SELECT make_timestamp(($usExpr // $HourUs) * $HourUs) AS window_start,
          |event_type, COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value

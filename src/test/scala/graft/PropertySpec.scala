@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.operators.{BandStats, Composite, Dedup, TextOps}
+
+/** Property-based checks (SURVEY §5.2): aggregation ≡ naive fold,
+  * repartition invariance (the reference's process-count axis),
+  * composite row preservation, dedup containment. Plain ScalaCheck
+  * driven through Test.check (no scalatestplus bridge in this env). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(12)   // each trial runs Spark jobs; keep bounded
+    .withWorkers(1)
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val pixelGen = Gen.nonEmptyListOf(for {
+    file <- Gen.oneOf("f1", "f2", "f3")
+    band <- Gen.choose(1, 3)
+    value <- Gen.oneOf(Gen.const(0.0), Gen.choose(-100.0, 100.0))
+  } yield (file, band, value))
+
+  test("mean-of-means equals the naive two-pass fold") {
+    check("fold", Prop.forAll(pixelGen) { rows =>
+      val df = rows.toDF("file", "band", "value")
+      val got = BandStats.bandMeanOfMeans(
+        BandStats.bandFileMeans(df, "file", "band", "value"), "band")
+        .select("band", "mean_of_means").as[(Int, Double)].collect().toMap
+      val expected = rows.filter(_._3 != 0.0)
+        .groupBy(r => (r._1, r._2)).toList  // keep one entry PER (file,band)
+        .map { case ((_, b), rs) => b -> rs.map(_._3).sum / rs.size }
+        .groupBy(_._1)
+        .map { case (b, ms) => b -> ms.map(_._2).sum / ms.size }
+      expected.keySet == got.keySet && expected.forall { case (b, m) =>
+        math.abs(got(b) - m) <= 1e-9 * math.max(1.0, math.abs(m))
+      }
+    })
+  }
+
+  test("band stats invariant under repartitioning (process-count axis)") {
+    check("repartition", Prop.forAll(pixelGen, Gen.choose(1, 6)) { (rows, n) =>
+      val df = rows.toDF("file", "band", "value")
+      def stats(d: org.apache.spark.sql.DataFrame) = BandStats.bandStats(
+        BandStats.bandFileMeans(d, "file", "band", "value", exact = true),
+        "band", exact = true).collect().toSet
+      stats(df) == stats(df.repartition(n))
+    })
+  }
+
+  test("composite pivot emits one row per key, values preserved") {
+    check("pivot", Prop.forAll(pixelGen) { rows =>
+      val df = rows.toDF("file", "band", "value")
+      val out = Composite.pivotBands(df, Seq("file"), "band", "value",
+                                     Seq(1 -> "b1", 2 -> "b2"))
+      val expectKeys = rows.filter(r => r._2 == 1 || r._2 == 2).map(_._1).toSet
+      val got = out.select("file", "b1").as[(String, Option[Double])]
+        .collect().toMap
+      got.keySet == expectKeys && got.forall { case (f, b1) =>
+        val vals = rows.filter(r => r._1 == f && r._2 == 1).map(_._3)
+        b1 == (if (vals.isEmpty) None else Some(vals.max))
+      }
+    })
+  }
+
+  private val docGen = Gen.nonEmptyListOf(
+    Gen.nonEmptyListOf(Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+      .map(_.mkString(" ")))
+
+  test("shingle count law and exact-dup containment in minhash candidates") {
+    check("dedup", Prop.forAll(docGen) { texts =>
+      // ids assigned here, not in the gen — shrinking must not break uniqueness
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val shingleOk = df.select(TextOps.tokenCount($"text").as("n"),
+                                size(TextOps.wordShingles($"text", 3)).as("s"))
+        .as[(Int, Int)].collect()
+        .forall { case (n, s) => s == math.max(0, n - 2) }
+      // docs shorter than the shingle width have no signature at all
+      // (documented on minHashCandidatePairs) — containment holds for ≥n
+      val dupPairs = docs.filter(_._2.split(" ").length >= 3)
+        .groupBy(_._2).values.filter(_.size > 1)
+        .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+        .toSet
+      val cands = Dedup.minHashCandidatePairs(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      shingleOk && dupPairs.subsetOf(cands)
+    })
+  }
+}
