@@ -61,4 +61,33 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(outCol, agg.over(w))
   }
+
+  /** Skew-safe two-phase aggregation: salt the group key into
+    * `saltBuckets` sub-keys, partially aggregate, then merge partials.
+    * Results are identical to a direct `groupBy(keys).agg(...)` (that
+    * identity is oracle-checked); the point is the shuffle: a hot key's
+    * rows spread over `saltBuckets` reducers instead of one straggler.
+    * `partials` must be algebraic pairs (partialAgg, mergeAgg) — e.g.
+    * (sum, sum), (count, sum), (min, min).
+    *
+    * Salt derivation is deterministic (hash of a disambiguating column),
+    * which keeps the op reproducible; random salt works identically when
+    * reproducibility doesn't matter.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltCol: Column,
+                saltBuckets: Int,
+                partials: Seq[(Column, String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltCol), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head._1.as(s"__p0"),
+           partials.tail.zipWithIndex.map { case ((c, _, _), i) =>
+             c.as(s"__p${i + 1}")
+           }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col("__p0")).as(partials.head._2),
+           partials.tail.zipWithIndex.map { case ((_, name, merge), i) =>
+             merge(col(s"__p${i + 1}")).as(name)
+           }: _*)
+  }
 }

@@ -85,6 +85,64 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: the corpus is partitioned into coarse cells, each query
+    * probes only the `nprobe` cells whose centroids are nearest, and
+    * exact scoring runs within those cells. `cellCol` supplies the
+    * coarse assignment (a trained quantizer's output in production; the
+    * fixture's `label` column here); centroids are derived per cell with
+    * one posexplode + aggregate pass — no driver-side k-means loop.
+    * Float mean centroids are summation-order-dependent, so this op is
+    * registered rows-only (no DuckDB oracle), unlike the fully
+    * deterministic [[lshTopK]]. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = emb
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("cell"), col("d")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+                     x => x.getField("cv").cast("float")).as("centroid"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probed = Relational.topKPerGroup(
+      queries.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qvec"), col("cell"),
+                VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("cc")),
+      Seq("query_id"), Seq(col("cc").desc, col("cell").asc), nprobe, "cell_rank")
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+                            col(cellCol).as("cell"))
+    val scored = corpus.join(broadcast(probed.select(col("query_id"), col("qvec"),
+                                                     col("cell"))),
+                             Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** LSH-blocked near-dup pairs: same deterministic bucketing as
+    * [[lshTopK]], pairs within a bucket above the cosine threshold.
+    * The 100 TB form of [[cosineNearDupPairs]] (blocking instead of the
+    * all-pairs cross join), fully oracle-replayable. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, nPlanes: Int = 8): DataFrame = {
+    val dims = 64
+    val planes = planeSigns(nPlanes, dims)
+    val bucketed = emb.select(col(idCol), col(vecCol),
+                              lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+                            col("bucket"))
+    val b = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+                            col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+              VectorFunctions.cosineSim(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Exact all-pairs above a cosine threshold — embedding near-dup
     * detection. The full cross join is the correctness baseline for the
     * fixture scale; at 100 TB swap the `crossJoin` for the LSH-bucket

@@ -97,7 +97,27 @@ object DocQueries {
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Composed cleaning pipeline — the operators chained the way a
+    * training-data job would: docs ⋈ embeddings (broadcast), quality +
+    * language + token features, exact-dup flag via a hash-window, then
+    * a quality gate. One broadcast join + one small window shuffle. */
+  def pipeCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.contentHash(col("text")))
+    docs.join(broadcast(emb), col("doc_id") === col("vec_id"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("quality_score", TextOps.qualityScore(col("text")))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("is_dup", count(lit(1)).over(w) > 1)
+      .filter(col("quality_score") >= 0.3)
+      .select(col("doc_id"), col("label"), col("n_tokens"),
+              col("quality_score"), col("lang_pred"), col("is_dup"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_clean_corpus"   -> (pipeCleanCorpus _),
     "text_stats"          -> (textStats _),
     "text_lang_id"        -> (textLangId _),
     "text_fingerprint"    -> (textFingerprint _),
@@ -131,6 +151,27 @@ object DocQueries {
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "pipe_clean_corpus" -> {
+      val scores = TextOps.LangStopwords.map { case (lang, words) =>
+        lang -> sqlWordHits(words)
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val langCase = "CASE " + scores.map { case (lang, sc) =>
+        s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+      }.mkString("\n") + " ELSE 'und' END"
+      val quality =
+        s"""0.4 * (CAST($stopCnt AS DOUBLE) / $nTok)
+           | + 0.4 * least(1.0, CAST($nTok AS DOUBLE) / 50.0)
+           | + 0.2 * greatest(0.0, 1.0 - abs(($avgWl) - 5.5) / 5.5)""".stripMargin
+      s"""SELECT doc_id, label, n_tokens, quality_score, lang_pred, is_dup
+         |FROM (
+         |  SELECT d.doc_id, e.label, $nTok AS n_tokens,
+         |    $quality AS quality_score,
+         |    $langCase AS lang_pred,
+         |    COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         |WHERE quality_score >= 0.3""".stripMargin
+    },
     "text_stats" ->
       s"""SELECT doc_id, $nTok AS n_tokens,
          |len(regexp_extract_all(text, '${TextOps.SubTokenPattern}')) AS n_subtokens,

@@ -100,7 +100,23 @@ object EventQueries {
            sum(col("k")).as("sum_k"),
            (sum(col("k")).cast(DoubleType) / count(col("k"))).as("avg_k"))
 
+  /** 7-day rolling revenue per user via a RANGE frame (set-based, so
+    * order-free and exactly cross-engine): day-grain pre-aggregation,
+    * then rangeBetween(-6, 0) over the day number. */
+  def rolling7d(s: SparkSession, dir: String): DataFrame = {
+    val daily = withTsUs(Tables.events(s, dir))
+      .withColumn("day", expr(s"ts_us DIV $DayUs"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(Canon.dec(col("value"))).as("day_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d", sum(col("day_value")).over(w).cast(DoubleType))
+      .withColumn("day_value", col("day_value").cast(DoubleType))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rolling_7d"      -> (rolling7d _),
     "evt_json_extract"    -> (jsonExtract _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sliding_counts"  -> (slidingCounts _),
@@ -112,6 +128,15 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_rolling_7d" ->
+      s"""SELECT user_id, day, ${sqlToDouble("day_value")} AS day_value,
+         |${sqlToDouble(
+             """SUM(day_value) OVER (PARTITION BY user_id ORDER BY day
+               |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)}
+         |  AS rolling_7d
+         |FROM (SELECT user_id, $usExpr // $DayUs AS day,
+         |        SUM(${sqlDec("value")}) AS day_value
+         |      FROM events GROUP BY 1, 2)""".stripMargin,
     "evt_json_extract" ->
       s"""SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
          |CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k

@@ -184,7 +184,109 @@ object RelationalQueries {
     perCust.groupBy(col("c_count")).agg(count(lit(1)).as("n_customers"))
   }
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    * in one pass, with grouping_id to disambiguate natural NULLs. */
+  def cubeSales(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n_lines"),
+           grouping_id().as("gid"))
+
+  /** Scalar-subquery filter: orders above the global average total price.
+    * The average is a 1-row broadcast, not a driver round-trip. */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val avgPrice = ord.agg(exactAvg(col("o_totalprice")).as("avg_price"))
+    ord.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Second-moment statistics with bit-exact cross-engine parity:
+    * stddev/variance/correlation derived in double from EXACT decimal
+    * moments (Σx, Σx², Σxy — products of ≤4-decimal values are exact
+    * 8-decimal rationals), instead of Spark's streaming covariance
+    * update whose result is summation-order-dependent. Same shuffle
+    * shape as the built-ins (partial+final hash agg). */
+  def momentStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(dec(col("l_quantity"))).cast(DoubleType)
+    val sxx = sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType)
+    val sy = sum(dec(col("l_discount"))).cast(DoubleType)
+    val syy = sum(dec(col("l_discount")) * dec(col("l_discount"))).cast(DoubleType)
+    val sxy = sum(dec(col("l_quantity")) * dec(col("l_discount"))).cast(DoubleType)
+    li.groupBy(col("l_returnflag")).agg(
+      n.as("n"), sx.as("sum_x"),
+      ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+      sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_qty"),
+      ((sxy - sx * sy / n) /
+        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_qty_disc"))
+  }
+
+  /** Salted (skew-safe) aggregation — must equal the plain GROUP BY
+    * (the oracle IS the plain form). Counts and exact decimal sums are
+    * algebraic, so the two-phase merge is lossless. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedAgg(
+      Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_orderkey"), 16,
+      Seq(
+        (count(lit(1)), "n_lines", (c: org.apache.spark.sql.Column) =>
+          sum(c).cast("long")),
+        (sum(dec(col("l_quantity"))), "sum_qty", (c: org.apache.spark.sql.Column) =>
+          sum(c).cast(DoubleType))))
+
+  /** String-function suite: case mapping, trim, substring, concat,
+    * regexp extraction, LIKE — all codegen'd built-ins. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      length(col("p_name")).as("name_len"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+      col("p_type").like("%BRUSHED%").as("is_brushed"))
+
+  /** Date/time-function suite over order dates: extract fields,
+    * truncate, day arithmetic. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("q", quarter(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .groupBy(col("y"), col("q"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("m")).as("n_months"),
+           max(dayofmonth(col("o_orderdate"))).as("max_dom"))
+
+  /** Exact percentiles (median / p90) per group — full-sort-free: Spark's
+    * `percentile` aggregates per group with partial merge. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+
+  /** Sketch aggregate: HyperLogLog++ distinct counts (no SQL oracle —
+    * driver records the weaker rows-only check; the exact countDistinct
+    * twin is `rel_distinct_agg`). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_percentiles"       -> (percentiles _),
+    "rel_approx_distinct"   -> (approxDistinct _),
+    "rel_cube_sales"        -> (cubeSales _),
+    "rel_above_avg_orders"  -> (aboveAvgOrders _),
+    "rel_moment_stats"      -> (momentStats _),
+    "rel_salted_agg"        -> (saltedAgg _),
+    "rel_string_funcs"      -> (stringFuncs _),
+    "rel_date_funcs"        -> (dateFuncs _),
     "rel_pricing_summary"   -> (pricingSummary _),
     "rel_shipping_priority" -> (shippingPriority _),
     "rel_local_supplier"    -> (localSupplierVolume _),
@@ -201,7 +303,61 @@ object RelationalQueries {
 
   private val revenueSql = sqlSumProd("l_extendedprice", "(1.0 - l_discount)")
 
+  /** Moment shorthand for the stats oracle — identical double ops on
+    * identical (varchar-routed) exact sums. */
+  private val momentsSql: String = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val sx = sqlSum("l_quantity")
+    val sxx = sqlSumProd("l_quantity", "l_quantity")
+    val sy = sqlSum("l_discount")
+    val syy = sqlSumProd("l_discount", "l_discount")
+    val sxy = sqlSumProd("l_quantity", "l_discount")
+    s"""SELECT l_returnflag, $n AS n, $sx AS sum_x,
+       |(($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0) AS var_qty,
+       |sqrt((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0)) AS stddev_qty,
+       |(($sxy) - ($sx) * ($sy) / ($n)) /
+       |  (sqrt(($sxx) - ($sx) * ($sx) / ($n)) *
+       |   sqrt(($syy) - ($sy) * ($sy) / ($n))) AS corr_qty_disc
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "rel_percentiles" ->
+      s"""SELECT l_returnflag,
+         |percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+         |percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_cube_sales" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlSum("l_extendedprice")} AS sum_price, COUNT(*) AS n_lines,
+         |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_above_avg_orders" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_totalprice > (SELECT ${sqlAvg("o_totalprice")} FROM orders)
+         |GROUP BY o_orderstatus""".stripMargin,
+    "rel_moment_stats" -> momentsSql,
+    "rel_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         |${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_string_funcs" ->
+      s"""SELECT p_partkey, upper(p_brand) AS brand_upper,
+         |substr(p_type, 1, 5) AS type_prefix,
+         |CAST(length(p_name) AS INTEGER) AS name_len,
+         |concat_ws('/', p_brand, p_type) AS brand_type,
+         |CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+         |(p_type LIKE '%BRUSHED%') AS is_brushed
+         |FROM part""".stripMargin,
+    "rel_date_funcs" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         |CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         |COUNT(*) AS n_orders,
+         |COUNT(DISTINCT month(o_orderdate)) AS n_months,
+         |CAST(MAX(dayofmonth(o_orderdate)) AS INTEGER) AS max_dom
+         |FROM orders GROUP BY 1, 2""".stripMargin,
     "rel_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSum("l_quantity")} AS sum_qty,

@@ -64,10 +64,27 @@ object VectorQueries {
                                   "embedding", 0.4)
   }
 
+  /** LSH-blocked near-dup pairs (deterministic blocking → oracle). */
+  def simNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+                               "embedding", 0.4)
+  }
+
+  /** IVF top-3 using `label` as the coarse cell (float-mean centroids →
+    * rows-only check, no SQL oracle). */
+  def simTopKIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                       "label", queryPred, 3)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
+    "sim_topk_ivf"      -> (simTopKIvf _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
+    "sim_neardup_lsh"   -> (simNearDupLsh _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -103,5 +120,12 @@ object VectorQueries {
          |       ${sqlCos("a.embedding", "b.embedding")} AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+    "sim_neardup_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |       ${sqlCos("a.embedding", "c.embedding")} AS cosine
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${sqlCos("a.embedding", "c.embedding")} >= 0.4""".stripMargin,
   )
 }
