@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,9 +13,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up at the smallest SF: JIT + codegen compilation
+    // otherwise lands on whichever queries happen to run first
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+                                      "/root/testdata/sf0.001")
+    if (new java.io.File(warmupDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache() // drop warm-up persisted intermediates
+    }
+    // execute the FULL physical plan: df.count() would let Catalyst prune
+    // every column (a map-only query would be timed as a bare row count);
+    // toRdd.count() materializes each query's actual output rows
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -38,27 +38,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
   /** MinHash signatures: k seeded hashes, each the min over shingles of
-    * the first 60 bits of md5(seed || '|' || shingle) as a long. One
-    * explode + one grouped aggregation with k `min`s — a single shuffle
-    * on the doc id, k BIGINT columns h1..hk.
-    *
-    * Longs, not hex strings: min(STRING) forces SortAggregate (string
-    * aggregation buffers aren't fixed-width), which sorts the whole
-    * exploded shingle set; min(BIGINT) runs as a mutable-buffer
-    * HashAggregate with map-side partials. Same min order (hex prefix vs
-    * its numeric value) — the oracle uses CAST('0x'||prefix AS BIGINT).
+    * the first 60 bits of md5(seed || '|' || shingle) as a long, computed
+    * by the native `MinHashSigs` expression in ONE pass over each doc's
+    * shingle array — fully map-side, no explode, no shuffle at all
+    * (earlier designs paid an exploded-shingle shuffle, and hex-string
+    * mins additionally forced a SortAggregate). Output: k BIGINT columns
+    * h1..hk; the oracle replays CAST('0x'||substr(md5(..),1,15) AS BIGINT).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    val exploded = df.select(
-      col(idCol),
-      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
-        .as("shingle"))
-    val mins = (1 to k).map { i =>
-      min(conv(substring(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")),
-                         1, 15), 16, 10).cast("long")).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sigs = graft.functions.TextHashFunctions.minHashSigs(
+      TextOps.wordShingles(col(textCol), shingleN), k)
+    df.select(col(idCol), sigs.as("sigs"))
+      .filter(col("sigs").isNotNull) // sub-shingle docs have no signature
+      .select(col(idCol) +: (1 to k).map(i =>
+        element_at(col("sigs"), i).as(s"h$i")): _*)
   }
 
   /** LSH banding: split the k-column signature into bands of `rowsPerBand`
