@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorFunctions
+import graft.functions.{MinHashSigs, SimHash16, VectorFunctions}
 
 /** `SparkSessionExtensions` injection point for the engine's native
   * functions — enable with
@@ -15,11 +15,19 @@ import graft.functions.VectorFunctions
   * design — so functions are the only injection.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private val textBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash16" -> (es => SimHash16(es.head)),
+    // minhash_sigs(shingles, k) with a literal int k
+    "minhash_sigs" -> (es => MinHashSigs(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+  )
+
   override def apply(ext: SparkSessionExtensions): Unit =
-    VectorFunctions.all.foreach { case (name, builder) =>
+    (VectorFunctions.all ++ textBuilders).foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.VectorExprs", name),
+        new ExpressionInfo("graft.functions", name),
         (es: Seq[Expression]) => builder(es)))
     }
 }

@@ -38,6 +38,30 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
               col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: actions of `leftType` matched to a
+    * PRIOR action of `rightType` by the same user within `withinMinutes`.
+    * Watermarks on both sides bound the join state (rows older than the
+    * watermark minus the interval are evicted) — the standard
+    * click-attribution shape. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   withinMinutes: Int = 10,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("left_id"),
+              col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
+              col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    left.join(right,
+      col("user_id") === col("r_user_id") &&
+      col("right_ts") <= col("left_ts") &&
+      col("right_ts") >= col("left_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+              col("left_ts"), col("right_ts"))
+  }
+
   // ---------------------------------------------------- custom state op
 
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,

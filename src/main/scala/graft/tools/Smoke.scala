@@ -61,6 +61,12 @@ object Smoke {
       .outputMode("complete").start()
     q.processAllAvailable(); q.stop()
     println(s"[smoke] streaming windows=${spark.table("smoke_stream").count()}")
+
+    val q2 = graft.streaming.StreamOps.intervalJoin(stream, "purchase", "click")
+      .writeStream.format("memory").queryName("smoke_attrib")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    println(s"[smoke] streaming interval-join rows=${spark.table("smoke_attrib").count()}")
     spark.stop()
   }
 }

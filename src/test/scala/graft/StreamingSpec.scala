@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("stream-stream interval join attributes clicks to prior views") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(
+      StreamEvent(10, ts(5), 1, "view", 0),
+      StreamEvent(11, ts(8), 1, "click", 0),   // 3 min after view → joins
+      StreamEvent(12, ts(30), 1, "click", 0),  // 25 min after view → outside 10m
+      StreamEvent(13, ts(40), 2, "click", 0))  // no view for user 2
+    val q = StreamOps.intervalJoin(mem.toDF(), "click", "view")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib")
+      .select("user_id", "left_id", "right_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 11L, 10L)))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]

@@ -42,6 +42,19 @@ class VectorSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects functions into fresh sessions (no register call)") {
+    val fresh = spark.newSession() // temp functions do NOT carry over; extensions do
+    val d = fresh.sql("SELECT dot_product_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+                      "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(d == 9.0)
+    val sh = fresh.sql("SELECT simhash16(array('ant', 'bee'))").collect()(0).getInt(0)
+    assert(sh >= 0 && sh < (1 << 16))
+    val mh = fresh.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 4)")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length == 4 && mh.forall(_ >= 0L))
+  }
+
   test("SQL registration: cosine_sim usable from spark.sql") {
     vecs.createOrReplaceTempView("v")
     val r = spark.sql(
