@@ -49,7 +49,7 @@ object Dedup {
                         shingleN: Int, k: Int): DataFrame = {
     val sigs = graft.functions.TextHashFunctions.minHashSigs(
       TextOps.wordShingles(col(textCol), shingleN), k)
-    df.select(col(idCol), sigs.as("sigs"))
+    graft.sources.Tables.spread(df).select(col(idCol), sigs.as("sigs"))
       .filter(col("sigs").isNotNull) // sub-shingle docs have no signature
       .select(col(idCol) +: (1 to k).map(i =>
         element_at(col("sigs"), i).as(s"h$i")): _*)
@@ -98,7 +98,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val docShingles = reused(df.select(
+    val docShingles = reused(graft.sources.Tables.spread(df).select(
       col(idCol),
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
         .as("shingle")))
@@ -133,8 +133,8 @@ object Dedup {
     * (small) doc→value map on each side. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sketched = reused(
-      df.select(col(idCol), TextOps.simHash(col(textCol)).as("sh")))
+    val sketched = reused(graft.sources.Tables.spread(df)
+      .select(col(idCol), TextOps.simHash(col(textCol)).as("sh")))
     val values = sketched.select(col("sh")).distinct()
     val banded = values.select(col("sh"),
       explode(array((0 until 4).map(b =>

@@ -51,7 +51,7 @@ object DocQueries {
   /** Token counting + quality scoring per document. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, dir).select(
+    Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextOps.tokenCount(t).as("n_tokens"),
       TextOps.subTokenCount(t).as("n_subtokens"),
@@ -68,7 +68,7 @@ object DocQueries {
 
   /** Content + MinHash + SimHash fingerprints per document. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    Tables.spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextOps.contentHash(col("text")).as("content_hash"),
       TextOps.minShingleHash(col("text"), 3).as("min_shingle_hash"),

@@ -47,6 +47,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Spread a (small-file) input across the cluster's cores before
+    * compute-heavy per-row work: a 2 MB parquet arrives as ONE split, so
+    * md5-heavy operators would otherwise run single-threaded regardless
+    * of cluster size. No-op when the input already has enough
+    * partitions (the 100 TB case — real inputs arrive pre-split). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Glob-filtered file scan — Spark-native form of the reference's
     * rank-0 `.tif` directory listing (`send_file_paths.cpp:22-28`).
     * Listing and split planning are distributed; the predicate prunes
