@@ -62,6 +62,44 @@ object Relational {
     df.withColumn(outCol, agg.over(w))
   }
 
+  /** AS-OF join — an operator Spark lacks natively, expressed by
+    * composition (preference (a) of the build rules) rather than a
+    * custom SparkPlan: for every left row, attach the payload of the
+    * latest right row with rightTs <= leftTs on the same key.
+    *
+    * Shape: tag both inputs, union, one window pass per key ordered by
+    * (ts, side, id) with `last(right_payload, ignoreNulls)` over an
+    * unbounded-preceding frame, keep left rows. ONE shuffle on the key —
+    * the same cost as the sort-merge join a native as-of operator would
+    * run, with no range-duplication blow-up.
+    *
+    * Tie semantics: at equal timestamps the right row sorts first
+    * (side 0 < 1), giving `<=`; callers must pre-dedupe rights to one
+    * row per (key, ts) for deterministic payload choice.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPayload: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__payload", lit(null).cast(right.schema(rightPayload).dataType))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        lit(0).as("__side"), col(rightTs).as("__ts"),
+        col(rightPayload).as("__payload")): _*)
+    val unioned = l.select(
+      (keyCols.map(col) ++ Seq(col("__side"), col("__ts"), col("__payload")) ++
+        left.columns.filterNot(c => keyCols.contains(c)).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__payload")
+  }
+
   /** Skew-safe two-phase aggregation: salt the group key into
     * `saltBuckets` sub-keys, partially aggregate, then merge partials.
     * Results are identical to a direct `groupBy(keys).agg(...)` (that

@@ -115,7 +115,44 @@ object EventQueries {
       .withColumn("day_value", col("day_value").cast(DoubleType))
   }
 
+  /** AS-OF join: every click attributed to the user's latest prior (or
+    * simultaneous) purchase — `Relational.asofJoin` composition; the
+    * oracle is DuckDB's native ASOF LEFT JOIN. Purchases pre-deduped to
+    * one row per (user, µs) so the tie payload is deterministic. */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(Tables.events(s, dir))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.operators.Relational.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts_us", "ts_us", "purchase_id")
+      .select(col("user_id"), col("click_id"),
+              col("__asof").as("last_purchase_id"))
+  }
+
+  /** Batch range join: click ↔ purchases of the same user within the
+    * preceding 5 minutes (equi-key + range predicate → sort-merge join
+    * on user_id with the range as a join filter; never a cross join). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = withTsUs(Tables.events(s, dir))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts_us").as("p_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") <= col("c_ts") &&
+              col("p_ts") >= col("c_ts") - lit(300L * 1000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              (col("c_ts") - col("p_ts")).as("gap_us"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_attribution" -> (asofAttribution _),
+    "evt_range_join"      -> (rangeJoin _),
     "evt_rolling_7d"      -> (rolling7d _),
     "evt_json_extract"    -> (jsonExtract _),
     "evt_tumbling_hourly" -> (tumblingHourly _),
@@ -128,6 +165,23 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_asof_attribution" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, $usExpr AS ts_us
+         |           FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, $usExpr AS ts_us, MAX(event_id) AS purchase_id
+         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.user_id, c.click_id, p.purchase_id AS last_purchase_id
+         |FROM c ASOF LEFT JOIN p
+         |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin,
+    "evt_range_join" ->
+      s"""SELECT c.user_id, c.click_id, p.purchase_id,
+         |  c.c_ts - p.p_ts AS gap_us
+         |FROM (SELECT user_id, event_id AS click_id, $usExpr AS c_ts
+         |      FROM events WHERE event_type = 'click') c
+         |JOIN (SELECT user_id, event_id AS purchase_id, $usExpr AS p_ts
+         |      FROM events WHERE event_type = 'purchase') p
+         |ON c.user_id = p.user_id
+         |  AND p.p_ts <= c.c_ts AND p.p_ts >= c.c_ts - 300000000""".stripMargin,
     "evt_rolling_7d" ->
       s"""SELECT user_id, day, ${sqlToDouble("day_value")} AS day_value,
          |${sqlToDouble(
