@@ -278,7 +278,39 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
 
+  /** NULL-semantics suite (the fixtures ship no NULLs, so they are
+    * manufactured with nullif): COUNT skips NULLs, AVG ignores them,
+    * COALESCE backfills, null-safe equality — the SQL three-valued-logic
+    * corners every engine must agree on. */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("d", when(col("l_discount") === 0, lit(null)).otherwise(col("l_discount")))
+    li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("d")).as("n_nonnull"),
+      (exactSum(col("d")) / count(col("d"))).as("avg_nonzero_disc"),
+      exactSum(coalesce(col("d"), lit(0.0))).as("sum_coalesced"),
+      sum(when(col("d") <=> lit(null), 1).otherwise(0)).as("n_nullsafe_eq_null"))
+  }
+
+  /** Multiset (ALL) set operations: supplier keys of two disjoint date
+    * ranges with duplicates retained — EXCEPT ALL / INTERSECT ALL. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_shipdate") >= lit(ts("1996-01-01")) &&
+                      col("l_shipdate") < lit(ts("1996-03-01")))
+      .select(col("l_suppkey"))
+    val b = li.filter(col("l_shipdate") >= lit(ts("1996-03-01")) &&
+                      col("l_shipdate") < lit(ts("1996-05-01")))
+      .select(col("l_suppkey"))
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionAll(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("l_suppkey")).agg(count(lit(1)).as("n"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_null_semantics"    -> (nullSemantics _),
+    "rel_set_ops_all"       -> (setOpsAll _),
     "rel_percentiles"       -> (percentiles _),
     "rel_approx_distinct"   -> (approxDistinct _),
     "rel_cube_sales"        -> (cubeSales _),
@@ -322,6 +354,28 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_null_semantics" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows, COUNT(d) AS n_nonnull,
+         |${sqlSum("d")} / COUNT(d) AS avg_nonzero_disc,
+         |${sqlSum("COALESCE(d, 0.0)")} AS sum_coalesced,
+         |CAST(SUM(CASE WHEN d IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_nullsafe_eq_null
+         |FROM (SELECT l_returnflag, NULLIF(l_discount, 0) AS d FROM lineitem)
+         |GROUP BY l_returnflag""".stripMargin,
+    "rel_set_ops_all" ->
+      s"""WITH a AS (SELECT l_suppkey FROM lineitem
+         |           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |             AND l_shipdate < TIMESTAMP '1996-03-01'),
+         |b AS (SELECT l_suppkey FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |        AND l_shipdate < TIMESTAMP '1996-05-01')
+         |SELECT op, l_suppkey, COUNT(*) AS n FROM (
+         |  SELECT l_suppkey, 'except_all' AS op
+         |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+         |  UNION ALL
+         |  SELECT l_suppkey, 'intersect_all' AS op
+         |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+         |GROUP BY op, l_suppkey""".stripMargin,
     "rel_percentiles" ->
       s"""SELECT l_returnflag,
          |percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,

@@ -62,6 +62,15 @@ object StreamOps {
               col("left_ts"), col("right_ts"))
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key, keeping
+    * state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — unbounded-stream-safe, unlike
+    * plain dropDuplicates whose key state grows forever. */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String],
+                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ---------------------------------------------------- custom state op
 
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,

@@ -72,6 +72,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L, 10L)))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(
+      StreamEvent(100, ts(5), 1, "click", 1.0),
+      StreamEvent(100, ts(6), 1, "click", 1.0),  // re-delivery, same id
+      StreamEvent(101, ts(7), 1, "view", 2.0))
+    val q = StreamOps.dedupeStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(100L, 101L))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
