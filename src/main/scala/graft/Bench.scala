@@ -13,10 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up at the smallest SF: JIT + codegen compilation
-    // otherwise lands on whichever queries happen to run first
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-                                      "/root/testdata/sf0.001")
+    // untimed warm-up at the TARGET sf: JIT tiering + codegen compilation
+    // of the exact AQE plan variants otherwise lands on whichever queries
+    // happen to run first (measured ±10s scatter on trivial queries; a
+    // smaller-sf warm-up does not compile the same plans)
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmupDir).queryExecution.toRdd.count()
