@@ -76,7 +76,21 @@ object BandQueries {
                          "value",
                          Seq("purchase" -> "r", "click" -> "g", "view" -> "b"))
 
+  /** The same recombination through Spark's first-class `.pivot()`
+    * operator (explicit value list → static schema, no driver-side
+    * distinct pass; SURVEY §3.3). */
+  def compositePivotDynamic(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("purchase", "click", "view"))
+      .agg(max(col("value")))
+      .withColumnRenamed("purchase", "r")
+      .withColumnRenamed("click", "g")
+      .withColumnRenamed("view", "b")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_pivot_dynamic"    -> (compositePivotDynamic _),
     "band_file_means"            -> (bandFileMeans _),
     "band_mean_of_means"         -> (bandMeanOfMeans _),
     "band_max_of_means"          -> (bandMaxOfMeans _),
@@ -88,6 +102,13 @@ object BandQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "composite_pivot_dynamic" ->
+      s"""SELECT user_id,
+         |MAX(CASE WHEN event_type = 'purchase' THEN value END) AS r,
+         |MAX(CASE WHEN event_type = 'click' THEN value END) AS g,
+         |MAX(CASE WHEN event_type = 'view' THEN value END) AS b
+         |FROM events WHERE event_type IN ('purchase', 'click', 'view')
+         |GROUP BY user_id""".stripMargin,
     "band_file_means" ->
       s"""SELECT user_id, event_type, ${sqlAvg("value")} AS mean_value,
          |COUNT(value) AS n_valid FROM events WHERE value <> 0

@@ -308,7 +308,21 @@ object RelationalQueries {
       .groupBy(col("op"), col("l_suppkey")).agg(count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS through the engine's SQL front-end
+    * (`spark.sql` over a registered view — the raw-SQL entry path a
+    * reference user gets alongside the DataFrame API). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |COUNT(*) AS n_lines
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_grouping_sets"     -> (groupingSets _),
     "rel_null_semantics"    -> (nullSemantics _),
     "rel_set_ops_all"       -> (setOpsAll _),
     "rel_percentiles"       -> (percentiles _),
@@ -354,6 +368,11 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "rel_null_semantics" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_rows, COUNT(d) AS n_nonnull,
          |${sqlSum("d")} / COUNT(d) AS avg_nonzero_disc,

@@ -79,7 +79,21 @@ object VectorQueries {
                        "label", queryPred, 3)
   }
 
+  /** Per-vector stats through the higher-order-function surface
+    * (`aggregate` lambda folding in array order, doubles throughout) —
+    * the built-in counterpart of the native expressions, oracle-matched
+    * against the same left-associated sums. */
+  def simVectorStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).as("dims"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double")).as("component_sum"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_vector_stats"  -> (simVectorStats _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -90,6 +104,16 @@ object VectorQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "sim_vector_stats" -> {
+      val sumSq = (1 to Dims)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)*embedding[$i]")
+        .mkString("0.0 + ", " + ", "")
+      val sum = (1 to Dims)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)").mkString("0.0 + ", " + ", "")
+      s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dims,
+         |sqrt($sumSq) AS l2_norm, $sum AS component_sum
+         |FROM embeddings""".stripMargin
+    },
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE $QueryPredSql),
