@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory encoding the engine's recommended
+  * configuration, local or cluster. Every knob is overridable afterwards;
+  * this is the documented starting point, not a straitjacket.
+  */
+object GraftSession {
+
+  /** Local session: `cores` executor threads in one JVM. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors,
+            appName: String = "graft"): SparkSession =
+    tuned(SparkSession.builder().master(s"local[$cores]").appName(appName),
+          shufflePartitions = cores).getOrCreate()
+
+  /** Apply the engine's config profile to any builder (cluster path:
+    * caller sets master/deploy; pass the cluster's total cores so the
+    * shuffle width matches the execution width). */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b
+      // match shuffle width to execution width — the default 200 is wrong
+      // in both directions (too many tiny tasks locally, far too few at
+      // 1000 executors); AQE coalescing then adapts downward at runtime
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // engine functions available from SQL without per-session register()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // deterministic cross-engine timestamps (oracle + fixtures contract)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // split planning: default 128m is right for the 100 TB case; keep
+      // explicit so local experiments change it consciously
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+}
