@@ -104,14 +104,12 @@ object BandStats {
 
   /** Level 2: per-band mean of the level-1 means — the collective-mean
     * program (`band_mean_computation.cpp:143-158`, `MPI_SUM` then
-    * `/ total_files`). `sum(mean)/count(*)` ≡ `avg(mean)` over present
-    * groups; both emitted so the equivalence is oracle-checked.
-    */
+    * `/ total_files`); over present groups sum(mean)/count(*) ≡
+    * avg(mean), which is what l2Mean computes. */
   def bandMeanOfMeans(level1: DataFrame, bandCol: String,
                       exact: Boolean = false): DataFrame =
     level1.groupBy(col(bandCol)).agg(
       l2Mean(exact).as("mean_of_means"),
-      l2Mean(exact).as("sum_over_count"), // sum/count ≡ avg witness column
       count(lit(1)).as("n_files"))
 
   /** Level 2 max — `band_max_computation.cpp:143-153` with true-fold

@@ -64,7 +64,10 @@ object Dedup {
     val bands = (0 until k / rowsPerBand).map { b =>
       val cols = (1 to rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("bucket"))
+      // delimited concat: without the separator, distinct signatures like
+      // (12,3,..) and (1,23,..) would collapse into one bucket string
+      struct(lit(b).as("band"),
+             md5(concat_ws("|", cols: _*).cast("binary")).as("bucket"))
     }
     sigs.select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))

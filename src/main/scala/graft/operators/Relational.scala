@@ -97,7 +97,7 @@ object Relational {
     unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side", "__payload")
+      .drop("__side", "__payload", "__ts") // leftTs is still present on left rows
   }
 
   /** Skew-safe two-phase aggregation: salt the group key into

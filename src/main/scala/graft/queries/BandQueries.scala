@@ -116,7 +116,6 @@ object BandQueries {
     "band_mean_of_means" ->
       s"""SELECT l_returnflag,
          |CAST(CAST(SUM(mean_value) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_of_means,
-         |CAST(CAST(SUM(mean_value) AS VARCHAR) AS DOUBLE) / COUNT(*) AS sum_over_count,
          |COUNT(*) AS n_files FROM ($meansSql) GROUP BY l_returnflag""".stripMargin,
     "band_max_of_means" ->
       s"""SELECT l_returnflag, CAST(CAST(MAX(mean_value) AS VARCHAR) AS DOUBLE) AS max_of_means

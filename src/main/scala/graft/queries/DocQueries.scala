@@ -85,9 +85,12 @@ object DocQueries {
       countDistinct(col("user_id"), col("event_type"), col("value"))
         .as("n_distinct"))
 
-  /** MinHash-LSH candidate near-duplicate pairs (k=12, 4 bands × 3). */
+  /** MinHash-LSH candidate near-duplicate pairs (constants shared with
+    * the generated oracle SQL — see MinHashK/RowsPerBand/ShingleN). */
   def dedupMinHashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.minHashCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+                                shingleN = ShingleN, k = MinHashK,
+                                rowsPerBand = RowsPerBand)
 
   /** Exact 3-gram Jaccard pairs ≥ 0.5 via shingle inverted index. */
   def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
@@ -134,20 +137,28 @@ object DocQueries {
   private val avgWl = s"CAST(length(text) - ($nTok - 1) AS DOUBLE) / $nTok"
   private val stopCnt = sqlWordHits(TextOps.EnglishStopwords)
 
+  /** MinHash layout constants — the SINGLE source for both the Spark call
+    * (dedupMinHashPairs) and the generated oracle SQL below. */
+  private val MinHashK = 12
+  private val RowsPerBand = 3
+  private val ShingleN = 3
+
   private val sigsSql: String = {
-    val mins = (1 to 12).map(i =>
+    val mins = (1 to MinHashK).map(i =>
       s"min(CAST('0x' || substr(md5('$i|' || shingle), 1, 15) AS BIGINT)) AS h$i")
       .mkString(",\n")
     s"""SELECT doc_id, $mins
-       |FROM (SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS shingle
+       |FROM (SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
        |      FROM documents)
        |GROUP BY doc_id""".stripMargin
   }
 
   private val bandsSql: String =
-    (0 until 4).map { b =>
-      val cols = (1 to 3).map(r => s"CAST(h${b * 3 + r} AS VARCHAR)").mkString(" || ")
-      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
+    (0 until MinHashK / RowsPerBand).map { b =>
+      val cols = (1 to RowsPerBand)
+        .map(r => s"CAST(h${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(

@@ -37,12 +37,16 @@ object MediaQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_byte_stats" ->
+      // COALESCE + CASE guard the empty-blob row: DuckDB list_sum([]) is
+      // NULL (and the mean would divide by zero) while FakeCodec returns
+      // byte_sum=0, byte_mean=0.0
       s"""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-         |CAST(list_sum(list_transform(range(1, length(text) + 1),
-         |  i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))) AS BIGINT) AS byte_sum,
-         |CAST(list_sum(list_transform(range(1, length(text) + 1),
-         |  i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))) AS DOUBLE)
-         |  / length(text) AS byte_mean,
+         |CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+         |  i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))), 0) AS BIGINT) AS byte_sum,
+         |CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+         |    i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))) AS DOUBLE)
+         |    / length(text) END AS byte_mean,
          |CAST((length(text) + ${fs - 1}) // $fs AS INTEGER) AS n_frames
          |FROM documents""".stripMargin,
     "mm_frame_sample" ->

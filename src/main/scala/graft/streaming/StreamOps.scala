@@ -78,37 +78,56 @@ object StreamOps {
   case class SessionState(startUs: Long, lastUs: Long, n: Int)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
 
+  /** Microsecond event time — Timestamp.getTime alone is milliseconds
+    * and would truncate the fixture's µs precision (diverging from the
+    * batch twin's ts_us ordering). */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Sessionization via `flatMapGroupsWithState` — the imperative-state
     * escape hatch for semantics `session_window` can't express (e.g.
     * emitting per-event session updates, custom merge rules). State is
-    * one small record per active user; event-time timeout evicts idle
-    * users once the watermark passes. */
+    * one small record per active user; an EVENT-TIME timeout emits and
+    * evicts a user's open session once the watermark passes its gap
+    * horizon, so state stays bounded and final sessions are not lost.
+    * Callers must set a watermark on `ts` (see the spec / Smoke). */
   def sessionizeWithState(events: Dataset[StreamEvent],
                           gapMinutes: Long = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[StreamEvent], state: GroupState[SessionState]) =>
-          // within a trigger, order the user's micro-batch by event time
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            st match {
-              case null =>
-                st = SessionState(us, us, 1)
-              case SessionState(s0, last, n) if us - last > gapUs =>
-                closed += SessionOut(user, s0, last, n)
-                st = SessionState(us, us, 1)
-              case SessionState(s0, _, n) =>
-                st = SessionState(s0, us, n + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.startUs, st.lastUs, st.n))
+          } else {
+            // within a trigger, order the user's micro-batch by event time
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              st match {
+                case null =>
+                  st = SessionState(us, us, 1)
+                case SessionState(s0, last, n) if us - last > gapUs =>
+                  closed += SessionOut(user, s0, last, n)
+                  st = SessionState(us, us, 1)
+                case SessionState(s0, _, n) =>
+                  st = SessionState(s0, us, n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // fire once the event-time watermark passes the gap after
+              // the session's last activity
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            } else state.remove()
+            closed.result().iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          closed.result().iterator
       }
   }
 }

@@ -88,18 +88,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(100L, 101L))
   }
 
-  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+  test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
     mem.addData(rows: _*)
-    val q = StreamOps.sessionizeWithState(mem.toDS())
+    val q = StreamOps.sessionizeWithState(
+        mem.toDF().withWatermark("ts", "0 seconds").as[StreamEvent])
       .writeStream.format("memory").queryName("state_sessions")
       .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
-    val closed = spark.table("state_sessions").as[SessionOut].collect()
-      .map(s => (s.user_id, s.n_events)).toSeq.sorted
-    // only sessions CLOSED by a later event are emitted (open state held):
-    // user1 [5,20] closed by 65, [65] closed by 200; [200] and user2 open
-    assert(closed == Seq((1L, 1L), (1L, 2L)))
+    try {
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("state_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events.toLong)).toSeq.sorted
+      // gap-closed: user1 [5,20] closed by 65, [65] by 200; then the
+      // watermark-advance batch (processAllAvailable drains it) fires
+      // user2's idle-session timeout (horizon min 40 < watermark 200).
+      // user1's open [200] (horizon 230) survives.
+      assert(afterBatch1 == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+
+      // advance the watermark to minute 600 → user1's [200] times out
+      // (horizon 230 < 600); the new user-50 session (horizon 630) stays
+      mem.addData(StreamEvent(99, ts(600), 50, "view", 0))
+      q.processAllAvailable()
+      val afterBatch2 = spark.table("state_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events.toLong)).toSeq.sorted
+      assert(afterBatch2 == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
   }
 }

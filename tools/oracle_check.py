@@ -5,8 +5,9 @@ not part of the Spark library). Usage:
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs
 <verifyOutDir>/oracle_sql.json[name] in DuckDB with views over
 <sfDir>/*.parquet, sorts columns by name and rows by all columns, and
-compares values (exact for non-floats; floats must match to 1e-9 after
-the query's own rounding)."""
+compares values EXACTLY — floats bit-for-bit (the queries' exact-DECIMAL
+canonicalization makes both engines produce identical doubles; there is
+no tolerance)."""
 import json, sys, math
 import duckdb
 
