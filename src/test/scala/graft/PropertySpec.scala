@@ -68,6 +68,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asof join equals the naive latest-prior scan") {
+    val evGen = for {
+      lefts <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+      rights <- Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+    } yield (lefts.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) },
+             // dedupe rights per (key, ts): the documented precondition
+             rights.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i) }
+               .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList)
+    check("asof", Prop.forAll(evGen) { case (lefts, rights) =>
+      val got = graft.operators.Relational.asofJoin(
+        lefts.toDF("user_id", "ts_us", "click_id"),
+        rights.toDF("user_id", "ts_us", "purchase_id"),
+        Seq("user_id"), "ts_us", "ts_us", "purchase_id")
+        .select($"click_id", $"__asof").as[(Long, Option[Long])]
+        .collect().toMap
+      val expected = lefts.map { case (u, t, id) =>
+        val prior = rights.filter(r => r._1 == u && r._2 <= t)
+        id -> (if (prior.isEmpty) None
+               else Some(prior.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == expected
+    })
+  }
+
   private val docGen = Gen.nonEmptyListOf(
     Gen.nonEmptyListOf(Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
       .map(_.mkString(" ")))
