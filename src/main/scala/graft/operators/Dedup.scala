@@ -124,6 +124,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over a candidate-pair edge
+    * list, labeling every member with the component's minimum id —
+    * the step that turns pairwise dedup output into keep-one-per-cluster
+    * decisions.
+    *
+    * Iterative min-label propagation with a driver-controlled loop
+    * (iteration counts are data-dependent; the loop body is pure
+    * DataFrame ops, only a scalar `count` crosses to the driver per
+    * round — the same control shape GraphX/MLlib use). Converges in
+    * O(component diameter) rounds; production-scale graphs use the
+    * large/small-star variant, same skeleton. Each round persists its
+    * labels and unpersists the previous. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"),
+                least(col("cluster_id"),
+                      coalesce(col("neighbor_min"), col("cluster_id")))
+                  .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs: band the 16-bit sketch into 4 nibbles
     * (pigeonhole: hamming ≤ 3 ⇒ at least one nibble equal), verify exact
     * hamming on candidates. Shuffle key = (band, nibble).

@@ -119,7 +119,37 @@ object DocQueries {
               col("quality_score"), col("lang_pred"), col("is_dup"))
   }
 
+  /** Corpus word counts (map-side-combine canonical workload). */
+  def docWordCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.wordCounts(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Top TF-IDF term per document (rank-limited window over the joined
+    * tf/df tables). The score is quantized to 9 decimals before ranking
+    * AND output: ln() is not correctly rounded and differs by 1 ulp
+    * between Math.log and DuckDB's libm, so raw doubles cannot be
+    * bit-compared — the only non-exact canonicalization in the registry,
+    * inherent to transcendentals. */
+  def docTfIdfTopTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(
+      TextOps.tfIdf(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("tf_idf", round(col("tf_idf"), 9)),
+      Seq("doc_id"), Seq(col("tf_idf").desc, col("term").asc), 1, "rn")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
+
+  /** Duplicate clusters: connected components over the ≥0.5-Jaccard pair
+    * edges, every member labeled with its component's min doc_id.
+    * Oracle: recursive CTE transitive closure over the same edges. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_word_counts"     -> (docWordCounts _),
+    "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
+    "dedup_clusters"      -> (dedupClusters _),
     "pipe_clean_corpus"   -> (pipeCleanCorpus _),
     "text_stats"          -> (textStats _),
     "text_lang_id"        -> (textLangId _),
@@ -152,6 +182,27 @@ object DocQueries {
        |      FROM documents)
        |GROUP BY doc_id""".stripMargin
   }
+
+  /** Shared by dedup_jaccard_pairs and dedup_clusters (edge source). */
+  private val jaccardPairsSql: String =
+    s"""WITH docsh AS (
+       |  SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM docsh GROUP BY 1),
+       |sdf AS (SELECT shingle, COUNT(*) AS c FROM docsh GROUP BY 1),
+       |filtered AS (
+       |  SELECT doc_id, docsh.shingle FROM docsh
+       |  JOIN sdf ON docsh.shingle = sdf.shingle WHERE sdf.c <= 1000),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""".stripMargin
 
   private val bandsSql: String =
     (0 until MinHashK / RowsPerBand).map { b =>
@@ -223,25 +274,39 @@ object DocQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          |WHERE a.doc_id < b.doc_id""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      s"""WITH docsh AS (
-         |  SELECT DISTINCT doc_id, unnest(${sqlShingles(3)}) AS shingle
-         |  FROM documents),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM docsh GROUP BY 1),
-         |sdf AS (SELECT shingle, COUNT(*) AS c FROM docsh GROUP BY 1),
-         |filtered AS (
-         |  SELECT doc_id, docsh.shingle FROM docsh
-         |  JOIN sdf ON docsh.shingle = sdf.shingle WHERE sdf.c <= 1000),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_common,
-         |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-         |FROM common
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "doc_word_counts" ->
+      s"""SELECT word, COUNT(*) AS n_occurrences
+         |FROM (SELECT unnest($wordsSql) AS word FROM documents)
+         |GROUP BY word""".stripMargin,
+    "doc_tfidf_top_terms" -> {
+      // ROUND(...,9) mirrors the Spark quantization — ln() is 1-ulp
+      // engine-dependent (see docTfIdfTopTerms scaladoc)
+      val score =
+        s"""ROUND(CAST(tf.tf AS DOUBLE) *
+           |  ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 9)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, term, tf, df, tf_idf FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df, $score AS tf_idf,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY $score DESC, tf.term ASC) AS rn
+         |  FROM tf JOIN dfq ON tf.term = dfq.term)
+         |WHERE rn = 1""".stripMargin
+    },
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH sk AS (SELECT doc_id, $simHashSql AS sh FROM documents),
          |banded AS (
