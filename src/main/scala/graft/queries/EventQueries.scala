@@ -66,6 +66,19 @@ object EventQueries {
         (col("end_us") - col("start_us")).cast(DoubleType) / lit(60000000.0))
   }
 
+  /** Sessionization via Spark's BUILT-IN session_window (batch mode) —
+    * cross-validates the declarative operator against the lag/cumsum
+    * oracle: same membership and counts; the builtin's window end is
+    * last-event + gap by definition, replayed in SQL as end_us + gap. */
+  def sessionBuiltin(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              expr("unix_micros(CAST(w.start AS TIMESTAMP))").as("start_us"),
+              expr("unix_micros(CAST(w.end AS TIMESTAMP))").as("end_us"),
+              col("n_events"))
+
   /** Per-(user, day) top event by value — rank-limited window. */
   def dailyTopEvent(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("day"))
@@ -158,6 +171,7 @@ object EventQueries {
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sliding_counts"  -> (slidingCounts _),
     "evt_session_windows" -> (sessionWindows _),
+    "evt_session_builtin" -> (sessionBuiltin _),
     "evt_daily_top_event" -> (dailyTopEvent _),
     "evt_daily_type_share" -> (dailyTypeShare _),
   )
@@ -224,6 +238,23 @@ object EventQueries {
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 60000000.0 AS duration_min
+         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "evt_session_builtin" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, $usExpr AS ts_us,
+         |    CASE WHEN lag($usExpr) OVER w IS NULL
+         |           OR $usExpr - lag($usExpr) OVER w > $HalfHourUs
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $usExpr ASC, event_id ASC)),
+         |sessions AS (
+         |  SELECT user_id, ts_us,
+         |    SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts_us) AS start_us,
+         |  MAX(ts_us) + $HalfHourUs AS end_us, COUNT(*) AS n_events
          |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "evt_daily_top_event" ->
       s"""SELECT user_id, day, event_id, value FROM (

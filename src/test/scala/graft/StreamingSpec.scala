@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("watermark drops late data in append-mode tumbling counts") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    // append mode: a window only emits once the watermark passes its end
+    val q = StreamOps.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_data")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(StreamEvent(1, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 0; its window closes and emits
+      mem.addData(StreamEvent(2, ts(300), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a LATE row for the closed hour-0 window must be dropped
+      mem.addData(StreamEvent(3, ts(40), 1, "click", 1.0))
+      mem.addData(StreamEvent(4, ts(400), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table("late_data")
+      .filter($"window_start" === ts(0)).select("n_events")
+      .as[Long].collect().toSeq
+    assert(hour0 == Seq(1L), "late event for the closed window must not re-emit or count")
+  }
+
   test("stream-stream interval join attributes clicks to prior views") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
