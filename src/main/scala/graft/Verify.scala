@@ -19,15 +19,16 @@ object Verify {
       // silently grades as the old result
       val dest = new java.io.File(s"$outDir/$name")
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      if (dest.exists()) rm(dest)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(dest.getPath)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
         if (dest.exists()) rm(dest)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(dest.getPath)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try { if (dest.exists()) rm(dest) } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -137,7 +137,7 @@ object Dedup {
     * large/small-star variant, same skeleton. Each round persists its
     * labels and unpersists the previous. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -166,6 +166,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // wrong labels are worse than a loud failure: a component with hop
+    // diameter > maxIter would otherwise silently keep several labels
+    require(converged,
+      s"dupClusters did not converge within $maxIter rounds — raise maxIter " +
+        "(component diameter exceeds it)")
     labels
   }
 

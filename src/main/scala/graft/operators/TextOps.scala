@@ -89,25 +89,26 @@ object TextOps {
   /** Corpus word counts: explode tokens → hash-aggregate per word. The
     * canonical map-side-combine workload — the shuffle carries one row
     * per (word, partition), not per token. */
-  def wordCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+  def wordCounts(df: org.apache.spark.sql.DataFrame,
                  textCol: String): org.apache.spark.sql.DataFrame =
     df.select(explode(tokenize(col(textCol))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_occurrences"))
 
   /** TF-IDF per (doc, term): tf = in-doc occurrences, idf = ln(N/df)
-    * with df = docs containing the term. Two aggregations + one
-    * broadcast-sized join on the term; all integer counts until the one
-    * final ln/multiply (identical doubles cross-engine). */
+    * with df = docs containing the term. Two aggregations + a join on
+    * the term — NO forced broadcast: vocabulary size is unbounded on a
+    * noisy corpus, so AQE decides (it broadcasts when dfreq is actually
+    * small). All integer counts until the one final ln/multiply. */
   def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.count() // corpus size: one scalar action, broadcast in the closure
+    val n = df.count() // corpus size: one scalar action, baked as a literal
     val tokens = df.select(col(idCol), explode(tokenize(col(textCol))).as("term"))
     val tf = tokens.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .withColumn("tf_idf",
         col("tf").cast("double") *
           log(lit(n.toDouble) / col("df").cast("double")))

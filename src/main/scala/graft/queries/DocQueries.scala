@@ -121,18 +121,20 @@ object DocQueries {
 
   /** Corpus word counts (map-side-combine canonical workload). */
   def docWordCounts(s: SparkSession, dir: String): DataFrame =
-    TextOps.wordCounts(Tables.documents(s, dir), "doc_id", "text")
+    TextOps.wordCounts(Tables.documents(s, dir), "text")
 
   /** Top TF-IDF term per document (rank-limited window over the joined
-    * tf/df tables). The score is quantized to 9 decimals before ranking
+    * tf/df tables). The score is quantized to 6 decimals before ranking
     * AND output: ln() is not correctly rounded and differs by 1 ulp
-    * between Math.log and DuckDB's libm, so raw doubles cannot be
-    * bit-compared — the only non-exact canonicalization in the registry,
-    * inherent to transcendentals. */
+    * (~1e-15 absolute here) between Math.log and DuckDB's libm, so raw
+    * doubles cannot be bit-compared — the registry's one sanctioned
+    * non-exact canonicalization (see CLAUDE.md), inherent to
+    * transcendentals; at 6 decimals the boundary-crossing probability is
+    * ~1e-9 per value. */
   def docTfIdfTopTerms(s: SparkSession, dir: String): DataFrame =
     graft.operators.Relational.topKPerGroup(
       TextOps.tfIdf(Tables.documents(s, dir), "doc_id", "text")
-        .withColumn("tf_idf", round(col("tf_idf"), 9)),
+        .withColumn("tf_idf", round(col("tf_idf"), 6)),
       Seq("doc_id"), Seq(col("tf_idf").desc, col("term").asc), 1, "rn")
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
 
@@ -280,11 +282,11 @@ object DocQueries {
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |GROUP BY word""".stripMargin,
     "doc_tfidf_top_terms" -> {
-      // ROUND(...,9) mirrors the Spark quantization — ln() is 1-ulp
+      // ROUND(...,6) mirrors the Spark quantization — ln() is 1-ulp
       // engine-dependent (see docTfIdfTopTerms scaladoc)
       val score =
         s"""ROUND(CAST(tf.tf AS DOUBLE) *
-           |  ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 9)""".stripMargin
+           |  ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6)""".stripMargin
       s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
          |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),

@@ -123,8 +123,11 @@ object StreamOps {
             if (st != null) {
               state.update(st)
               // fire once the event-time watermark passes the gap after
-              // the session's last activity
-              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+              // the session's last activity — CEILING to ms so µs
+              // truncation can never fire the timeout early (an event
+              // still inside the gap must find its state alive)
+              state.setTimeoutTimestamp(
+                math.floorDiv(st.lastUs + gapUs + 999L, 1000L))
             } else state.remove()
             closed.result().iterator
           }
