@@ -148,7 +148,23 @@ object DocQueries {
       "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
 
+  /** The dedup DECISION step: materialize the kept corpus — every doc
+    * except non-canonical members of a duplicate cluster (keeper = min
+    * doc_id, i.e. cluster_id). One left-anti join against the (small)
+    * cluster table. */
+  def pipeDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val losers = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_chars")).as("kept_chars"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -298,6 +314,24 @@ object DocQueries {
          |  FROM tf JOIN dfq ON tf.term = dfq.term)
          |WHERE rn = 1""".stripMargin
     },
+    "pipe_dedup_keep" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = documents.doc_id)
+         |GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),

@@ -163,7 +163,24 @@ object EventQueries {
               (col("c_ts") - col("p_ts")).as("gap_us"))
   }
 
+  /** Daily new + cumulative users: first-seen day per user (min
+    * aggregation), daily new-user counts, prefix-sum for the cumulative
+    * curve. The standard growth-analytics query — distinct-counting over
+    * an expanding window WITHOUT a per-day distinct pass. */
+  def newUsersDaily(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = withTsUs(Tables.events(s, dir))
+      .groupBy(col("user_id"))
+      .agg(min(expr(s"ts_us DIV $DayUs")).as("day"))
+    val daily = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    // unpartitioned window is fine HERE: input is already day-grain
+    // (one row per day), so the single-partition pass sees ≤ days rows
+    daily.withColumn("n_cumulative",
+      sum(col("n_new")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_new_users_daily"  -> (newUsersDaily _),
     "evt_asof_attribution" -> (asofAttribution _),
     "evt_range_join"      -> (rangeJoin _),
     "evt_rolling_7d"      -> (rolling7d _),
@@ -179,6 +196,15 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_new_users_daily" ->
+      s"""SELECT day, n_new,
+         |CAST(SUM(n_new) OVER (ORDER BY day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS n_cumulative
+         |FROM (SELECT day, COUNT(*) AS n_new
+         |      FROM (SELECT user_id, MIN($usExpr // $DayUs) AS day
+         |            FROM events GROUP BY user_id)
+         |      GROUP BY day)""".stripMargin,
     "evt_asof_attribution" ->
       s"""WITH c AS (SELECT user_id, event_id AS click_id, $usExpr AS ts_us
          |           FROM events WHERE event_type = 'click'),

@@ -68,6 +68,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("salted aggregation equals the plain groupBy for any salt width") {
+    val rowGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("A", "B"), Gen.choose(1L, 1000L), Gen.choose(0.0, 100.0)))
+    check("salted", Prop.forAll(rowGen, Gen.choose(1, 8)) { (rows, buckets) =>
+      val df = rows.toDF("grp", "key", "v")
+      val salted = graft.operators.Relational.saltedAgg(
+        df, Seq("grp"), col("key"), buckets,
+        Seq((count(lit(1)), "n", (c: org.apache.spark.sql.Column) =>
+               sum(c).cast("long")),
+            (sum(graft.queries.Canon.dec(col("v"))), "s",
+             (c: org.apache.spark.sql.Column) => sum(c).cast("double"))))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = df.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+             sum(graft.queries.Canon.dec(col("v"))).cast("double").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      salted == plain
+    })
+  }
+
   test("asof join equals the naive latest-prior scan") {
     val evGen = for {
       lefts <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
