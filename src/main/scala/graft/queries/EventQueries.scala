@@ -179,7 +179,36 @@ object EventQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Z-score outliers per event_type: exact decimal moments → mean and
+    * stddev in double → |v-mean|/stddev > 3. Unlike ln(), sqrt and
+    * division are correctly-rounded IEEE ops, so z-scores are bit-exact
+    * cross-engine with NO quantization. Two passes over events with the
+    * per-type stats broadcast back (tiny). */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(Canon.dec(col("value"))).cast(DoubleType)
+    val sxx = sum(Canon.dec(col("value")) * Canon.dec(col("value"))).cast(DoubleType)
+    val stats = ev.groupBy(col("event_type")).agg(
+      (sx / n).as("mean_v"),
+      sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("sd_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean_v")) / col("sd_v"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_type"), col("event_id"), col("value"), col("z"))
+  }
+
+  /** Value histogram: fixed-width integer bucketing (floor division) —
+    * the distribution profile pass. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((floor(col("value") / 50.0) * 50).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_events"),
+           exactAvg(col("value")).as("avg_in_bucket"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_outliers"         -> (outliers _),
+    "evt_value_histogram"  -> (valueHistogram _),
     "evt_new_users_daily"  -> (newUsersDaily _),
     "evt_asof_attribution" -> (asofAttribution _),
     "evt_range_join"      -> (rangeJoin _),
@@ -196,6 +225,23 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_outliers" -> {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = sqlSum("value")
+      val sxx = sqlSumProd("value", "value")
+      s"""WITH stats AS (
+         |  SELECT event_type, ($sx) / ($n) AS mean_v,
+         |    sqrt((($sxx) - ($sx) * ($sx) / ($n)) / (($n) - 1.0)) AS sd_v
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, e.event_id, e.value,
+         |  (e.value - s.mean_v) / s.sd_v AS z
+         |FROM events e JOIN stats s ON e.event_type = s.event_type
+         |WHERE abs((e.value - s.mean_v) / s.sd_v) > 3.0""".stripMargin
+    },
+    "evt_value_histogram" ->
+      s"""SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,
+         |COUNT(*) AS n_events, ${sqlAvg("value")} AS avg_in_bucket
+         |FROM events GROUP BY 1""".stripMargin,
     "evt_new_users_daily" ->
       s"""SELECT day, n_new,
          |CAST(SUM(n_new) OVER (ORDER BY day
