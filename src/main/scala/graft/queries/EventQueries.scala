@@ -206,7 +206,27 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
            exactAvg(col("value")).as("avg_in_bucket"))
 
+  /** Funnel conversion: signup → click → purchase ordered by each
+    * user's FIRST occurrence of each step. One conditional-min pivot per
+    * user (single shuffle), then integer flag counting. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    def firstUs(t: String) =
+      min(when(col("event_type") === t, col("ts_us"))).as(s"${t}_us")
+    val perUser = withTsUs(Tables.events(s, dir))
+      .groupBy(col("user_id"))
+      .agg(firstUs("signup"), firstUs("click"), firstUs("purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("signup_us").isNotNull, 1).otherwise(0)).as("n_signup"),
+      sum(when(col("signup_us") < col("click_us"), 1).otherwise(0))
+        .as("n_signup_click"),
+      sum(when(col("signup_us") < col("click_us") &&
+               col("click_us") < col("purchase_us"), 1).otherwise(0))
+        .as("n_full_funnel"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
     "evt_new_users_daily"  -> (newUsersDaily _),
@@ -225,6 +245,19 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_funnel" ->
+      s"""SELECT COUNT(*) AS n_users,
+         |CAST(SUM(CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_signup,
+         |CAST(SUM(CASE WHEN signup_us < click_us THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_signup_click,
+         |CAST(SUM(CASE WHEN signup_us < click_us AND click_us < purchase_us
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+         |FROM (SELECT user_id,
+         |        MIN(CASE WHEN event_type = 'signup' THEN $usExpr END) AS signup_us,
+         |        MIN(CASE WHEN event_type = 'click' THEN $usExpr END) AS click_us,
+         |        MIN(CASE WHEN event_type = 'purchase' THEN $usExpr END) AS purchase_us
+         |      FROM events GROUP BY user_id)""".stripMargin,
     "evt_outliers" -> {
       val n = "CAST(COUNT(*) AS DOUBLE)"
       val sx = sqlSum("value")
