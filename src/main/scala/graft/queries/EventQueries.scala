@@ -336,9 +336,10 @@ object EventQueries {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY $usExpr ASC, event_id ASC)),
          |sessions AS (
          |  SELECT user_id, ts_us,
-         |    SUM(is_new) OVER (PARTITION BY user_id
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
          |      ORDER BY ts_us ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,

@@ -41,6 +41,17 @@ def main(sf_dir, out_dir):
             if scols != dcols:
                 print(f"FAIL {name}: columns spark={scols} duck={dcols}")
                 fail += 1; continue
+            # Replicate the driver's pandas-side typing: a DuckDB HUGEINT
+            # (e.g. windowed SUM over INTEGER) lands as float64 in pandas
+            # while the Spark parquet is int64 — stringifies differently,
+            # so the driver's hash fails even when fetchall values match.
+            skinds = [d.kind for d in con.sql(
+                f"SELECT {', '.join(scols)} FROM spark_rel").df().dtypes]
+            dkinds = [d.kind for d in con.sql(
+                f"SELECT {', '.join(dcols)} FROM duck_rel").df().dtypes]
+            if skinds != dkinds:
+                print(f"FAIL {name}: pandas dtype kinds spark={skinds} duck={dkinds}")
+                fail += 1; continue
             if len(spark_rows) != len(duck_rows):
                 print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
                 fail += 1; continue
