@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only: comma-separated subset of query names to bench in the
+    // given order (cold-vs-warm profiling); unset = full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    def selected: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      only match {
+        case Some(names) => names.map(n => n -> SparkEntry.queries(n))
+        case None => SparkEntry.queries.toSeq
+      }
     val spark = GraftSession.tuned(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -14,7 +24,7 @@ object Bench {
     // happen to run first (measured ±10s scatter on trivial queries; a
     // smaller-sf warm-up does not compile the same plans)
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
-    if (new java.io.File(warmupDir).isDirectory) {
+    if (new java.io.File(warmupDir).isDirectory && only.isEmpty) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmupDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
@@ -24,12 +34,12 @@ object Bench {
     // execute the FULL physical plan: df.count() would let Catalyst prune
     // every column (a map-only query would be timed as a bare row count);
     // toRdd.count() materializes each query's actual output rows
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-coalesce the output partitioning of cached plans:
+      // iterative operators (connected components) persist tiny
+      // intermediates every round, and without this each round re-runs
+      // at the full static shuffle width no matter how small the data
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+              "true")
       // engine functions available from SQL without per-session register()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // deterministic cross-engine timestamps (oracle + fixtures contract)

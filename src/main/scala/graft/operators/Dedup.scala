@@ -106,22 +106,31 @@ object Dedup {
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
         .as("shingle")))
     val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val filtered = docShingles
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf).drop("df")
+    // stop-shingle cap via a partial-aggregated count + broadcast anti
+    // join: only (shingle, partial count) pairs shuffle, never the full
+    // posting rows (an earlier window-over-shingle variant sorted the
+    // whole inverted index just to count it), and the hot-shingle
+    // blocklist is tiny by construction
+    val hot = docShingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    val filtered = reused(
+      docShingles.join(broadcast(hot), Seq("shingle"), "left_anti"))
     val common = filtered.select(col(idCol).as("doc_a"), col("shingle"))
       .join(filtered.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    common
+    // the pair table itself is reused: downstream operators (clustering,
+    // keep-canonical) reference it repeatedly, and it is orders of
+    // magnitude smaller than the corpus by construction
+    reused(common
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard")))
   }
 
   /** Duplicate clusters: connected components over a candidate-pair edge
@@ -138,34 +147,48 @@ object Dedup {
     * labels and unpersists the previous. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetric closure PLUS self-loops: with (v,v) present, min over a
+    // node's in-neighborhood already includes its own label, so each
+    // round is a single join+groupBy — no second "least(own, neighbor)"
+    // pass, and the convergence-check join is co-partitioned (both sides
+    // hash-partitioned on id by the groupBy), so one real shuffle/round
+    // localCheckpoint (not persist): an iterative operator's logical plan
+    // otherwise embeds the ENTIRE upstream pipeline once per round —
+    // Catalyst re-analyzes a tree that grows linearly, so driver time
+    // goes quadratic in rounds. Checkpointing truncates lineage to a
+    // leaf; per-round planning cost is then constant. (Cluster path:
+    // swap for reliable `checkpoint` on HDFS — same control shape.)
+    // materialize the pair table ONCE before fanning out: the symmetric
+    // closure references `pairs` four times, and without a cache each
+    // union branch would re-execute the entire candidate-pair pipeline
+    val p = reused(pairs)
+    p.count()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .unionAll(p.select(col(aCol).as("src"), col(aCol).as("dst")))
+      .unionAll(p.select(col(bCol).as("src"), col(bCol).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var iter = 0
+      .localCheckpoint()
+    // round 0 for free: min(self ∪ neighbors) with initial label = id
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("cluster_id"))
+      .localCheckpoint()
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      val next = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id").as("lbl")),
+              Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster_id")).as("neighbor_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
-        .select(col("id"),
-                least(col("cluster_id"),
-                      coalesce(col("neighbor_min"), col("cluster_id")))
-                  .as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .agg(min(col("lbl")).as("cluster_id"))
+        .localCheckpoint()
+      val changes = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changes == 0
       iter += 1
     }
-    edges.unpersist()
     // wrong labels are worse than a loud failure: a component with hop
     // diameter > maxIter would otherwise silently keep several labels
     require(converged,
