@@ -26,6 +26,7 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (BandQueries.registry, BandQueries.oracles),
     (RelationalQueries.registry, RelationalQueries.oracles),
+    (AnalyticsQueries.registry, AnalyticsQueries.oracles),
     (DocQueries.registry, DocQueries.oracles),
     (VectorQueries.registry, VectorQueries.oracles),
     (EventQueries.registry, EventQueries.oracles),

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.sources.Tables
+import Canon._
+
+/** Second relational/analytics slab: window-function navigation and
+  * ranking, full-outer / cross joins, multi-join market-share and
+  * stock-concentration (TPC-H Q8/Q11 shapes), cohort retention and
+  * inter-arrival statistics over events.
+  *
+  * Scale posture: navigation/ranking windows shuffle once on their
+  * partition key; the market-share query broadcasts every dimension and
+  * shuffles only lineitem⋈orders; cohorts pre-aggregate to (user, week)
+  * grain before the distinct count so the shuffle carries deduplicated
+  * rows, not raw events.
+  */
+object AnalyticsQueries {
+
+  private val DayUs = 86400L * 1000000L
+  private val WeekUs = 7L * DayUs
+
+  // ------------------------------------------------------------- queries
+
+  /** Window navigation suite: lag / lead / first_value / last_value over
+    * each customer's order history in (date, key) order. Gap arithmetic
+    * in epoch-µs (both engines read the ms-precision fixture exactly). */
+  def windowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("ts_us",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ((col("ts_us") - lag(col("ts_us"), 1).over(w)) / lit(DayUs))
+          .cast("long").as("gap_days"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"))
+  }
+
+  /** Window ranking suite: row_number / percent_rank / cume_dist /
+    * ntile(4) within order priority. The tie-broken (price, key) order
+    * makes every rank — ntile included — deterministic; percent_rank and
+    * cume_dist are ratios of identical integers, hence bit-exact. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).as("rn"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** FULL OUTER join of two filtered per-nation aggregates — both sides
+    * have keys the other lacks, so genuine left-only and right-only rows
+    * survive; COALESCE rebuilds the key and zero-fills the counts. */
+  def fullOuterNations(s: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supps = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    custs.join(supps, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** CROSS JOIN of two small distinct dimensions (priority × status) with
+    * observed counts left-joined in — the zero-filled contingency matrix
+    * a plain GROUP BY cannot produce. Both sides of the cartesian product
+    * are broadcast-sized by construction. */
+  def crossMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val prios = ord.select(col("o_orderpriority")).distinct()
+    val stats = ord.select(col("o_orderstatus")).distinct()
+    val counts = ord.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    prios.crossJoin(stats)
+      .join(counts, Seq("o_orderpriority", "o_orderstatus"), "left_outer")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+              coalesce(col("n"), lit(0L)).as("n_orders"))
+  }
+
+  /** TPC-H Q8-shaped market share: per (order year, supplier region),
+    * revenue and its share of the year total. Dimensions broadcast;
+    * lineitem⋈orders is the only shuffled join; the year total is a
+    * second windowed pass over the small grouped result, not a re-scan.
+    * Shares divide two varchar-routed exact-decimal sums in double. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    val grouped = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(
+              year(col("o_orderdate")).between(1996, 1997)),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("r_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+             .as("rev_dec"))
+    val yearTotal = Window.partitionBy(col("o_year"))
+    grouped.select(
+        col("o_year"), col("r_name"),
+        col("rev_dec").cast(DoubleType).as("region_rev"),
+        sum(col("rev_dec")).over(yearTotal).cast(DoubleType).as("year_rev"))
+      .withColumn("share", col("region_rev") / col("year_rev"))
+  }
+
+  /** TPC-H Q11-shaped concentration: parts whose lineitem revenue exceeds
+    * a fixed fraction of the global total (1-row broadcast scalar, not a
+    * driver round-trip), rolled up per brand. */
+  def stockConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+             .as("part_value"))
+    val total = perPart.agg(exactSum(col("part_value")).as("total_value"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value") > col("total_value") * lit(0.002))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           exactSum(col("part_value")).as("brand_value"))
+  }
+
+  /** Cohort retention: users bucketed by first-seen week, counted per
+    * (cohort week, week offset). Activity is pre-deduplicated to
+    * (user, week) grain before the join+count, so the final shuffle
+    * carries one row per user-week, never raw events. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $WeekUs").as("week"))
+    val userWeeks = weeks.distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    userWeeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+               (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Inter-arrival statistics per event type: integer-µs deltas from a
+    * tie-broken lag, aggregated exactly (BIGINT sums; the mean divides
+    * two identical integers in double). */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+           sum(col("gap_us")).as("sum_gap_us"),
+           (sum(col("gap_us")).cast(DoubleType) / count(col("gap_us")))
+             .as("avg_gap_us"),
+           max(col("gap_us")).as("max_gap_us"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_window_nav"     -> (windowNav _),
+    "rel_window_rank"    -> (windowRank _),
+    "rel_full_outer"     -> (fullOuterNations _),
+    "rel_cross_matrix"   -> (crossMatrix _),
+    "rel_market_share"   -> (marketShare _),
+    "rel_stock_concentration" -> (stockConcentration _),
+    "evt_retention_cohorts"   -> (retentionCohorts _),
+    "evt_interarrival"   -> (interArrival _),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val usExpr = "epoch_us(ts)"
+
+  val oracles: Map[String, String] = Map(
+    "rel_window_nav" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  lag(o_totalprice, 1) OVER w AS prev_price,
+         |  lead(o_totalprice, 1) OVER w AS next_price,
+         |  CAST((epoch_us(o_orderdate) -
+         |        lag(epoch_us(o_orderdate), 1) OVER w) // $DayUs AS BIGINT)
+         |    AS gap_days,
+         |  first_value(o_totalprice) OVER wf AS first_price,
+         |  last_value(o_totalprice) OVER wf AS last_price
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |             ORDER BY o_orderdate ASC, o_orderkey ASC),
+         |       wf AS (PARTITION BY o_custkey
+         |              ORDER BY o_orderdate ASC, o_orderkey ASC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING
+         |                       AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "rel_window_rank" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |  CAST(row_number() OVER w AS INTEGER) AS rn,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "rel_full_outer" ->
+      s"""SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+         |  COALESCE(c.n_cust, 0) AS n_cust,
+         |  COALESCE(s.n_supp, 0) AS n_supp
+         |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+         |      WHERE c_mktsegment = 'MACHINERY' GROUP BY 1) c
+         |FULL OUTER JOIN
+         |     (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier
+         |      WHERE s_acctbal > 5000 GROUP BY 1) s
+         |ON c.nk = s.nk2""".stripMargin,
+    "rel_cross_matrix" ->
+      s"""SELECT p.o_orderpriority, st.o_orderstatus,
+         |  COALESCE(c.n, 0) AS n_orders
+         |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+         |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+         |LEFT JOIN (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+         |           FROM orders GROUP BY 1, 2) c
+         |ON p.o_orderpriority = c.o_orderpriority
+         |AND st.o_orderstatus = c.o_orderstatus""".stripMargin,
+    "rel_market_share" -> {
+      val revDec = s"SUM(${sqlDec("l_extendedprice")} * ${sqlDec("(1.0 - l_discount)")})"
+      s"""WITH grouped AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, r_name,
+         |    $revDec AS rev_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+         |  GROUP BY 1, 2)
+         |SELECT o_year, r_name,
+         |  ${sqlToDouble("rev_dec")} AS region_rev,
+         |  ${sqlToDouble("SUM(rev_dec) OVER (PARTITION BY o_year)")} AS year_rev,
+         |  ${sqlToDouble("rev_dec")} /
+         |    ${sqlToDouble("SUM(rev_dec) OVER (PARTITION BY o_year)")} AS share
+         |FROM grouped""".stripMargin
+    },
+    "rel_stock_concentration" -> {
+      val partValue = sqlSumProd("l_extendedprice", "(1.0 - l_discount)")
+      s"""WITH per_part AS (
+         |  SELECT l_partkey, $partValue AS part_value
+         |  FROM lineitem GROUP BY 1),
+         |total AS (SELECT ${sqlSum("part_value")} AS total_value FROM per_part)
+         |SELECT p_brand, COUNT(*) AS n_parts,
+         |  ${sqlSum("part_value")} AS brand_value
+         |FROM per_part, total
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE part_value > total_value * 0.002
+         |GROUP BY p_brand""".stripMargin
+    },
+    "evt_retention_cohorts" ->
+      s"""WITH weeks AS (
+         |  SELECT user_id, $usExpr // $WeekUs AS week FROM events),
+         |user_weeks AS (SELECT DISTINCT user_id, week FROM weeks),
+         |cohorts AS (
+         |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+         |SELECT cohort_week, week - cohort_week AS week_offset,
+         |  COUNT(*) AS n_users
+         |FROM user_weeks JOIN cohorts USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "evt_interarrival" ->
+      s"""SELECT event_type, COUNT(gap_us) AS n_gaps,
+         |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+         |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+         |  MAX(gap_us) AS max_gap_us
+         |FROM (SELECT event_type,
+         |        $usExpr - lag($usExpr, 1) OVER (
+         |          PARTITION BY event_type
+         |          ORDER BY $usExpr ASC, event_id ASC) AS gap_us
+         |      FROM events)
+         |GROUP BY event_type""".stripMargin,
+  )
+}
