@@ -123,6 +123,66 @@ object DocQueries {
   def docWordCounts(s: SparkSession, dir: String): DataFrame =
     TextOps.wordCounts(Tables.documents(s, dir), "text")
 
+  /** Global top-20 word bigrams: shingle explode → map-side-combined
+    * count → TakeOrderedAndProject (no full sort; ties broken by the
+    * bigram itself). */
+  def docTopBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.globalTopK(
+      Tables.spread(Tables.documents(s, dir))
+        .select(explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("bigram").asc), 20)
+
+  /** Regex scanning per language: total pattern occurrences + matching-
+    * document counts. Patterns stay in the ASCII subset where Java
+    * regex and RE2 agree (char classes, word boundaries, alternation —
+    * no lookaround, no backreferences). */
+  def textRegexScan(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_s_words", regexp_count(col("text"), lit("\\bs[a-z]+")))
+      .withColumn("has_vv", regexp_like(col("text"), lit("value [a-z]+ value")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_s_words")).cast("long").as("n_s_words"),
+           sum(when(col("has_vv"), 1L).otherwise(0L)).as("n_docs_vv"))
+
+  /** MinHash Jaccard ESTIMATE per LSH candidate pair: matching signature
+    * components / k — the quantity real dedup pipelines threshold on
+    * (the exact-Jaccard verify pass is `dedup_jaccard_pairs`). Division
+    * of a small int by the constant k is bit-exact cross-engine. */
+  def dedupMinHashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleN, MinHashK)
+    val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+                                            ShingleN, MinHashK, RowsPerBand)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (1 to MinHashK).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (1 to MinHashK).map(i => col(s"h$i").as(s"b$i")): _*)
+    val nMatch = (1 to MinHashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"),
+              (nMatch.cast("double") / lit(MinHashK.toDouble)).as("est_jaccard"))
+  }
+
+  /** Deterministic stratified sampling: a seeded md5 bucket on the key
+    * (no RNG — reproducible across engines, runs, and cluster sizes)
+    * keeps ~20% per language; counts audit the realized rate. */
+  def pipeStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, dir)
+      .withColumn("keep", bucket < 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+           (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+             count(lit(1))).as("sample_rate"))
+  }
+
   /** Top TF-IDF term per document (rank-limited window over the joined
     * tf/df tables). The score is quantized to 6 decimals before ranking
     * AND output: ln() is not correctly rounded and differs by 1 ulp
@@ -175,6 +235,10 @@ object DocQueries {
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_rows"    -> (dedupExactRows _),
     "dedup_minhash_pairs" -> (dedupMinHashPairs _),
+    "dedup_minhash_est"   -> (dedupMinHashEstimate _),
+    "doc_top_bigrams"     -> (docTopBigrams _),
+    "text_regex_scan"     -> (textRegexScan _),
+    "pipe_stratified_sample" -> (pipeStratifiedSample _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
   )
@@ -292,6 +356,45 @@ object DocQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          |WHERE a.doc_id < b.doc_id""".stripMargin,
+    "dedup_minhash_est" -> {
+      val matches = (1 to MinHashK)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sigs AS ($sigsSql),
+         |bands AS ($bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST($matches AS DOUBLE) / $MinHashK.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin
+    },
+    "doc_top_bigrams" ->
+      s"""SELECT bigram, COUNT(*) AS n
+         |FROM (SELECT unnest(${sqlShingles(2)}) AS bigram FROM documents)
+         |GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "text_regex_scan" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(len(regexp_extract_all(text, '\\bs[a-z]+'))) AS BIGINT)
+         |  AS n_s_words,
+         |CAST(SUM(CASE WHEN regexp_matches(text, 'value [a-z]+ value')
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_vv
+         |FROM documents GROUP BY lang""".stripMargin,
+    "pipe_stratified_sample" -> {
+      val bucket =
+        "CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+      s"""SELECT lang, COUNT(*) AS n_total,
+         |CAST(SUM(CASE WHEN $bucket < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_sampled,
+         |CAST(SUM(CASE WHEN $bucket < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*) AS sample_rate
+         |FROM documents GROUP BY lang""".stripMargin
+    },
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences

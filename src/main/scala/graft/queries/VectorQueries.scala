@@ -92,8 +92,38 @@ object VectorQueries {
       aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double")).as("component_sum"))
 
+  /** L2-norm histogram: per-row HOF fold (deterministic array-order
+    * accumulation) → quarter-unit buckets → count + order-independent
+    * min/max. The bucketing GROUP BY is the only shuffle, carrying one
+    * row per vector, not per component. */
+  def simNormBuckets(s: SparkSession, dir: String): DataFrame = {
+    val l2 = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    Tables.embeddings(s, dir)
+      .select(floor(l2 * 4).cast("long").as("bucket"), l2.as("l2"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("l2")).as("min_norm"), max(col("l2")).as("max_norm"))
+  }
+
+  /** Per-dimension profile: posexplode → groupBy(dim) with
+    * order-independent aggregates only (min / max / positive count —
+    * no float summation across rows, which would be partial-order
+    * dependent). The component shuffle is dims × rows but each row is
+    * (int, double): the narrow profile scan of a vector column. */
+  def simDimMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+           min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
+           sum(when(col("xd") > 0, 1L).otherwise(0L)).as("n_positive"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_vector_stats"  -> (simVectorStats _),
+    "sim_norm_buckets"  -> (simNormBuckets _),
+    "sim_dim_minmax"    -> (simDimMinMax _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -104,6 +134,24 @@ object VectorQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "sim_norm_buckets" -> {
+      val sumSq = (1 to Dims)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)*embedding[$i]")
+        .mkString("0.0 + ", " + ", "")
+      s"""SELECT CAST(floor(sqrt($sumSq) * 4) AS BIGINT) AS bucket,
+         |COUNT(*) AS n,
+         |MIN(sqrt($sumSq)) AS min_norm, MAX(sqrt($sumSq)) AS max_norm
+         |FROM embeddings GROUP BY 1""".stripMargin
+    },
+    "sim_dim_minmax" ->
+      s"""SELECT dim, COUNT(*) AS n,
+         |MIN(CAST(embedding[dim] AS DOUBLE)) AS min_x,
+         |MAX(CAST(embedding[dim] AS DOUBLE)) AS max_x,
+         |CAST(SUM(CASE WHEN embedding[dim] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_positive
+         |FROM embeddings
+         |CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim)
+         |GROUP BY dim""".stripMargin,
     "sim_vector_stats" -> {
       val sumSq = (1 to Dims)
         .map(i => s"CAST(embedding[$i] AS DOUBLE)*embedding[$i]")
