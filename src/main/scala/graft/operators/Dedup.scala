@@ -49,10 +49,13 @@ object Dedup {
                         shingleN: Int, k: Int): DataFrame = {
     val sigs = graft.functions.TextHashFunctions.minHashSigs(
       TextOps.wordShingles(col(textCol), shingleN), k)
-    graft.sources.Tables.spread(df).select(col(idCol), sigs.as("sigs"))
+    // signatures are referenced from multiple downstream shapes (banding,
+    // estimate self-joins) — cache the narrow (id, k longs) table so the
+    // shingle+hash pass over full text runs once per corpus
+    reused(graft.sources.Tables.spread(df).select(col(idCol), sigs.as("sigs"))
       .filter(col("sigs").isNotNull) // sub-shingle docs have no signature
       .select(col(idCol) +: (1 to k).map(i =>
-        element_at(col("sigs"), i).as(s"h$i")): _*)
+        element_at(col("sigs"), i).as(s"h$i")): _*))
   }
 
   /** LSH banding: split the k-column signature into bands of `rowsPerBand`

@@ -74,12 +74,17 @@ object Relational {
     * run, with no range-duplication blow-up.
     *
     * Tie semantics: at equal timestamps the right row sorts first
-    * (side 0 < 1), giving `<=`; callers must pre-dedupe rights to one
-    * row per (key, ts) for deterministic payload choice.
+    * (side 0 < 1), giving `<=` (backward) / `>=` (forward); callers must
+    * pre-dedupe rights to one row per (key, ts) for deterministic
+    * payload choice.
+    *
+    * `forward = true` flips the match direction: attach the EARLIEST
+    * right payload with rightTs >= leftTs (lookahead attribution) — same
+    * single-shuffle shape, just a descending scan order.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               rightPayload: String): DataFrame = {
+               rightPayload: String, forward: Boolean = false): DataFrame = {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
       .withColumn("__payload", lit(null).cast(right.schema(rightPayload).dataType))
@@ -91,8 +96,9 @@ object Relational {
       (keyCols.map(col) ++ Seq(col("__side"), col("__ts"), col("__payload")) ++
         left.columns.filterNot(c => keyCols.contains(c)).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

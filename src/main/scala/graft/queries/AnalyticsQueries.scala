@@ -173,7 +173,87 @@ object AnalyticsQueries {
            max(col("gap_us")).as("max_gap_us"))
   }
 
+  /** Forward as-of join: each click attributed to the NEXT purchase at
+    * or after it (lookahead conversion) — the direction DuckDB's native
+    * ASOF can't express directly, so the oracle is an independent
+    * correlated-subquery replay. Same single-shuffle union+window shape
+    * as the backward variant. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.operators.Relational
+      .asofJoin(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+                "purchase_id", forward = true)
+      .select(col("user_id"), col("click_id"),
+              col("__asof").as("next_purchase_id"))
+  }
+
+  /** Robust outlier counts per event type: median and MAD from exact
+    * interpolated percentiles (two grouped passes, the second over
+    * broadcast-joined medians), then a 3-MAD gate. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val medians = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("median_value"))
+    val withDev = ev.join(broadcast(medians), Seq("event_type"))
+      .withColumn("abs_dev", abs(col("value") - col("median_value")))
+    val stats = withDev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           first(col("median_value")).as("median_value"),
+           expr("percentile(abs_dev, 0.5)").as("mad"))
+    val outliers = withDev
+      .join(broadcast(stats.select(col("event_type"), col("mad"))),
+            Seq("event_type"))
+      .filter(col("abs_dev") > col("mad") * 3)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_events"), col("median_value"),
+              col("mad"), coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
+  /** Per-user lifetime-value deciles: exact decimal totals per user,
+    * ntile(10) in tie-broken order, per-decile exact stats. The decimal
+    * totals stay decimal through the decile SUM so cross-user
+    * accumulation remains order-free. */
+  def userValueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(dec(col("value"))).as("total_dec"))
+    val w = Window.orderBy(col("total_dec").desc, col("user_id").asc)
+    perUser.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("total_dec")).cast(DoubleType).as("sum_value"),
+           min(col("total_dec")).cast(DoubleType).as("min_value"),
+           max(col("total_dec")).cast(DoubleType).as("max_value"))
+  }
+
+  /** TPC-H Q17-shaped correlated-scalar filter: lineitems under 20% of
+    * their part's average quantity, revenue per brand. Expressed as a
+    * manual decorrelation (per-part aggregate joined back) — the same
+    * plan Catalyst's subquery decorrelation produces; the oracle keeps
+    * the correlated form. */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(exactAvg(col("l_quantity")).as("avg_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * lit(0.2))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+           (exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_forward"   -> (asofForward _),
+    "evt_mad_outliers"   -> (madOutliers _),
+    "evt_value_deciles"  -> (userValueDeciles _),
+    "rel_small_qty_revenue" -> (smallQuantityRevenue _),
     "rel_window_nav"     -> (windowNav _),
     "rel_window_rank"    -> (windowRank _),
     "rel_full_outer"     -> (fullOuterNations _),
@@ -275,6 +355,57 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "evt_asof_forward" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, $usExpr AS ts_us
+         |           FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, $usExpr AS ts_us, MAX(event_id) AS purchase_id
+         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.user_id, c.click_id,
+         |  (SELECT p.purchase_id FROM p
+         |   WHERE p.user_id = c.user_id AND p.ts_us >= c.ts_us
+         |   ORDER BY p.ts_us ASC LIMIT 1) AS next_purchase_id
+         |FROM c""".stripMargin,
+    "evt_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT event_type,
+         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+         |  FROM events GROUP BY 1),
+         |dev AS (
+         |  SELECT e.event_type, med.median_value,
+         |    abs(e.value - med.median_value) AS abs_dev
+         |  FROM events e JOIN med USING (event_type)),
+         |stats AS (
+         |  SELECT event_type, COUNT(*) AS n_events,
+         |    ANY_VALUE(median_value) AS median_value,
+         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs_dev) AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT s.event_type, s.n_events, s.median_value, s.mad,
+         |  CAST((SELECT COUNT(*) FROM dev
+         |        WHERE dev.event_type = s.event_type
+         |          AND dev.abs_dev > s.mad * 3) AS BIGINT) AS n_outliers
+         |FROM stats s""".stripMargin,
+    "evt_value_deciles" ->
+      s"""WITH per_user AS (
+         |  SELECT user_id, SUM(${sqlDec("value")}) AS total_dec
+         |  FROM events GROUP BY 1),
+         |tiled AS (
+         |  SELECT total_dec,
+         |    CAST(ntile(10) OVER (ORDER BY total_dec DESC, user_id ASC)
+         |         AS INTEGER) AS decile
+         |  FROM per_user)
+         |SELECT decile, COUNT(*) AS n_users,
+         |  ${sqlToDouble("SUM(total_dec)")} AS sum_value,
+         |  ${sqlToDouble("MIN(total_dec)")} AS min_value,
+         |  ${sqlToDouble("MAX(total_dec)")} AS max_value
+         |FROM tiled GROUP BY decile""".stripMargin,
+    "rel_small_qty_revenue" ->
+      s"""SELECT p_brand, COUNT(*) AS n_lines,
+         |${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity < 0.2 * (
+         |  SELECT ${sqlAvg("l_quantity")} FROM lineitem l2
+         |  WHERE l2.l_partkey = l1.l_partkey)
+         |GROUP BY p_brand""".stripMargin,
     "evt_interarrival" ->
       s"""SELECT event_type, COUNT(gap_us) AS n_gaps,
          |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
