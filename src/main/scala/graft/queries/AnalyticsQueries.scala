@@ -249,7 +249,63 @@ object AnalyticsQueries {
            (exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
 
+  /** TPC-H Q14-shaped promo share: conditional revenue ratio in one
+    * grouped pass (no second scan — the CASE splits the same exact
+    * decimal sum), part dim broadcast. */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("y", year(col("l_shipdate")))
+    val rev = dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount"))
+    // sum() skips the CASE's nulls — a year with no promo lines yields
+    // NULL share in both engines, no zero-literal typing needed
+    joined.groupBy(col("y"))
+      .agg((sum(when(col("p_type") === "PROMO", rev))
+              .cast(DoubleType) * lit(100.0) /
+            sum(rev).cast(DoubleType)).as("promo_share"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19-shaped OR-of-ANDs predicate join: disjunctive brand ×
+    * size × quantity windows — the CNF-conversion / pushdown stress
+    * shape (each disjunct prunes at the scan, the join stays equi). */
+  def multiPredRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+         col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+         col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+         col("l_quantity").between(20, 40))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .groupBy(col("p_brand"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q4-shaped EXISTS: orders with at least one lineitem shipped
+    * more than 90 days after the order date, counted per priority —
+    * left-semi join with a non-equi conjunct. */
+  def latePriorityOrders(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, dir)
+      .join(late,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_promo_share"    -> (promoShare _),
+    "rel_multi_pred"     -> (multiPredRevenue _),
+    "rel_late_priority"  -> (latePriorityOrders _),
     "evt_asof_forward"   -> (asofForward _),
     "evt_mad_outliers"   -> (madOutliers _),
     "evt_value_deciles"  -> (userValueDeciles _),
@@ -355,6 +411,34 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "rel_promo_share" -> {
+      val revDec = s"${sqlDec("l_extendedprice")} * ${sqlDec("(1.0 - l_discount)")}"
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+         |${sqlToDouble(s"SUM(CASE WHEN p_type = 'PROMO' THEN $revDec END)")}
+         |  * 100.0 / ${sqlToDouble(s"SUM($revDec)")} AS promo_share,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin
+    },
+    "rel_multi_pred" ->
+      s"""SELECT p_brand,
+         |${sqlSumProd("l_extendedprice", "(1.0 - l_discount)")} AS revenue,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20 AND 40)
+         |GROUP BY p_brand""".stripMargin,
+    "rel_late_priority" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+         |FROM orders WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey
+         |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         |GROUP BY o_orderpriority""".stripMargin,
     "evt_asof_forward" ->
       s"""WITH c AS (SELECT user_id, event_id AS click_id, $usExpr AS ts_us
          |           FROM events WHERE event_type = 'click'),
