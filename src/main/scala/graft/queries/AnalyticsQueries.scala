@@ -215,16 +215,27 @@ object AnalyticsQueries {
               col("mad"), coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
 
-  /** Per-user lifetime-value deciles: exact decimal totals per user,
-    * ntile(10) in tie-broken order, per-decile exact stats. The decimal
-    * totals stay decimal through the decile SUM so cross-user
-    * accumulation remains order-free. */
+  /** Per-user lifetime-value decile buckets. Deliberately NOT a global
+    * ntile: an unpartitioned window is a single-partition sort — the
+    * canonical will-not-scale plan. Instead: exact interpolated decile
+    * cutpoints (percentile is a partial-merge aggregate) broadcast back,
+    * bucket by comparison. Equal-width-by-rank up to ties, and every
+    * stage distributes. Decimal totals keep cross-user sums order-free;
+    * the interpolation `lower + (higher-lower)*frac` is the same IEEE
+    * expression in both engines (see rel_percentiles). */
   def userValueDeciles(s: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(dec(col("value"))).as("total_dec"))
-    val w = Window.orderBy(col("total_dec").desc, col("user_id").asc)
-    perUser.withColumn("decile", ntile(10).over(w))
+      .withColumn("total_d", col("total_dec").cast(DoubleType))
+    val cuts = perUser.agg(expr(
+      "percentile(total_d, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cuts"))
+    val decile = (1 to 9).map(i =>
+      when(col("total_d") > element_at(col("cuts"), i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    perUser.join(broadcast(cuts))
+      .withColumn("decile", decile)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
            sum(col("total_dec")).cast(DoubleType).as("sum_value"),
@@ -468,20 +479,26 @@ object AnalyticsQueries {
          |        WHERE dev.event_type = s.event_type
          |          AND dev.abs_dev > s.mad * 3) AS BIGINT) AS n_outliers
          |FROM stats s""".stripMargin,
-    "evt_value_deciles" ->
+    "evt_value_deciles" -> {
+      val bucket = (1 to 9).map(i =>
+        s"CASE WHEN total_d > cuts[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ", " + ", " + 1")
       s"""WITH per_user AS (
-         |  SELECT user_id, SUM(${sqlDec("value")}) AS total_dec
+         |  SELECT user_id, SUM(${sqlDec("value")}) AS total_dec,
+         |    ${sqlToDouble(s"SUM(${sqlDec("value")})")} AS total_d
          |  FROM events GROUP BY 1),
-         |tiled AS (
-         |  SELECT total_dec,
-         |    CAST(ntile(10) OVER (ORDER BY total_dec DESC, user_id ASC)
-         |         AS INTEGER) AS decile
+         |cutq AS (
+         |  SELECT percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+         |    WITHIN GROUP (ORDER BY total_d) AS cuts
          |  FROM per_user)
-         |SELECT decile, COUNT(*) AS n_users,
+         |SELECT CAST(0 $bucket AS INTEGER) AS decile,
+         |  COUNT(*) AS n_users,
          |  ${sqlToDouble("SUM(total_dec)")} AS sum_value,
          |  ${sqlToDouble("MIN(total_dec)")} AS min_value,
          |  ${sqlToDouble("MAX(total_dec)")} AS max_value
-         |FROM tiled GROUP BY decile""".stripMargin,
+         |FROM per_user, cutq
+         |GROUP BY 1""".stripMargin
+    },
     "rel_small_qty_revenue" ->
       s"""SELECT p_brand, COUNT(*) AS n_lines,
          |${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
