@@ -136,4 +136,30 @@ class PropertySpec extends SparkSpec {
       shingleOk && dupPairs.subsetOf(cands)
     })
   }
+
+  private val edgeGen = Gen.nonEmptyListOf(for {
+    a <- Gen.choose(0L, 19L)
+    b <- Gen.choose(0L, 19L) if a != b
+  } yield (math.min(a, b), math.max(a, b)))
+
+  test("dupClusters equals driver-side union-find on random graphs") {
+    check("cc", Prop.forAll(edgeGen) { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.dupClusters(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      // reference: path-compressed union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      got == expected
+    })
+  }
 }
