@@ -71,6 +71,23 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (re-readable) static dimension — stateless on the stream side, so
+    * no watermark is required and state never grows. The static side is
+    * broadcast when under the threshold; at scale this is THE pattern
+    * for attaching dimensions to a firehose without a shuffle. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left_outer")
+
+  /** Running per-key totals in update mode: an unwindowed streaming
+    * aggregate whose state is one row per key — bounded by key
+    * cardinality (event types here), not by stream length. Exposes the
+    * update/complete output-mode axis the windowed ops don't. */
+  def runningTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   // ---------------------------------------------------- custom state op
 
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,

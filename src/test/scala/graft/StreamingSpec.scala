@@ -112,6 +112,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(100L, 101L))
   }
 
+  test("stream-static enrichment join equals the batch join, keeps unmatched rows") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows :+ StreamEvent(6, ts(50), 3, "purchase", 9.0): _*)
+    val q = StreamOps.enrichStream(mem.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched")
+      .select("event_id", "weight").as[(Long, Option[Double])]
+      .collect().toSet
+    val batch = StreamOps.enrichStream(
+        (rows :+ StreamEvent(6, ts(50), 3, "purchase", 9.0)).toDF(), dim,
+        "event_type")
+      .select("event_id", "weight").as[(Long, Option[Double])]
+      .collect().toSet
+    assert(streamed == batch && streamed.contains((6L, None)))
+  }
+
+  test("update-mode running totals converge to the batch aggregate") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.runningTotals(mem.toDF())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode appends a row per changed key per batch; counts only
+    // grow, so the max-count row per key is the converged total
+    val got = spark.table("totals")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> { val best = vs.maxBy(_._2); (best._2, best._3) } }
+    val batch = StreamOps.runningTotals(rows.toDF())
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch)
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
