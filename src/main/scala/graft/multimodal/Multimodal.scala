@@ -66,6 +66,34 @@ object Multimodal {
     }(Encoders.product[MediaFeatures])
   }
 
+  /** Per-frame feature (frame-scoring output — the audio-energy /
+    * frame-salience shape). */
+  case class FrameFeature(media_id: Long, frame_idx: Int, byte_sum: Long)
+
+  /** Frame scoring: split each blob into frames and emit one feature row
+    * per frame (here: unsigned byte sum, the energy stand-in). Downstream
+    * selection (argmax frame per media) stays a relational operator, so
+    * decode parallelism and selection shuffle are independently sized. */
+  def frameFeatures(df: DataFrame, idCol: String, binCol: String,
+                    frameSize: Int = DefaultFrameSize): Dataset[FrameFeature] = {
+    val pairs = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    pairs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val nFrames = (b.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, b.length)
+          var s = 0L
+          var i = start
+          while (i < end) { s += b(i) & 0xff; i += 1 }
+          FrameFeature(id, f, s)
+        }
+      }
+    }(Encoders.product[FrameFeature])
+  }
+
   /** Frame sampling: split each blob into `frameSize`-byte frames,
     * keeping every `stride`-th frame — the video-frame-sample shape.
     * Emits (media_id, frame_idx, n_bytes); per-frame bytes stay inside

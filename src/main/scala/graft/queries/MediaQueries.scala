@@ -28,9 +28,21 @@ object MediaQueries {
                                       col("text").cast("binary").as("bin")),
       "doc_id", "bin").toDF()
 
+  /** Key-frame selection: per-frame energy features (mapPartitions) →
+    * argmax frame per media via the rank-limited window operator. */
+  def mmKeyFrames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(
+      Multimodal.frameFeatures(
+        Tables.documents(s, dir).select(col("doc_id"),
+                                        col("text").cast("binary").as("bin")),
+        "doc_id", "bin").toDF(),
+      Seq("media_id"), Seq(col("byte_sum").desc, col("frame_idx").asc), 1, "rn")
+      .select(col("media_id"), col("frame_idx"), col("byte_sum"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"   -> (mmByteStats _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_key_frames"   -> (mmKeyFrames _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
@@ -55,5 +67,20 @@ object MediaQueries {
          |FROM (SELECT doc_id, text,
          |        unnest(range(0, (length(text) + ${fs - 1}) // $fs, 2)) AS f
          |      FROM documents)""".stripMargin,
+    "mm_key_frames" ->
+      s"""WITH frames AS (
+         |  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |      range(CAST(f * $fs + 1 AS INTEGER),
+         |            CAST(least((f + 1) * $fs, length(text)) + 1 AS INTEGER)),
+         |      i_ -> ord(substr(text, CAST(i_ AS INTEGER), 1)))), 0) AS BIGINT)
+         |      AS byte_sum
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, (length(text) + ${fs - 1}) // $fs)) AS f
+         |        FROM documents))
+         |SELECT media_id, frame_idx, byte_sum FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+         |    ORDER BY byte_sum DESC, frame_idx ASC) AS rn FROM frames)
+         |WHERE rn = 1""".stripMargin,
   )
 }

@@ -34,6 +34,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!fr.keySet.exists(_._1 == 3L))
   }
 
+  test("frame features: per-frame unsigned sums, remainder frame, empty blob") {
+    val ff = Multimodal.frameFeatures(blobs, "media_id", "bin", frameSize = 256)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.byte_sum).toMap
+    val bytes = (0 until 600).map(_ % 251)
+    assert(ff((1L, 0)) == bytes.take(256).sum)
+    assert(ff((1L, 1)) == bytes.slice(256, 512).sum)
+    assert(ff((1L, 2)) == bytes.drop(512).sum)    // 88-byte remainder
+    assert(ff((2L, 0)) == 60)
+    assert(!ff.keySet.exists(_._1 == 3L))         // empty blob → no frames
+  }
+
   test("real decode is an explicit stub (documented ???)") {
     intercept[NotImplementedError] {
       Multimodal.FakeCodec.decode(Array[Byte](1))
