@@ -92,14 +92,18 @@ object Similarity {
     * coarse assignment (a trained quantizer's output in production; the
     * fixture's `label` column here); centroids are derived per cell with
     * one posexplode + aggregate pass — no driver-side k-means loop.
-    * Float mean centroids are summation-order-dependent, so this op is
-    * registered rows-only (no DuckDB oracle), unlike the fully
-    * deterministic [[lshTopK]]. */
+    *
+    * Centroids are per-dimension MEDIANS (k-medians flavor), not means:
+    * `percentile` is an exact partial-merge aggregate whose interpolated
+    * result is order-independent, so — unlike a float mean, which
+    * depends on partial-aggregation order — centroids are deterministic
+    * and the whole operator is DuckDB-oracle-replayable. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
               queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
     val centroids = emb
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
-      .groupBy(col("cell"), col("d")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"), col("d"))
+      .agg(expr("percentile(v, 0.5)").as("cv"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
                      x => x.getField("cv").cast("float")).as("centroid"))

@@ -71,8 +71,9 @@ object VectorQueries {
                                "embedding", 0.4)
   }
 
-  /** IVF top-3 using `label` as the coarse cell (float-mean centroids →
-    * rows-only check, no SQL oracle). */
+  /** IVF top-3 using `label` as the coarse cell; per-dimension median
+    * centroids make the whole operator deterministic and oracle-matched
+    * (see Similarity.ivfTopK). */
   def simTopKIvf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -134,6 +135,36 @@ object VectorQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT label, d,
+         |    CAST(percentile_cont(0.5) WITHIN GROUP (
+         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS d)
+         |  GROUP BY label, d),
+         |centroids AS (
+         |  SELECT label AS cell, list(cv ORDER BY d) AS centroid
+         |  FROM cents GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE $QueryPredSql),
+         |probe AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+         |        AS cell_rank
+         |    FROM q CROSS JOIN centroids c)
+         |  WHERE cell_rank <= 2),
+         |scored AS (
+         |  SELECT probe.query_id, e.vec_id AS neighbor_id,
+         |    ${sqlCos("probe.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e JOIN probe ON e.label = probe.cell
+         |  WHERE e.vec_id <> probe.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     "sim_norm_buckets" -> {
       val sumSq = (1 to Dims)
         .map(i => s"CAST(embedding[$i] AS DOUBLE)*embedding[$i]")
