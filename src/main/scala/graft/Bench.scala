@@ -30,6 +30,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // drop warm-up persisted intermediates
+      // absorb the post-warm-up cliff OUTSIDE any query's timing: freeing
+      // ~90 queries' caches leaves a major-GC debt + JIT churn that
+      // otherwise lands on whichever query happens to run first
+      // (measured 5-20s on a query whose steady-state cost is ~1s)
+      System.gc()
+      spark.range(50000000L).selectExpr("sum(id)").collect()
     }
     // execute the FULL physical plan: df.count() would let Catalyst prune
     // every column (a map-only query would be timed as a bare row count);
