@@ -5,13 +5,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // dev-only: comma-separated subset of query names to bench in the
-    // given order (cold-vs-warm profiling); unset = full registry
+    // given order (cold-vs-warm profiling; repeats get a #n suffix so
+    // the warm timing doesn't overwrite the cold one); unset = full
+    // registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     def selected: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] =
       only match {
-        case Some(names) => names.map(n => n -> SparkEntry.queries(n))
+        case Some(names) =>
+          val unknown = names.filterNot(SparkEntry.queries.contains)
+          require(unknown.isEmpty,
+            s"SPARK_GRAFT_ONLY: unknown queries ${unknown.mkString(", ")}")
+          val seen = scala.collection.mutable.Map.empty[String, Int]
+          names.map { n =>
+            val k = seen.updateWith(n)(c => Some(c.getOrElse(0) + 1)).get
+            (if (k == 1) n else s"$n#$k") -> SparkEntry.queries(n)
+          }
         case None => SparkEntry.queries.toSeq
       }
     val spark = GraftSession.tuned(

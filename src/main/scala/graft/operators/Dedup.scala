@@ -145,9 +145,13 @@ object Dedup {
     * (iteration counts are data-dependent; the loop body is pure
     * DataFrame ops, only a scalar `count` crosses to the driver per
     * round — the same control shape GraphX/MLlib use). Converges in
-    * O(component diameter) rounds; production-scale graphs use the
-    * large/small-star variant, same skeleton. Each round persists its
-    * labels and unpersists the previous. */
+    * O(component eccentricity) rounds; production-scale graphs use the
+    * large/small-star variant, same skeleton. Round intermediates are
+    * `localCheckpoint`ed (lineage truncation); their blocks are
+    * reclaimed by the ContextCleaner on GC, and the shared pair-table
+    * cache is deliberately left registered for sibling queries
+    * (LRU-evicted under pressure, `spark.catalog.clearCache()` to
+    * drop). */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 100): DataFrame = {
     // symmetric closure PLUS self-loops: with (v,v) present, min over a

@@ -24,6 +24,12 @@ object AnalyticsQueries {
   private val DayUs = 86400L * 1000000L
   private val WeekUs = 7L * DayUs
 
+  /** Cache a small intermediate referenced from two plan branches (the
+    * second reference would otherwise re-run the full upstream
+    * aggregation — same contract as Dedup.reused). */
+  private def reused(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // ------------------------------------------------------------- queries
 
   /** Window navigation suite: lag / lead / first_value / last_value over
@@ -123,21 +129,30 @@ object AnalyticsQueries {
       .withColumn("share", col("region_rev") / col("year_rev"))
   }
 
-  /** TPC-H Q11-shaped concentration: parts whose lineitem revenue exceeds
-    * a fixed fraction of the global total (1-row broadcast scalar, not a
-    * driver round-trip), rolled up per brand. */
+  /** TPC-H Q11-shaped concentration: parts whose lineitem revenue
+    * exceeds 1.5× the MEAN part revenue (1-row broadcast scalar, not a
+    * driver round-trip), rolled up per brand. The threshold is relative
+    * — a fixed fraction of the grand total selects nothing as the part
+    * count grows, so it would pass vacuously at every scale. */
   def stockConcentration(s: SparkSession, dir: String): DataFrame = {
+    // revenue stays DECIMAL through every cross-row sum (a double
+    // round-trip would re-round through DECIMAL(18,4) and lose the
+    // 8-decimal product exactness); doubles appear only at comparison
+    // and output boundaries
     val perPart = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
-      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
-             .as("part_value"))
-    val total = perPart.agg(exactSum(col("part_value")).as("total_value"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+             .as("pv_dec"))
+      .withColumn("part_value", col("pv_dec").cast(DoubleType))
+    val total = perPart.agg(
+      (sum(col("pv_dec")).cast(DoubleType) / count(lit(1)))
+        .as("mean_part_value"))
     perPart.join(broadcast(total))
-      .filter(col("part_value") > col("total_value") * lit(0.002))
+      .filter(col("part_value") > col("mean_part_value") * lit(1.5))
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"),
-           exactSum(col("part_value")).as("brand_value"))
+           sum(col("pv_dec")).cast(DoubleType).as("brand_value"))
   }
 
   /** Cohort retention: users bucketed by first-seen week, counted per
@@ -145,8 +160,8 @@ object AnalyticsQueries {
     * (user, week) grain before the join+count, so the final shuffle
     * carries one row per user-week, never raw events. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.events(s, dir)
-      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $WeekUs").as("week"))
+    val weeks = reused(Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $WeekUs").as("week")))
     val userWeeks = weeks.distinct()
     val cohorts = weeks.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
@@ -197,8 +212,8 @@ object AnalyticsQueries {
     * broadcast-joined medians), then a 3-MAD gate. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val medians = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("median_value"))
+    val medians = reused(ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("median_value")))
     val withDev = ev.join(broadcast(medians), Seq("event_type"))
       .withColumn("abs_dev", abs(col("value") - col("median_value")))
     val stats = withDev.groupBy(col("event_type"))
@@ -224,10 +239,10 @@ object AnalyticsQueries {
     * the interpolation `lower + (higher-lower)*frac` is the same IEEE
     * expression in both engines (see rel_percentiles). */
   def userValueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(s, dir)
+    val perUser = reused(Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(sum(dec(col("value"))).as("total_dec"))
-      .withColumn("total_d", col("total_dec").cast(DoubleType))
+      .withColumn("total_d", col("total_dec").cast(DoubleType)))
     val cuts = perUser.agg(expr(
       "percentile(total_d, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
       .as("cuts"))
@@ -399,19 +414,21 @@ object AnalyticsQueries {
          |    ${sqlToDouble("SUM(rev_dec) OVER (PARTITION BY o_year)")} AS share
          |FROM grouped""".stripMargin
     },
-    "rel_stock_concentration" -> {
-      val partValue = sqlSumProd("l_extendedprice", "(1.0 - l_discount)")
+    "rel_stock_concentration" ->
       s"""WITH per_part AS (
-         |  SELECT l_partkey, $partValue AS part_value
+         |  SELECT l_partkey,
+         |    SUM(${sqlDec("l_extendedprice")} * ${sqlDec("(1.0 - l_discount)")})
+         |      AS pv_dec
          |  FROM lineitem GROUP BY 1),
-         |total AS (SELECT ${sqlSum("part_value")} AS total_value FROM per_part)
+         |total AS (
+         |  SELECT ${sqlToDouble("SUM(pv_dec)")} / COUNT(*) AS mean_part_value
+         |  FROM per_part)
          |SELECT p_brand, COUNT(*) AS n_parts,
-         |  ${sqlSum("part_value")} AS brand_value
+         |  ${sqlToDouble("SUM(pv_dec)")} AS brand_value
          |FROM per_part, total
          |JOIN part ON l_partkey = p_partkey
-         |WHERE part_value > total_value * 0.002
-         |GROUP BY p_brand""".stripMargin
-    },
+         |WHERE ${sqlToDouble("pv_dec")} > mean_part_value * 1.5
+         |GROUP BY p_brand""".stripMargin,
     "evt_retention_cohorts" ->
       s"""WITH weeks AS (
          |  SELECT user_id, $usExpr // $WeekUs AS week FROM events),

@@ -45,10 +45,12 @@ def main(sf_dir, out_dir):
             # (e.g. windowed SUM over INTEGER) lands as float64 in pandas
             # while the Spark parquet is int64 — stringifies differently,
             # so the driver's hash fails even when fetchall values match.
+            # LIMIT 0: the pandas dtype is decided by the DuckDB column
+            # TYPE (HUGEINT→float64 etc.), so no rows need materializing
             skinds = [d.kind for d in con.sql(
-                f"SELECT {', '.join(scols)} FROM spark_rel").df().dtypes]
+                f"SELECT {', '.join(scols)} FROM spark_rel LIMIT 0").df().dtypes]
             dkinds = [d.kind for d in con.sql(
-                f"SELECT {', '.join(dcols)} FROM duck_rel").df().dtypes]
+                f"SELECT {', '.join(dcols)} FROM duck_rel LIMIT 0").df().dtypes]
             if skinds != dkinds:
                 print(f"FAIL {name}: pandas dtype kinds spark={skinds} duck={dkinds}")
                 fail += 1; continue
