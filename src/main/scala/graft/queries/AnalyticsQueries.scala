@@ -328,7 +328,38 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Typed JSON parsing: `from_json` with an explicit schema (vs
+    * evt_json_extract's path-string route) → struct field access,
+    * malformed rows null out per from_json's PERMISSIVE default. */
+  def jsonTyped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"), lit("k BIGINT")))
+      .groupBy(col("event_type"))
+      .agg(count(col("p.k")).as("n_parsed"),
+           min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
+           countDistinct(col("p.k")).as("n_distinct_k"))
+
+  /** The SQL front-end exercised end-to-end: a CTE + window report a
+    * reference user would type verbatim (weekly actives/revenue with
+    * week-over-week deltas via lag) — same engine, same oracle
+    * machinery, raw SQL entry path. */
+  def sqlWeeklyReport(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_sql")
+    s.sql(
+      s"""WITH weekly AS (
+         |  SELECT ts_ns DIV 1000 DIV $WeekUs AS week,
+         |    COUNT(DISTINCT user_id) AS actives,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |  FROM events_sql GROUP BY 1)
+         |SELECT week, actives, revenue,
+         |  actives - lag(actives) OVER (ORDER BY week) AS actives_delta,
+         |  revenue - lag(revenue) OVER (ORDER BY week) AS revenue_delta
+         |FROM weekly""".stripMargin)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_json_typed"     -> (jsonTyped _),
+    "sql_weekly_report"  -> (sqlWeeklyReport _),
     "rel_promo_share"    -> (promoShare _),
     "rel_multi_pred"     -> (multiPredRevenue _),
     "rel_late_priority"  -> (latePriorityOrders _),
@@ -439,6 +470,23 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "evt_json_typed" ->
+      s"""SELECT event_type,
+         |COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
+         |MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+         |MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+         |COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+         |FROM events GROUP BY event_type""".stripMargin,
+    "sql_weekly_report" ->
+      s"""WITH weekly AS (
+         |  SELECT $usExpr // $WeekUs AS week,
+         |    COUNT(DISTINCT user_id) AS actives,
+         |    ${sqlSum("value")} AS revenue
+         |  FROM events GROUP BY 1)
+         |SELECT week, actives, revenue,
+         |  actives - lag(actives) OVER (ORDER BY week) AS actives_delta,
+         |  revenue - lag(revenue) OVER (ORDER BY week) AS revenue_delta
+         |FROM weekly""".stripMargin,
     "rel_promo_share" -> {
       val revDec = s"${sqlDec("l_extendedprice")} * ${sqlDec("(1.0 - l_discount)")}"
       s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
