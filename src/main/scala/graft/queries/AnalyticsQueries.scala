@@ -214,8 +214,12 @@ object AnalyticsQueries {
     val ev = Tables.events(s, dir)
     val medians = reused(ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("median_value")))
-    val withDev = ev.join(broadcast(medians), Seq("event_type"))
-      .withColumn("abs_dev", abs(col("value") - col("median_value")))
+    // narrow (type, median, dev) projection cached: it feeds both the
+    // MAD aggregate and the outlier count, and recomputing it means a
+    // second events scan + median join
+    val withDev = reused(ev.join(broadcast(medians), Seq("event_type"))
+      .select(col("event_type"), col("median_value"),
+              abs(col("value") - col("median_value")).as("abs_dev")))
     val stats = withDev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            first(col("median_value")).as("median_value"),
