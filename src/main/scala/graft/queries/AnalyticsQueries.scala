@@ -361,7 +361,20 @@ object AnalyticsQueries {
          |FROM weekly""".stripMargin)
   }
 
+  /** Array aggregation: collect_set sorted for determinism (collection
+    * order is partial-aggregation-order dependent; the sort — and the
+    * string join for the hash compare — canonicalize it). Per customer:
+    * the distinct order priorities ever used, as a sorted CSV string. */
+  def collectPriorities(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+             .as("priorities"),
+           size(collect_set(col("o_orderpriority"))).as("n_priorities"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_collect_array"  -> (collectPriorities _),
     "evt_json_typed"     -> (jsonTyped _),
     "sql_weekly_report"  -> (sqlWeeklyReport _),
     "rel_promo_share"    -> (promoShare _),
@@ -474,6 +487,12 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "rel_collect_array" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+         |  AS priorities,
+         |CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_priorities
+         |FROM orders GROUP BY o_custkey""".stripMargin,
     "evt_json_typed" ->
       s"""SELECT event_type,
          |COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
