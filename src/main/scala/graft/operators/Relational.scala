@@ -134,4 +134,21 @@ object Relational {
              merge(col(s"__p${i + 1}")).as(name)
            }: _*)
   }
+
+  /** Skew-safe equi-join: the big side's rows are salted into
+    * `saltBuckets` sub-keys (deterministic hash of a disambiguating
+    * column) and the small side is replicated once per salt, so a hot
+    * join key's rows spread over `saltBuckets` reducers instead of one
+    * straggler task. Result ≡ `big.join(small, key)` (oracle-checked);
+    * the cost is a `saltBuckets`× blow-up OF THE SMALL SIDE ONLY.
+    * (AQE's skew-join split handles the symmetric big-big case at
+    * runtime; this is the explicit form for when the small side fits
+    * the replication budget but not the broadcast threshold.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltSrc: Column, saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(hash(saltSrc), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

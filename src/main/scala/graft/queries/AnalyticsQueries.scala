@@ -373,7 +373,21 @@ object AnalyticsQueries {
              .as("priorities"),
            size(collect_set(col("o_orderpriority"))).as("n_priorities"))
 
+  /** Salted skew join: lineitem salted on line identity, orders
+    * replicated ×8 — result must equal the plain join (the oracle IS
+    * the plain form), the point is the shuffle shape. */
+  def saltedJoinRevenue(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.saltedJoin(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+                                     col("o_orderpriority")),
+        "l_orderkey", col("l_orderkey") * lit(31) + col("l_linenumber"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+           exactSum(col("l_quantity")).as("sum_qty"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_salted_join"    -> (saltedJoinRevenue _),
     "rel_collect_array"  -> (collectPriorities _),
     "evt_json_typed"     -> (jsonTyped _),
     "sql_weekly_report"  -> (sqlWeeklyReport _),
@@ -487,6 +501,11 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "rel_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "rel_collect_array" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders,
          |array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')

@@ -167,6 +167,71 @@ object DocQueries {
               (nMatch.cast("double") / lit(MinHashK.toDouble)).as("est_jaccard"))
   }
 
+  /** Pretraining chunking: overlapping token windows (stride =
+    * chunk − overlap) per document — pure map-side transform+explode,
+    * no shuffle; the grain change (doc → chunk) is what the downstream
+    * shard writer consumes. Output: chunk bounds + a content prefix. */
+  def pipeChunkDocs(s: SparkSession, dir: String,
+                    chunk: Int = 64, overlap: Int = 16): DataFrame = {
+    val stride = chunk - overlap
+    val toks = split(col("text"), " ")
+    val nChunks = when(size(toks) <= chunk, lit(1)).otherwise(
+      ceil((size(toks) - lit(chunk)).cast("double") / lit(stride))
+        .cast("int") + 1)
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+              explode(transform(sequence(lit(0), col("nc") - 1),
+                c => struct(
+                  c.as("chunk_idx"),
+                  (c * stride + 1).as("start_tok"),
+                  least(c * stride + chunk, size(col("toks"))).as("end_tok"),
+                  element_at(col("toks"), c * stride + 1).as("first_word"))))
+                .as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx"), col("ch.start_tok"),
+              col("ch.end_tok"),
+              (col("ch.end_tok") - col("ch.start_tok") + 1).as("n_tokens"),
+              col("ch.first_word"))
+  }
+
+  /** Sequence packing: documents assigned to ~`binTokens`-token bins by
+    * a prefix-sum over a deterministic order WITHIN each shard (doc_id
+    * mod nShards) — greedy fixed-order packing exactly as a per-writer
+    * packing task runs it. A global-order pack would be an unpartitioned
+    * window (single-partition sort, will not scale); sharded packing is
+    * both the scalable plan and the production semantics. */
+  def pipePackBins(s: SparkSession, dir: String,
+                   binTokens: Int = 2048, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+              TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not double-divide-then-cast: DuckDB's double→int
+      // cast ROUNDS while Spark's truncates
+      .withColumn("bin", expr(s"prefix DIV $binTokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).cast("long").as("bin_tokens"),
+           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Repetition scoring: distinct-trigram ratio per document (low ratio
+    * = repetitive boilerplate — a standard pretraining quality gate).
+    * Row-local array ops only; integer ratio division is exact. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.wordShingles(col("text"), 3)
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), size(sh).as("n_trigrams"),
+              size(array_distinct(sh)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_trigrams") > 0,
+             col("n_distinct").cast("double") / col("n_trigrams"))
+          .otherwise(lit(1.0)))
+  }
+
   /** Deterministic stratified sampling: a seeded md5 bucket on the key
     * (no RNG — reproducible across engines, runs, and cluster sizes)
     * keeps ~20% per language; counts audit the realized rate. */
@@ -239,6 +304,9 @@ object DocQueries {
     "doc_top_bigrams"     -> (docTopBigrams _),
     "text_regex_scan"     -> (textRegexScan _),
     "pipe_stratified_sample" -> (pipeStratifiedSample _),
+    "pipe_chunk_docs"     -> ((s: SparkSession, d: String) => pipeChunkDocs(s, d)),
+    "pipe_pack_bins"      -> ((s: SparkSession, d: String) => pipePackBins(s, d)),
+    "text_repetition"     -> (textRepetition _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
   )
@@ -385,6 +453,46 @@ object DocQueries {
          |CAST(SUM(CASE WHEN regexp_matches(text, 'value [a-z]+ value')
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_vv
          |FROM documents GROUP BY lang""".stripMargin,
+    "pipe_chunk_docs" -> {
+      val (chunk, overlap) = (64, 16)
+      val stride = chunk - overlap
+      s"""SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx,
+         |  CAST(c * $stride + 1 AS INTEGER) AS start_tok,
+         |  CAST(least(c * $stride + $chunk, nt) AS INTEGER) AS end_tok,
+         |  CAST(least(c * $stride + $chunk, nt) - c * $stride AS INTEGER)
+         |    AS n_tokens,
+         |  toks[CAST(c * $stride + 1 AS INTEGER)] AS first_word
+         |FROM (
+         |  SELECT doc_id, $wordsSql AS toks, len($wordsSql) AS nt,
+         |    unnest(range(0, CASE WHEN len($wordsSql) <= $chunk THEN 1
+         |      ELSE CAST(ceil((len($wordsSql) - $chunk) / $stride.0) AS BIGINT)
+         |           + 1 END)) AS c
+         |  FROM documents)""".stripMargin
+    },
+    "pipe_pack_bins" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, len($wordsSql) AS n_tokens
+         |  FROM documents),
+         |binned AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // 2048 AS BIGINT) AS bin
+         |  FROM sized)
+         |SELECT shard, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM binned GROUP BY 1, 2""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${sqlShingles(3)}) AS INTEGER) AS n_trigrams,
+         |  CAST(len(list_distinct(${sqlShingles(3)})) AS INTEGER) AS n_distinct,
+         |  CASE WHEN len(${sqlShingles(3)}) > 0
+         |    THEN CAST(len(list_distinct(${sqlShingles(3)})) AS DOUBLE)
+         |           / len(${sqlShingles(3)})
+         |    ELSE 1.0 END AS rep_ratio
+         |FROM documents""".stripMargin,
     "pipe_stratified_sample" -> {
       val bucket =
         "CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"

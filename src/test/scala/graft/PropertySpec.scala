@@ -137,6 +137,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("salted join equals the plain join for any salt width") {
+    val saltGen = Gen.choose(1, 7)
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 5L)
+      v <- Gen.choose(0, 100)
+    } yield (k, v))
+    check("saltedJoin", Prop.forAll(rowsGen, saltGen) { (rows, salts) =>
+      val big = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "row_id")
+      val small = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("k", "tag")
+      val got = graft.operators.Relational
+        .saltedJoin(big, small, "k", $"row_id", salts)
+        .select($"k", $"v", $"tag").as[(Long, Int, String)]
+        .collect().sorted.toSeq
+      val expected = big.join(small, Seq("k"))
+        .select($"k", $"v", $"tag").as[(Long, Int, String)]
+        .collect().sorted.toSeq
+      got == expected
+    })
+  }
+
   private val edgeGen = Gen.nonEmptyListOf(for {
     a <- Gen.choose(0L, 19L)
     b <- Gen.choose(0L, 19L) if a != b
