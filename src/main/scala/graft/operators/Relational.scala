@@ -144,6 +144,38 @@ object Relational {
     * (AQE's skew-join split handles the symmetric big-big case at
     * runtime; this is the explicit form for when the small side fits
     * the replication budget but not the broadcast threshold.) */
+  /** Bloom-pruned left-semi join: a Bloom filter built over the build
+    * side's keys is broadcast (as a scalar subquery — bytes, not the
+    * key set) and pre-filters the probe side BEFORE the shuffle; the
+    * exact semi join then runs on the survivors. Blooms have no false
+    * negatives, so the result is IDENTICAL to the plain semi join
+    * (oracle-checked) — false positives only cost a little extra
+    * shuffle. This is the explicit form of Spark's own runtime
+    * row-level filtering, for when automatic injection doesn't fire.
+    * At 100 TB: shipping an 8 MB bloom vs shuffling the full probe
+    * side is the difference between a scan-local prune and a
+    * terabyte exchange. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    estItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    val spark = big.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    val bigV = s"__bloom_big_${System.identityHashCode(big)}"
+    val smallV = s"__bloom_small_${System.identityHashCode(small)}"
+    big.createOrReplaceTempView(bigV)
+    small.createOrReplaceTempView(smallV)
+    val pruned = spark.sql(
+      s"""SELECT * FROM $bigV
+         |WHERE bloom_contains(
+         |  (SELECT bloom_agg($smallKey, ${estItems}L, ${numBits}L)
+         |   FROM $smallV),
+         |  $bigKey)""".stripMargin)
+    pruned.join(small.select(col(smallKey)).distinct()
+                  .withColumnRenamed(smallKey, bigKey),
+                Seq(bigKey), "left_semi")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltSrc: Column, saltBuckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt", pmod(hash(saltSrc), lit(saltBuckets)))

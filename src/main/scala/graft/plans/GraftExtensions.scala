@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, SimHash16, VectorFunctions}
+import graft.functions.{BloomFunctions, MinHashSigs, SimHash16, VectorFunctions}
 
 /** `SparkSessionExtensions` injection point for the engine's native
   * functions — enable with
@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   )
 
   override def apply(ext: SparkSessionExtensions): Unit =
-    (VectorFunctions.all ++ textBuilders).foreach { case (name, builder) =>
+    (VectorFunctions.all ++ BloomFunctions.all ++ textBuilders)
+      .foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),

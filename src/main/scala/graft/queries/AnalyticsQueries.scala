@@ -386,7 +386,21 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_lines"),
            exactSum(col("l_quantity")).as("sum_qty"))
 
+  /** Bloom-pruned semi join: orders having a high-quantity lineitem —
+    * probe side pre-filtered by an 8 Mbit bloom over the build keys
+    * before the exact semi join; result ≡ plain EXISTS (the oracle). */
+  def bloomSemiHighQuantity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.bloomSemiJoin(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey")),
+        "o_orderkey", "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bloom_semi"     -> (bloomSemiHighQuantity _),
     "rel_salted_join"    -> (saltedJoinRevenue _),
     "rel_collect_array"  -> (collectPriorities _),
     "evt_json_typed"     -> (jsonTyped _),
@@ -501,6 +515,13 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "rel_bloom_semi" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders WHERE EXISTS (
+         |  SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         |GROUP BY o_orderpriority""".stripMargin,
     "rel_salted_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
          |${sqlSum("l_quantity")} AS sum_qty
