@@ -222,9 +222,14 @@ object DocQueries {
     * = repetitive boilerplate — a standard pretraining quality gate).
     * Row-local array ops only; integer ratio division is exact. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    // total trigrams is just max(tokens-2, 0) — only the DISTINCT count
+    // needs the shingle array built (once; a size(shingles) twin would
+    // double the dominant allocation)
     val sh = TextOps.wordShingles(col("text"), 3)
     Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), size(sh).as("n_trigrams"),
+      .select(col("doc_id"),
+              greatest(TextOps.tokenCount(col("text")) - 2, lit(0))
+                .as("n_trigrams"),
               size(array_distinct(sh)).as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_trigrams") > 0,
