@@ -399,7 +399,26 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_orders"),
            exactSum(col("o_totalprice")).as("sum_price"))
 
+  /** Dimension enrichment — the batch twin of StreamOps.enrichStream
+    * over an in-code weight dimension (broadcast, left-outer so
+    * unmatched types survive with a default weight): weighted value
+    * totals per event type. */
+  def enrichWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("click", 2L), ("view", 1L), ("purchase", 10L))
+      .toDF("event_type", "weight")
+    graft.streaming.StreamOps.enrichStream(
+        Tables.events(s, dir), dim, "event_type")
+      .withColumn("w", coalesce(col("weight"), lit(1L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           first(col("w")).as("weight"),
+           (sum(dec(col("value")) * col("w"))).cast(DoubleType)
+             .as("weighted_value"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_enrich_weighted" -> (enrichWeighted _),
     "rel_bloom_semi"     -> (bloomSemiHighQuantity _),
     "rel_salted_join"    -> (saltedJoinRevenue _),
     "rel_collect_array"  -> (collectPriorities _),
@@ -515,6 +534,15 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "evt_enrich_weighted" ->
+      s"""SELECT e.event_type, COUNT(*) AS n_events,
+         |CAST(ANY_VALUE(COALESCE(w.weight, 1)) AS BIGINT) AS weight,
+         |${sqlToDouble(s"SUM(${sqlDec("e.value")} * COALESCE(w.weight, 1))")}
+         |  AS weighted_value
+         |FROM events e LEFT JOIN (VALUES ('click', 2), ('view', 1),
+         |  ('purchase', 10)) AS w(event_type, weight)
+         |ON e.event_type = w.event_type
+         |GROUP BY 1""".stripMargin,
     "rel_bloom_semi" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |${sqlSum("o_totalprice")} AS sum_price
