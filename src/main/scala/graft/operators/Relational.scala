@@ -135,15 +135,6 @@ object Relational {
            }: _*)
   }
 
-  /** Skew-safe equi-join: the big side's rows are salted into
-    * `saltBuckets` sub-keys (deterministic hash of a disambiguating
-    * column) and the small side is replicated once per salt, so a hot
-    * join key's rows spread over `saltBuckets` reducers instead of one
-    * straggler task. Result ≡ `big.join(small, key)` (oracle-checked);
-    * the cost is a `saltBuckets`× blow-up OF THE SMALL SIDE ONLY.
-    * (AQE's skew-join split handles the symmetric big-big case at
-    * runtime; this is the explicit form for when the small side fits
-    * the replication budget but not the broadcast threshold.) */
   /** Bloom-pruned left-semi join: a Bloom filter built over the build
     * side's keys is broadcast (as a scalar subquery — bytes, not the
     * key set) and pre-filters the probe side BEFORE the shuffle; the
@@ -161,8 +152,10 @@ object Relational {
                     numBits: Long = 8388608L): DataFrame = {
     val spark = big.sparkSession
     graft.functions.BloomFunctions.register(spark)
-    val bigV = s"__bloom_big_${System.identityHashCode(big)}"
-    val smallV = s"__bloom_small_${System.identityHashCode(small)}"
+    // spark.sql resolves the views eagerly, so they can be dropped as
+    // soon as the pruned plan exists (no catalog residue per call)
+    val bigV = "__bloom_big_probe"
+    val smallV = "__bloom_small_build"
     big.createOrReplaceTempView(bigV)
     small.createOrReplaceTempView(smallV)
     val pruned = spark.sql(
@@ -171,11 +164,22 @@ object Relational {
          |  (SELECT bloom_agg($smallKey, ${estItems}L, ${numBits}L)
          |   FROM $smallV),
          |  $bigKey)""".stripMargin)
-    pruned.join(small.select(col(smallKey)).distinct()
-                  .withColumnRenamed(smallKey, bigKey),
+    spark.catalog.dropTempView(bigV)
+    spark.catalog.dropTempView(smallV)
+    // left-semi is multiplicity-insensitive — no distinct needed
+    pruned.join(small.select(col(smallKey)).withColumnRenamed(smallKey, bigKey),
                 Seq(bigKey), "left_semi")
   }
 
+  /** Skew-safe equi-join: the big side's rows are salted into
+    * `saltBuckets` sub-keys (deterministic hash of a disambiguating
+    * column) and the small side is replicated once per salt, so a hot
+    * join key's rows spread over `saltBuckets` reducers instead of one
+    * straggler task. Result ≡ `big.join(small, key)` (oracle-checked);
+    * the cost is a `saltBuckets`× blow-up OF THE SMALL SIDE ONLY.
+    * (AQE's skew-join split handles the symmetric big-big case at
+    * runtime; this is the explicit form for when the small side fits
+    * the replication budget but not the broadcast threshold.) */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltSrc: Column, saltBuckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt", pmod(hash(saltSrc), lit(saltBuckets)))

@@ -33,7 +33,6 @@ class BloomChunkSpec extends SparkSpec {
       (3L, "a b c"),                                     // tiny doc
       (4L, (1 to 65).map(i => s"w$i").mkString(" "))    // chunk + 1 token
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("chunk_docs")
     val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
     docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length($"text").cast("long"))
