@@ -89,7 +89,28 @@ object BandQueries {
       .withColumnRenamed("click", "g")
       .withColumnRenamed("view", "b")
 
+  /** Multi-aggregate pivot: each pivot cell carries BOTH a max and a
+    * count (Spark names the columns `<value>_<aggAlias>`) — the wide
+    * per-entity feature matrix in one pass. */
+  def compositePivotMulti(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("purchase", "click"))
+      .agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+
+  /** Pivot → unpivot roundtrip: melt the wide (r,g,b) matrix back to
+    * long form. Spark's `unpivot` keeps NULL cells, DuckDB's UNPIVOT
+    * drops them — the explicit not-null filter pins one semantics. */
+  def compositeUnpivot(s: SparkSession, dir: String): DataFrame =
+    compositePivot(s, dir)
+      .unpivot(Array(col("user_id")), Array(col("r"), col("g"), col("b")),
+               "band", "value")
+      .filter(col("value").isNotNull)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_pivot_multi"      -> (compositePivotMulti _),
+    "composite_unpivot"          -> (compositeUnpivot _),
     "composite_pivot_dynamic"    -> (compositePivotDynamic _),
     "band_file_means"            -> (bandFileMeans _),
     "band_mean_of_means"         -> (bandMeanOfMeans _),
@@ -147,5 +168,22 @@ object BandQueries {
          |MAX(CASE WHEN event_type = 'view' THEN value END) AS b
          |FROM events WHERE event_type IN ('purchase', 'click', 'view')
          |GROUP BY user_id""".stripMargin,
+    "composite_pivot_multi" ->
+      s"""SELECT user_id,
+         |MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_mx,
+         |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS purchase_n,
+         |MAX(CASE WHEN event_type = 'click' THEN value END) AS click_mx,
+         |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS click_n
+         |FROM events WHERE event_type IN ('purchase', 'click')
+         |GROUP BY user_id""".stripMargin,
+    "composite_unpivot" ->
+      s"""SELECT user_id,
+         |CASE event_type WHEN 'purchase' THEN 'r'
+         |                WHEN 'click' THEN 'g' ELSE 'b' END AS band,
+         |MAX(value) AS value
+         |FROM events WHERE event_type IN ('purchase', 'click', 'view')
+         |GROUP BY 1, 2""".stripMargin,
   )
 }
