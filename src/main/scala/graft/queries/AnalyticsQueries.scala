@@ -417,7 +417,22 @@ object AnalyticsQueries {
              .as("weighted_value"))
   }
 
+  /** Time-series densification: a generated day spine (sequence +
+    * explode of the [min, max] day range — one 1-row aggregate, no
+    * driver round-trip) left-joined to daily counts, gaps zero-filled.
+    * The spine side is broadcast; the counts never re-shuffle. */
+  def dailyGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(daily, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_daily_gapfill"  -> (dailyGapfill _),
     "evt_enrich_weighted" -> (enrichWeighted _),
     "rel_bloom_semi"     -> (bloomSemiHighQuantity _),
     "rel_salted_join"    -> (saltedJoinRevenue _),
@@ -534,6 +549,15 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "evt_daily_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT $usExpr // $DayUs AS day, COUNT(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(range((SELECT MIN(day) FROM daily),
+         |                      (SELECT MAX(day) FROM daily) + 1)) AS day)
+         |SELECT spine.day, COALESCE(daily.n_events, 0) AS n_events
+         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
     "evt_enrich_weighted" ->
       s"""SELECT e.event_type, COUNT(*) AS n_events,
          |CAST(ANY_VALUE(COALESCE(w.weight, 1)) AS BIGINT) AS weight,
