@@ -229,7 +229,7 @@ object AnalyticsQueries {
             Seq("event_type"))
       .filter(col("abs_dev") > col("mad") * 3)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
-    stats.join(outliers, Seq("event_type"), "left_outer")
+    stats.join(broadcast(outliers), Seq("event_type"), "left_outer")
       .select(col("event_type"), col("n_events"), col("median_value"),
               col("mad"), coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
