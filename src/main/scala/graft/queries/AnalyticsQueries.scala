@@ -431,7 +431,33 @@ object AnalyticsQueries {
       .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Referential-integrity audit: orphan foreign-key counts across the
+    * star schema in one result — each relation checked with a left-anti
+    * join against its dimension (broadcast where the dim is small),
+    * union'd into a (relation, n_rows, n_orphans) report. The
+    * data-quality gate that runs before any pipeline trusts its joins. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, fact: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.join(
+        broadcast(dim.select(col(dimKey).as(key)).distinct()),
+        Seq(key), "left_anti")
+      fact.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+    }
+    audit("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+      .unionAll(audit("orders->customer", Tables.orders(s, dir), "o_custkey",
+                      Tables.customer(s, dir), "c_custkey"))
+      .unionAll(audit("customer->nation", Tables.customer(s, dir), "c_nationkey",
+                      Tables.nation(s, dir), "n_nationkey"))
+      .unionAll(audit("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+                      Tables.part(s, dir), "p_partkey"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fk_audit"       -> (fkAudit _),
     "evt_daily_gapfill"  -> (dailyGapfill _),
     "evt_enrich_weighted" -> (enrichWeighted _),
     "rel_bloom_semi"     -> (bloomSemiHighQuantity _),
@@ -549,6 +575,26 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "rel_fk_audit" ->
+      s"""SELECT 'lineitem->orders' AS relation,
+         |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+         |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS (
+         |     SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+         |UNION ALL
+         |SELECT 'orders->customer',
+         |  (SELECT COUNT(*) FROM orders),
+         |  (SELECT COUNT(*) FROM orders WHERE NOT EXISTS (
+         |     SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+         |UNION ALL
+         |SELECT 'customer->nation',
+         |  (SELECT COUNT(*) FROM customer),
+         |  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS (
+         |     SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+         |UNION ALL
+         |SELECT 'lineitem->part',
+         |  (SELECT COUNT(*) FROM lineitem),
+         |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS (
+         |     SELECT 1 FROM part WHERE p_partkey = l_partkey))""".stripMargin,
     "evt_daily_gapfill" ->
       s"""WITH daily AS (
          |  SELECT $usExpr // $DayUs AS day, COUNT(*) AS n_events
