@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -144,4 +144,32 @@ object BandStats {
       .groupBy(col(bandCol))
       .agg(meanAgg(col(valueCol), exact).as("weighted_mean"),
            count(col(valueCol)).as("n_pixels"))
+}
+
+/** Typed rows for the Dataset façade — top-level on purpose: case
+  * classes nested inside an object silently break whole-stage codegen
+  * (interpreted encoder fallback, see build notes). */
+case class Pixel(file: String, band: Int, value: Double)
+case class BandFileStats(file: String, band: Int,
+                         mean_value: Double, n_valid: Long)
+case class BandSummary(band: Int, mean_of_means: Double,
+                       max_of_means: Double, min_of_means: Double,
+                       n_files: Long)
+
+/** `Dataset[T]` façade over [[BandStats]] for callers that want
+  * compile-time row types: same Catalyst plans (the typed wrapper is a
+  * schema assertion via `.as[T]`, not a different execution path), so
+  * pushdown/codegen behavior is identical to the DataFrame API. */
+object BandStatsTyped {
+  def bandFileMeans(px: Dataset[Pixel], nodata: Double = 0.0,
+                    exact: Boolean = false): Dataset[BandFileStats] = {
+    implicit val enc: Encoder[BandFileStats] = Encoders.product[BandFileStats]
+    BandStats.bandFileMeans(px.toDF(), "file", "band", "value", nodata, exact)
+      .as[BandFileStats]
+  }
+
+  def bandStats(level1: Dataset[BandFileStats]): Dataset[BandSummary] = {
+    implicit val enc: Encoder[BandSummary] = Encoders.product[BandSummary]
+    BandStats.bandStats(level1.toDF(), "band").as[BandSummary]
+  }
 }

@@ -156,6 +156,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("foreachBatch sink writes every micro-batch exactly once to parquet") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val mem = MemoryStream[StreamEvent]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(dir); ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(dir).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(back == rows.map(_.event_id).sorted)
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
