@@ -66,6 +66,19 @@ object DocQueries {
       col("doc_id"), col("lang"),
       TextOps.langId(col("text")).as("lang_pred"))
 
+  /** Classifier evaluation: label × prediction confusion matrix with
+    * per-cell share of the label's row — the quality report for the
+    * language-ID heuristic. */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.spread(Tables.documents(s, dir))
+      .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.withColumn("row_share",
+      col("n_docs").cast("double") /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+  }
+
   /** Content + MinHash + SimHash fingerprints per document. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir)).select(
@@ -301,6 +314,7 @@ object DocQueries {
     "pipe_clean_corpus"   -> (pipeCleanCorpus _),
     "text_stats"          -> (textStats _),
     "text_lang_id"        -> (textLangId _),
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_fingerprint"    -> (textFingerprint _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_rows"    -> (dedupExactRows _),
@@ -409,6 +423,25 @@ object DocQueries {
       s"""SELECT doc_id, lang,
          |CASE $cases ELSE 'und' END AS lang_pred
          |FROM (SELECT doc_id, lang, text, $best AS best_ FROM documents)""".stripMargin
+    },
+    "text_lang_confusion" -> {
+      val scores = TextOps.LangStopwords.map { case (lang, words) =>
+        lang -> sqlWordHits(words)
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = best_ AND $sc > 0 THEN '$lang'"
+      }.mkString("\n")
+      s"""WITH preds AS (
+         |  SELECT lang, CASE $cases ELSE 'und' END AS lang_pred
+         |  FROM (SELECT lang, text, $best AS best_ FROM documents)),
+         |counts AS (
+         |  SELECT lang, lang_pred, COUNT(*) AS n_docs
+         |  FROM preds GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |  CAST(n_docs AS DOUBLE) /
+         |    SUM(n_docs) OVER (PARTITION BY lang) AS row_share
+         |FROM counts""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_hash,

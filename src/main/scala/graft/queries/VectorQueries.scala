@@ -121,7 +121,29 @@ object VectorQueries {
            min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
            sum(when(col("xd") > 0, 1L).otherwise(0L)).as("n_positive"))
 
+  /** ANN quality evaluation: recall@3 of the LSH index against the
+    * brute-force ground truth, per query — the standard measure an
+    * engine must produce about its own approximate paths. Left join
+    * from truth to LSH hits (both deterministic, both independently
+    * oracle-matched), matches / k. */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
+             .as("recall_at_k"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_eval"   -> (simRecallEval _),
     "sim_vector_stats"  -> (simVectorStats _),
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
@@ -135,6 +157,39 @@ object VectorQueries {
   // ------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "sim_recall_eval" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.qv", "e.embedding")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE $QueryPredSql) q
+         |    WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 3),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.qv", "e.embedding")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM b e JOIN (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |                   FROM b WHERE $QueryPredSql) q
+         |      ON e.bucket = q.bucket
+         |    WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 3)
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH cents AS (
          |  SELECT label, d,
