@@ -90,9 +90,12 @@ object Dedup {
       minHashSignatures(df, idCol, textCol, shingleN, k), idCol, k, rowsPerBand))
     val a = bands.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    // the candidate-pair table is consumed by multiple downstream shapes
+    // (pair listing, similarity estimates) — cache it like the Jaccard
+    // pair table so siblings share one self-join
+    reused(a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct())
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
