@@ -456,7 +456,42 @@ object AnalyticsQueries {
                       Tables.part(s, dir), "p_partkey"))
   }
 
+  /** DAU / WAU / stickiness: daily actives, trailing-7-day actives, and
+    * their ratio. Exact windowed distinct counts via a bounded fan-out:
+    * each (user, day) row lands in ≤7 trailing windows (join to the day
+    * spine within range), so the shuffle is 7× the DEDUPLICATED
+    * user-day table — never raw events, never an unbounded self-join. */
+  def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val userDays = reused(Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
+      .distinct())
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val spine = userDays.select(col("day")).distinct()
+      .withColumnRenamed("day", "d")
+    val wau = userDays
+      .join(broadcast(spine),
+            col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness", col("dau").cast(DoubleType) / col("wau"))
+  }
+
+  /** Time-hierarchy ROLLUP: (year, quarter, month) subtotal ladder in
+    * one pass, grouping_id disambiguating natural NULLs. */
+  def rollupTime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(year(col("o_orderdate")).as("y"),
+              quarter(col("o_orderdate")).as("q"),
+              month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"),
+           grouping_id().as("gid"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_dau_wau"        -> (dauWau _),
+    "rel_rollup_time"    -> (rollupTime _),
     "rel_fk_audit"       -> (fkAudit _),
     "evt_daily_gapfill"  -> (dailyGapfill _),
     "evt_enrich_weighted" -> (enrichWeighted _),
@@ -575,6 +610,30 @@ object AnalyticsQueries {
          |  COUNT(*) AS n_users
          |FROM user_weeks JOIN cohorts USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "evt_dau_wau" ->
+      s"""WITH user_days AS (
+         |  SELECT DISTINCT user_id, $usExpr // $DayUs AS day FROM events),
+         |dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY 1),
+         |spine AS (SELECT DISTINCT day AS d FROM user_days),
+         |wau AS (
+         |  SELECT d AS day, COUNT(DISTINCT user_id) AS wau
+         |  FROM user_days JOIN spine
+         |    ON user_days.day BETWEEN spine.d - 6 AND spine.d
+         |  GROUP BY 1)
+         |SELECT day, dau, wau,
+         |  CAST(dau AS DOUBLE) / wau AS stickiness
+         |FROM dau JOIN wau USING (day)""".stripMargin,
+    "rel_rollup_time" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         |  CAST(month(o_orderdate) AS INTEGER) AS m,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price,
+         |  CAST(GROUPING(year(o_orderdate), quarter(o_orderdate),
+         |                month(o_orderdate)) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+         |                 month(o_orderdate))""".stripMargin,
     "rel_fk_audit" ->
       s"""SELECT 'lineitem->orders' AS relation,
          |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
