@@ -420,11 +420,13 @@ object AnalyticsQueries {
   /** Time-series densification: a generated day spine (sequence +
     * explode of the [min, max] day range — one 1-row aggregate, no
     * driver round-trip) left-joined to daily counts, gaps zero-filled.
-    * The spine side is broadcast; the counts never re-shuffle. */
+    * The spine is the row-preserved LEFT side, so the (small) counts
+    * table is the broadcast build side; `daily` feeds both the spine
+    * bounds and the join, hence the cache. */
   def dailyGapfill(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val daily = reused(Tables.events(s, dir)
       .select(expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events")))
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1)")).as("day"))
     spine.join(daily, Seq("day"), "left_outer")
@@ -432,18 +434,23 @@ object AnalyticsQueries {
   }
 
   /** Referential-integrity audit: orphan foreign-key counts across the
-    * star schema in one result — each relation checked with a left-anti
-    * join against its dimension (broadcast where the dim is small),
-    * union'd into a (relation, n_rows, n_orphans) report. The
-    * data-quality gate that runs before any pipeline trusts its joins. */
+    * star schema in one result, union'd into a
+    * (relation, n_rows, n_orphans) report — the data-quality gate that
+    * runs before any pipeline trusts its joins. ONE scan per relation:
+    * a left-outer join against the distinct dimension keys feeds both
+    * counts (total + null-probe) in the same aggregation; join strategy
+    * is left to AQE (small dims broadcast themselves, orders-sized key
+    * sets go sort-merge — an unconditional broadcast would OOM at
+    * scale). */
   def fkAudit(s: SparkSession, dir: String): DataFrame = {
     def audit(name: String, fact: DataFrame, key: String,
               dim: DataFrame, dimKey: String): DataFrame = {
-      val orphans = fact.join(
-        broadcast(dim.select(col(dimKey).as(key)).distinct()),
-        Seq(key), "left_anti")
-      fact.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      val keys = dim.select(col(dimKey).as(key)).distinct()
+        .withColumn("__hit", lit(1))
+      fact.select(col(key))
+        .join(keys, Seq(key), "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
     }
     audit("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
@@ -457,10 +464,13 @@ object AnalyticsQueries {
   }
 
   /** DAU / WAU / stickiness: daily actives, trailing-7-day actives, and
-    * their ratio. Exact windowed distinct counts via a bounded fan-out:
-    * each (user, day) row lands in ≤7 trailing windows (join to the day
-    * spine within range), so the shuffle is 7× the DEDUPLICATED
-    * user-day table — never raw events, never an unbounded self-join. */
+    * their ratio. Exact windowed distinct counts via a TRUE bounded
+    * fan-out: each deduplicated (user, day) row is exploded into the ≤7
+    * trailing windows it belongs to and EQUI-joined to the day spine —
+    * a hash join whose compute AND shuffle are 7× the user-day table.
+    * (A range-condition join against the spine would plan as a
+    * nested-loop: bounded output, but compute linear in the date
+    * range.) */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
     val userDays = reused(Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
@@ -470,8 +480,10 @@ object AnalyticsQueries {
     val spine = userDays.select(col("day")).distinct()
       .withColumnRenamed("day", "d")
     val wau = userDays
-      .join(broadcast(spine),
-            col("day").between(col("d") - 6, col("d")))
+      .select(col("user_id"), col("day"),
+              explode(sequence(lit(0L), lit(6L))).as("off"))
+      .select(col("user_id"), (col("day") + col("off")).as("d"))
+      .join(broadcast(spine), Seq("d"))
       .groupBy(col("d").as("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, Seq("day"))

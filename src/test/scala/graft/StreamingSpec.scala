@@ -156,7 +156,7 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
-  test("foreachBatch sink writes every micro-batch exactly once to parquet") {
+  test("foreachBatch sink appends every micro-batch to parquet (at-least-once)") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString
     val mem = MemoryStream[StreamEvent]
@@ -175,6 +175,7 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.parquet(dir).select("event_id")
       .as[Long].collect().sorted.toSeq
     assert(back == rows.map(_.event_id).sorted)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
