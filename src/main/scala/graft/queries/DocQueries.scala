@@ -250,6 +250,22 @@ object DocQueries {
           .otherwise(lit(1.0)))
   }
 
+  /** Duplication-rate report per source: share of documents whose
+    * content hash appears more than once — the per-provenance quality
+    * metric that decides which sources need aggressive dedup. One
+    * hash-window pass + one aggregation. */
+  def docDupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.contentHash(col("text")))
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("is_dup", count(lit(1)).over(w) > 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+           (sum(when(col("is_dup"), 1L).otherwise(0L)).cast("double") /
+             count(lit(1))).as("dup_rate"))
+  }
+
   /** Deterministic stratified sampling: a seeded md5 bucket on the key
     * (no RNG — reproducible across engines, runs, and cluster sizes)
     * keeps ~20% per language; counts audit the realized rate. */
@@ -315,6 +331,7 @@ object DocQueries {
     "text_stats"          -> (textStats _),
     "text_lang_id"        -> (textLangId _),
     "text_lang_confusion" -> (textLangConfusion _),
+    "doc_dup_rate_by_source" -> (docDupRateBySource _),
     "text_fingerprint"    -> (textFingerprint _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_exact_rows"    -> (dedupExactRows _),
@@ -424,6 +441,16 @@ object DocQueries {
          |CASE $cases ELSE 'und' END AS lang_pred
          |FROM (SELECT doc_id, lang, text, $best AS best_ FROM documents)""".stripMargin
     },
+    "doc_dup_rate_by_source" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_docs,
+         |CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*) AS dup_rate
+         |FROM (SELECT source,
+         |        COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+         |      FROM documents)
+         |GROUP BY source""".stripMargin,
     "text_lang_confusion" -> {
       val scores = TextOps.LangStopwords.map { case (lang, words) =>
         lang -> sqlWordHits(words)
