@@ -26,6 +26,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.saltedJoin(big, none, "k", $"row_id", 4).count() == 0)
   }
 
+  test("observe() collects pipeline metrics without a second pass") {
+    // the observability hook a production job attaches to its write:
+    // row counts / null counts / sums ride along with the action
+    // instead of re-scanning the input
+    val obs = new org.apache.spark.sql.Observation("gate_metrics")
+    val docs = Seq((1L, "a b c", 5L), (2L, "", 0L), (3L, "d e", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = docs.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(length($"text") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum($"n_chars").as("total_chars"))
+      .filter(length($"text") > 0)
+    assert(out.count() == 2)                      // the action
+    val m = obs.get                               // metrics of the FULL input
+    assert(m("n_rows") == 3L && m("n_empty") == 1L && m("total_chars") == 8L)
+  }
+
   test("forward and backward asof joins keep all left rows when right is empty") {
     val clicks = Seq((1L, 10L, 1L), (2L, 20L, 2L))
       .toDF("user_id", "ts_us", "click_id")
