@@ -66,6 +66,17 @@ object EventQueries {
         (col("end_us") - col("start_us")).cast(DoubleType) / lit(60000000.0))
   }
 
+  /** Top-10 longest sessions corpus-wide: the session labeling composed
+    * with the global top-k operator (TakeOrderedAndProject — no full
+    * sort of the session table). Tie-broken by (user, session). */
+  def topSessions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.globalTopK(
+      sessionWindows(s, dir)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+                col("duration_min")),
+      Seq(col("duration_min").desc, col("user_id").asc,
+          col("session_id").asc), 10)
+
   /** Sessionization via Spark's BUILT-IN session_window (batch mode) —
     * cross-validates the declarative operator against the lag/cumsum
     * oracle: same membership and counts; the builtin's window end is
@@ -237,6 +248,7 @@ object EventQueries {
     "evt_tumbling_hourly" -> (tumblingHourly _),
     "evt_sliding_counts"  -> (slidingCounts _),
     "evt_session_windows" -> (sessionWindows _),
+    "evt_top_sessions"    -> (topSessions _),
     "evt_session_builtin" -> (sessionBuiltin _),
     "evt_daily_top_event" -> (dailyTopEvent _),
     "evt_daily_type_share" -> (dailyTypeShare _),
@@ -345,6 +357,29 @@ object EventQueries {
          |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 60000000.0 AS duration_min
          |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "evt_top_sessions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, $usExpr AS ts_us,
+         |    CASE WHEN lag($usExpr) OVER w IS NULL
+         |           OR $usExpr - lag($usExpr) OVER w > $HalfHourUs
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $usExpr ASC, event_id ASC)),
+         |sessions AS (
+         |  SELECT user_id, ts_us,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM flagged),
+         |agged AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_events,
+         |    CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 60000000.0
+         |      AS duration_min
+         |  FROM sessions GROUP BY user_id, session_id)
+         |SELECT user_id, session_id, n_events, duration_min FROM agged
+         |ORDER BY duration_min DESC, user_id ASC, session_id ASC
+         |LIMIT 10""".stripMargin,
     "evt_session_builtin" ->
       s"""WITH flagged AS (
          |  SELECT user_id, event_id, $usExpr AS ts_us,
