@@ -142,8 +142,29 @@ object VectorQueries {
              .as("recall_at_k"))
   }
 
+  /** IVF recall@3 against brute-force ground truth — the companion of
+    * [[simRecallEval]] for the cell-probing index; together they
+    * quantify the recall/cost trade of both approximate paths. */
+  def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        queryPred, k)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
+             .as("recall_at_k"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_eval"   -> (simRecallEval _),
+    "sim_ivf_recall"    -> (simIvfRecall _),
     "sim_vector_stats"  -> (simVectorStats _),
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
@@ -156,7 +177,63 @@ object VectorQueries {
 
   // ------------------------------------------------------------- oracles
 
+  /** Shared CTE body for the IVF oracles: median centroids → probe →
+    * within-cell scoring, ending in a `scored(query_id, neighbor_id,
+    * cosine)` relation. */
+  private val ivfScoredCte: String =
+    s"""cents AS (
+       |  SELECT label, d,
+       |    CAST(percentile_cont(0.5) WITHIN GROUP (
+       |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS d)
+       |  GROUP BY label, d),
+       |centroids AS (
+       |  SELECT label AS cell, list(cv ORDER BY d) AS centroid
+       |  FROM cents GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE $QueryPredSql),
+       |probe AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+       |        AS cell_rank
+       |    FROM q CROSS JOIN centroids c)
+       |  WHERE cell_rank <= 2),
+       |scored AS (
+       |  SELECT probe.query_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("probe.qv", "e.embedding")} AS cosine
+       |  FROM embeddings e JOIN probe ON e.label = probe.cell
+       |  WHERE e.vec_id <> probe.query_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_ivf_recall" ->
+      s"""WITH $ivfScoredCte,
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 3),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT tq.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY tq.query_id
+         |        ORDER BY ${sqlCos("tq.qv", "e.embedding")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM embeddings e,
+         |      (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE $QueryPredSql) tq
+         |    WHERE e.vec_id <> tq.query_id)
+         |  WHERE rank <= 3)
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     "sim_recall_eval" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
@@ -191,31 +268,7 @@ object VectorQueries {
          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
          |GROUP BY t.query_id""".stripMargin,
     "sim_topk_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT label, d,
-         |    CAST(percentile_cont(0.5) WITHIN GROUP (
-         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
-         |  FROM embeddings
-         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS d)
-         |  GROUP BY label, d),
-         |centroids AS (
-         |  SELECT label AS cell, list(cv ORDER BY d) AS centroid
-         |  FROM cents GROUP BY label),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE $QueryPredSql),
-         |probe AS (
-         |  SELECT query_id, qv, cell FROM (
-         |    SELECT q.query_id, q.qv, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
-         |        AS cell_rank
-         |    FROM q CROSS JOIN centroids c)
-         |  WHERE cell_rank <= 2),
-         |scored AS (
-         |  SELECT probe.query_id, e.vec_id AS neighbor_id,
-         |    ${sqlCos("probe.qv", "e.embedding")} AS cosine
-         |  FROM embeddings e JOIN probe ON e.label = probe.cell
-         |  WHERE e.vec_id <> probe.query_id)
+      s"""WITH $ivfScoredCte
          |SELECT query_id, neighbor_id, cosine, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
