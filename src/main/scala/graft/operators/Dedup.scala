@@ -27,7 +27,11 @@ object Dedup {
     * MEMORY_AND_DISK persist expresses the same reuse. Evicted LRU;
     * callers can `spark.catalog.clearCache()`. */
   private def reused(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Idempotent: callers compose (dupClusters reuses already-persisted
+    // pair tables) — re-persisting an already-cached plan only logs
+    // warnings and adds eviction pressure.
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact dedup groups: content-hash → group size + canonical keeper
     * (min id). `SELECT hash, count, min(id)` — one shuffle on the hash.

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Monotonic suffix for bloomSemiJoin's temp views — keeps concurrent
+    * calls on a shared SparkSession from clobbering each other. */
+  private val bloomCallIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Star-schema join: fact table joined to each dimension with an
     * explicit broadcast hint. At 100 TB the fact side streams while each
     * dim ships once to every executor — no fact-side shuffle at all.
@@ -153,9 +157,12 @@ object Relational {
     val spark = big.sparkSession
     graft.functions.BloomFunctions.register(spark)
     // spark.sql resolves the views eagerly, so they can be dropped as
-    // soon as the pruned plan exists (no catalog residue per call)
-    val bigV = "__bloom_big_probe"
-    val smallV = "__bloom_small_build"
+    // soon as the pruned plan exists (no catalog residue per call).
+    // Per-call unique names: concurrent calls on one SparkSession must
+    // not clobber each other's views between create and sql.
+    val callId = bloomCallIds.incrementAndGet()
+    val bigV = s"__bloom_big_probe_$callId"
+    val smallV = s"__bloom_small_build_$callId"
     big.createOrReplaceTempView(bigV)
     small.createOrReplaceTempView(smallV)
     val pruned = spark.sql(

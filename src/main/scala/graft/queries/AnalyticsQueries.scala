@@ -608,8 +608,8 @@ object AnalyticsQueries {
          |  FROM per_part)
          |SELECT p_brand, COUNT(*) AS n_parts,
          |  ${sqlToDouble("SUM(pv_dec)")} AS brand_value
-         |FROM per_part, total
-         |JOIN part ON l_partkey = p_partkey
+         |FROM per_part JOIN part ON l_partkey = p_partkey
+         |CROSS JOIN total
          |WHERE ${sqlToDouble("pv_dec")} > mean_part_value * 1.5
          |GROUP BY p_brand""".stripMargin,
     "evt_retention_cohorts" ->
@@ -702,13 +702,21 @@ object AnalyticsQueries {
          |  AS priorities,
          |CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_priorities
          |FROM orders GROUP BY o_custkey""".stripMargin,
+    // TRY_CAST over a json_valid() guard replays from_json's PERMISSIVE
+    // null-on-malformed semantics; a bare CAST would hard-error the oracle
+    // on any malformed props row instead of diverging gracefully.
     "evt_json_typed" ->
-      s"""SELECT event_type,
-         |COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
-         |MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
-         |MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
-         |COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
-         |FROM events GROUP BY event_type""".stripMargin,
+      s"""WITH typed AS (
+         |  SELECT event_type,
+         |    TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
+         |             AS BIGINT) AS k
+         |  FROM events)
+         |SELECT event_type,
+         |COUNT(k) AS n_parsed,
+         |MIN(k) AS min_k,
+         |MAX(k) AS max_k,
+         |COUNT(DISTINCT k) AS n_distinct_k
+         |FROM typed GROUP BY event_type""".stripMargin,
     "sql_weekly_report" ->
       s"""WITH weekly AS (
          |  SELECT $usExpr // $WeekUs AS week,
