@@ -321,7 +321,150 @@ object RelationalQueries {
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
   }
 
+  /** TPC-H Q2-shaped min-cost supplier: the correlated
+    * `WHERE cost = (SELECT MIN(cost) ... WHERE same part)` is
+    * decorrelated into aggregate-and-rejoin — per-(part,supplier) unit
+    * cost, per-part min, equality join back — exactly the plan Catalyst's
+    * own subquery decorrelation produces. Unit cost is a per-row double
+    * quotient (correctly rounded, bit-identical cross-engine); MIN and
+    * the equality filter then operate on identical bits. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val mn = ps.groupBy(col("l_partkey")).agg(min(col("unit_cost")).as("min_cost"))
+    ps.join(mn, Seq("l_partkey"))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"), col("unit_cost"))
+  }
+
+  /** TPC-H Q7-shaped bilateral volume: revenue between two nations in
+    * both directions. The two nation dims are pre-filtered to the pair
+    * BEFORE broadcasting, so the fact scan is pruned at the join instead
+    * of after a full 6-way product; the symmetric (OR of the two
+    * orientations) predicate only excludes the 1↔1 / 2↔2 combinations. */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q9-shaped profit: revenue minus a retail-price-based cost
+    * proxy (the fixture has no partsupp.supplycost), per supplier nation
+    * and order year. Both terms are exact decimal sums exported to
+    * double; the subtract/scale arithmetic then runs on identical bits
+    * in both engines. */
+  def productProfit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg((exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")) -
+            exactSumProd(col("p_retailprice"), col("l_quantity")) * lit(0.1))
+             .as("profit"),
+           count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier, keep
+    * the row(s) equal to the global max — an aggregate-equality scalar
+    * subquery. The comparison runs in the EXACT decimal domain (not the
+    * exported double), so ties and the max are engine-independent. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(ts("1997-01-01")) &&
+              col("l_shipdate") < lit(ts("1997-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+             .as("rev_dec"))
+    rev.join(broadcast(rev.agg(max(col("rev_dec")).as("max_rev"))))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              col("rev_dec").cast(DoubleType).as("total_rev"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: the `o_orderkey IN (SELECT
+    * ... HAVING SUM(qty) > 300)` subquery is the aggregate itself — the
+    * filtered per-order sums (a tiny set after HAVING) drive the join,
+    * carrying sum_qty so lineitem is scanned ONCE, not re-joined. */
+  def bigOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+              col("o_totalprice"), col("qty_dec").cast(DoubleType).as("sum_qty"))
+
+  /** TPC-H Q22-shaped idle wealthy customers: above-average balance
+    * (broadcast scalar subquery) AND no recent orders (anti join), rolled
+    * up per nation — scalar subquery + NOT EXISTS composed in one plan. */
+  def idleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.agg(exactAvg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(ts("1999-01-01")))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactSum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  /** Relational division (the FOR ALL quantifier): suppliers whose
+    * high-discount Q1-1997 lines reached customers in EVERY market
+    * segment. Division by counting: distinct (supplier, segment) pairs,
+    * count per supplier, keep rows matching the divisor's cardinality
+    * (a 1-row broadcast) — no N-way self-join. */
+  def divisionSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .filter(col("l_discount") >= 0.09 &&
+              col("l_shipdate") >= lit(ts("1997-01-01")) &&
+              col("l_shipdate") < lit(ts("1997-04-01")))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("l_suppkey"), col("c_mktsegment")).distinct()
+    pairs.groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"))
+      .join(broadcast(
+        Tables.customer(s, dir).agg(countDistinct(col("c_mktsegment")).as("n_total"))))
+      .filter(col("n_segments") === col("n_total"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_segments"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_min_cost_supplier" -> (minCostSupplier _),
+    "rel_nation_volume"     -> (nationVolume _),
+    "rel_product_profit"    -> (productProfit _),
+    "rel_top_supplier"      -> (topSupplier _),
+    "rel_big_orders"        -> (bigOrders _),
+    "rel_idle_customers"    -> (idleCustomers _),
+    "rel_division"          -> (divisionSuppliers _),
     "rel_grouping_sets"     -> (groupingSets _),
     "rel_null_semantics"    -> (nullSemantics _),
     "rel_set_ops_all"       -> (setOpsAll _),
@@ -368,6 +511,84 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_min_cost_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    MIN(l_extendedprice / l_quantity) AS unit_cost
+         |  FROM lineitem GROUP BY 1, 2),
+         |mn AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+         |       FROM ps GROUP BY 1)
+         |SELECT p_partkey, s_name, n_name, unit_cost
+         |FROM ps JOIN mn USING (l_partkey)
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE unit_cost = min_cost AND p_size < 10""".stripMargin,
+    "rel_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |$revenueSql AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "rel_product_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |$revenueSql - ${sqlSumProd("p_retailprice", "l_quantity")} * 0.1
+         |  AS profit,
+         |COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_type = 'PROMO'
+         |GROUP BY 1, 2""".stripMargin,
+    "rel_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    SUM(${sqlDec("l_extendedprice")} * ${sqlDec("(1.0 - l_discount)")})
+         |      AS rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, ${sqlToDouble("rev_dec")} AS total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)""".stripMargin,
+    "rel_big_orders" ->
+      s"""SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+         |${sqlToDouble("qty_dec")} AS sum_qty
+         |FROM (SELECT l_orderkey, SUM(${sqlDec("l_quantity")}) AS qty_dec
+         |      FROM lineitem GROUP BY 1)
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE qty_dec > 300""".stripMargin,
+    "rel_idle_customers" ->
+      s"""SELECT n_name, COUNT(*) AS n_customers,
+         |${sqlSum("c_acctbal")} AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY n_name""".stripMargin,
+    "rel_division" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey, c_mktsegment
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  WHERE l_discount >= 0.09
+         |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01')
+         |SELECT s_suppkey, s_name,
+         |  COUNT(DISTINCT c_mktsegment) AS n_segments
+         |FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2
+         |HAVING COUNT(DISTINCT c_mktsegment) =
+         |  (SELECT COUNT(DISTINCT c_mktsegment) FROM customer)""".stripMargin,
     "rel_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n_lines
