@@ -322,7 +322,79 @@ object DocQueries {
            sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Redaction policy for [[pipeRedact]] — the PII-scrubbing mechanism
+    * (word-boundary alternation, global replace) with a synthetic policy,
+    * since the fixture text contains no real emails/phones/ids. The
+    * pattern stays in the Java-regex/RE2 common subset. */
+  val RedactPattern = "\\b(customer|user)\\b"
+
+  /** Policy-driven redaction: count matches, rewrite the text, and
+    * fingerprint the redacted output so the oracle proves the rewritten
+    * BYTES are identical cross-engine, not just the counts. Pure per-row
+    * map — no shuffle; at 100 TB this is a scan-rewrite-scan pipeline
+    * stage with perfect data parallelism. */
+  def pipeRedact(s: SparkSession, dir: String): DataFrame = {
+    val masked = regexp_replace(col("text"), RedactPattern, "[PII]")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(RedactPattern)).as("n_redacted"),
+      md5(masked.cast("binary")).as("redacted_hash"),
+      length(masked).as("redacted_len"))
+  }
+
+  /** Benchmark-contamination check: the fraction of each corpus doc's
+    * 5-gram shingle occurrences that appear in a held-out benchmark set
+    * (docs with doc_id % 10 == 0), aggregated per source. The benchmark
+    * shingle set drives a LEFT SEMI join — at 100 TB the benchmark side
+    * is small (eval suites are MBs, corpora are TBs), so the probe is a
+    * broadcast/bloom prune, never a corpus-side shuffle. */
+  def pipeContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 5)).as("s5"))
+    val bench = sh.filter(col("doc_id") % 10 === 0).select(col("s5")).distinct()
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+    val hits = corpus.join(bench, Seq("s5"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val perDoc = totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("share",
+        coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"))
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(perDoc.select(col("doc_id"), col("share")), Seq("doc_id"), "left")
+      .withColumn("share", coalesce(col("share"), lit(0.0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("share") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+           max(col("share")).as("max_share"))
+  }
+
+  /** Data-mixture rebalancing plan: given target language weights, the
+    * largest corpus that honors the mixture is bounded by the scarcest
+    * language (total_cap = min over langs of count/weight); each lang
+    * then keeps weight*cap docs. Counts are a tiny aggregate and the cap
+    * a 1-row broadcast — the plan costs one scan regardless of corpus
+    * size; the downstream keep-step is [[pipeStratifiedSample]]'s
+    * deterministic hash bucketing at rate keep_rate. */
+  def pipeMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+                      ("fr", 0.15), ("zh", 0.15)).toDF("lang", "target_w")
+    val counts = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val joined = counts.join(broadcast(weights), Seq("lang"))
+    val cap = joined.agg(min(col("n_docs") / col("target_w")).as("total_cap"))
+    joined.join(broadcast(cap))
+      .select(col("lang"), col("n_docs"), col("target_w"),
+        least(lit(1.0), col("target_w") * col("total_cap") / col("n_docs"))
+          .as("keep_rate"),
+        floor(col("target_w") * col("total_cap")).as("n_keep"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_pii_redact"     -> (pipeRedact _),
+    "pipe_contamination"  -> (pipeContamination _),
+    "pipe_mixture_plan"   -> (pipeMixturePlan _),
     "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
@@ -399,6 +471,51 @@ object DocQueries {
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "pipe_pii_redact" ->
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '\\b(customer|user)\\b'))
+         |  AS INTEGER) AS n_redacted,
+         |md5(regexp_replace(text, '\\b(customer|user)\\b', '[PII]', 'g'))
+         |  AS redacted_hash,
+         |CAST(length(regexp_replace(text, '\\b(customer|user)\\b', '[PII]', 'g'))
+         |  AS INTEGER) AS redacted_len
+         |FROM documents""".stripMargin,
+    "pipe_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${sqlShingles(5)}) AS s5 FROM documents),
+         |bench AS (SELECT DISTINCT s5 FROM sh WHERE doc_id % 10 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits FROM sh
+         |  WHERE doc_id % 10 != 0 AND s5 IN (SELECT s5 FROM bench)
+         |  GROUP BY 1),
+         |totals AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+         |  WHERE doc_id % 10 != 0 GROUP BY 1),
+         |per_doc AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(CAST(h.n_hits AS DOUBLE) / t.n_shingles, 0.0) AS share
+         |  FROM documents d
+         |  LEFT JOIN totals t ON d.doc_id = t.doc_id
+         |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |  WHERE d.doc_id % 10 != 0)
+         |SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN share > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated,
+         |MAX(share) AS max_share
+         |FROM per_doc GROUP BY source""".stripMargin,
+    "pipe_mixture_plan" ->
+      s"""WITH w(lang, target_w) AS (VALUES
+         |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+         |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+         |  ('zh', CAST(0.15 AS DOUBLE))),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |j AS (SELECT c.lang, n_docs, target_w FROM c JOIN w ON c.lang = w.lang),
+         |cap AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_w) AS total_cap
+         |        FROM j)
+         |SELECT lang, n_docs, target_w,
+         |least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE)) AS keep_rate,
+         |CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
+         |FROM j CROSS JOIN cap""".stripMargin,
     "pipe_clean_corpus" -> {
       val scores = TextOps.LangStopwords.map { case (lang, words) =>
         lang -> sqlWordHits(words)
