@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomFunctions, MinHashSigs, SimHash16, VectorFunctions}
+import graft.functions.{BloomFunctions, MinHashSigs, ShingleGen, SimHash16, VectorFunctions}
 
 /** `SparkSessionExtensions` injection point for the engine's native
   * functions — enable with
@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash16" -> (es => SimHash16(es.head)),
     // minhash_sigs(shingles, k) with a literal int k
     "minhash_sigs" -> (es => MinHashSigs(es.head,
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    // shingle_gen(text, n) — UDTF (Generator) with a literal int n
+    "shingle_gen" -> (es => ShingleGen(es.head,
       es(1).eval(null).asInstanceOf[Number].intValue())),
   )
 

@@ -391,7 +391,22 @@ object DocQueries {
         floor(col("target_w") * col("total_cap")).as("n_keep"))
   }
 
+  /** UDTF path (SURVEY §2.10): top trigrams through the custom
+    * [[graft.functions.ShingleGen]] Generator via `LATERAL VIEW` —
+    * streams one row per shingle without materializing the per-doc
+    * shingle array that the explode(builtin) form allocates. Same
+    * downstream shape as [[docTopBigrams]]: map-side partial counts +
+    * TakeOrdered. */
+  def docUdtfTrigrams(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("docs_udtf")
+    s.sql(
+      """SELECT shingle AS trigram, COUNT(*) AS n
+        |FROM docs_udtf LATERAL VIEW shingle_gen(text, 3) t AS shingle
+        |GROUP BY shingle ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_udtf_trigrams"   -> (docUdtfTrigrams _),
     "pipe_pii_redact"     -> (pipeRedact _),
     "pipe_contamination"  -> (pipeContamination _),
     "pipe_mixture_plan"   -> (pipeMixturePlan _),
@@ -471,6 +486,10 @@ object DocQueries {
     }.mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "doc_udtf_trigrams" ->
+      s"""SELECT s5 AS trigram, COUNT(*) AS n
+         |FROM (SELECT unnest(${sqlShingles(3)}) AS s5 FROM documents)
+         |GROUP BY s5 ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
     "pipe_pii_redact" ->
       s"""SELECT doc_id,
          |CAST(len(regexp_extract_all(text, '\\b(customer|user)\\b'))

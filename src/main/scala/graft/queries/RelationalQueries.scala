@@ -457,7 +457,20 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_segments"))
   }
 
+  /** UDAF path (SURVEY §2.10): the typed [[graft.functions.WeightedMeanMicros]]
+    * Aggregator — exact micro-unit integer arithmetic, so the custom
+    * aggregate is order-independent and oracle-matchable like a built-in.
+    * The plan is still partial+final (distributive Long merges). */
+  def udafWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WeightedMeanMicros.register(s)
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(call_function("wmean_micros", col("l_quantity"), col("l_discount"))
+             .as("w_mean_qty"),
+           count(lit(1)).as("n_lines"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_udaf_weighted"     -> (udafWeightedMean _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
     "rel_nation_volume"     -> (nationVolume _),
     "rel_product_profit"    -> (productProfit _),
@@ -511,6 +524,16 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_udaf_weighted" ->
+      s"""SELECT l_returnflag,
+         |CASE WHEN SUM(CAST(round(l_discount * 10000) AS BIGINT)) = 0
+         |  THEN 0.0
+         |  ELSE (CAST(SUM(CAST(round(l_quantity * l_discount * 100000000)
+         |          AS BIGINT)) AS DOUBLE) / 100000000.0)
+         |     / (CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+         |          AS DOUBLE) / 10000.0) END AS w_mean_qty,
+         |COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_min_cost_supplier" ->
       s"""WITH ps AS (
          |  SELECT l_partkey, l_suppkey,
