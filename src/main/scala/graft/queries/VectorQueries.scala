@@ -121,6 +121,36 @@ object VectorQueries {
            min(col("xd")).as("min_x"), max(col("xd")).as("max_x"),
            sum(when(col("xd") > 0, 1L).otherwise(0L)).as("n_positive"))
 
+  /** Int8 scalar-quantization audit: per-dimension [min,max] codebook,
+    * code = round((x-min)/(max-min)*255), reporting per-dim code spread
+    * and the worst reconstruction error (millis buckets). The codebook is
+    * a 64-row broadcast — at 100 TB the quantization pass is a pure
+    * map over the vector scan, the exact shape used to shrink an
+    * embedding store 4× before ANN serving. All arithmetic is
+    * deterministic double ops on identical bits (division/multiply are
+    * correctly rounded; round() is half-up on non-negative input in both
+    * engines), so even the error buckets hash-match. */
+  def simQuantize(s: SparkSession, dir: String): DataFrame = {
+    val xs = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+    val stats = xs.groupBy(col("dim"))
+      .agg(min(col("xd")).as("min_x"), max(col("xd")).as("max_x"))
+    xs.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("max_x") > col("min_x"),
+          round((col("xd") - col("min_x")) /
+                (col("max_x") - col("min_x")) * 255.0))
+          .otherwise(lit(0.0)).cast("int"))
+      .withColumn("abs_err_bucket",
+        floor(abs(col("xd") - (col("min_x") + col("code").cast("double") /
+          255.0 * (col("max_x") - col("min_x")))) * 1000.0).cast("long"))
+      .groupBy(col("dim"))
+      .agg(countDistinct(col("code")).as("n_codes"),
+           min(col("code")).as("min_code"), max(col("code")).as("max_code"),
+           max(col("abs_err_bucket")).as("max_err_millis"))
+  }
+
   /** ANN quality evaluation: recall@3 of the LSH index against the
     * brute-force ground truth, per query — the standard measure an
     * engine must produce about its own approximate paths. Left join
@@ -168,6 +198,7 @@ object VectorQueries {
     "sim_vector_stats"  -> (simVectorStats _),
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
+    "sim_quantize"      -> (simQuantize _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -282,6 +313,31 @@ object VectorQueries {
          |MIN(sqrt($sumSq)) AS min_norm, MAX(sqrt($sumSq)) AS max_norm
          |FROM embeddings GROUP BY 1""".stripMargin
     },
+    "sim_quantize" ->
+      s"""WITH xs AS (
+         |  SELECT dim, CAST(embedding[dim] AS DOUBLE) AS xd
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
+         |              AS dim)),
+         |stats AS (
+         |  SELECT dim, MIN(xd) AS min_x, MAX(xd) AS max_x FROM xs
+         |  GROUP BY dim),
+         |coded AS (
+         |  SELECT xs.dim, xd, min_x, max_x,
+         |    CAST(CASE WHEN max_x > min_x
+         |      THEN round((xd - min_x) / (max_x - min_x) * 255.0)
+         |      ELSE 0.0 END AS INTEGER) AS code
+         |  FROM xs JOIN stats ON xs.dim = stats.dim),
+         |recon AS (
+         |  SELECT dim, code,
+         |    CAST(floor(abs(xd - (min_x + CAST(code AS DOUBLE) / 255.0 *
+         |      (max_x - min_x))) * 1000.0) AS BIGINT) AS abs_err_bucket
+         |  FROM coded)
+         |SELECT dim, COUNT(DISTINCT code) AS n_codes,
+         |CAST(MIN(code) AS INTEGER) AS min_code,
+         |CAST(MAX(code) AS INTEGER) AS max_code,
+         |MAX(abs_err_bucket) AS max_err_millis
+         |FROM recon GROUP BY dim""".stripMargin,
     "sim_dim_minmax" ->
       s"""SELECT dim, COUNT(*) AS n,
          |MIN(CAST(embedding[dim] AS DOUBLE)) AS min_x,

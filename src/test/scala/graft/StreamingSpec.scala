@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("file source discovers new parquet files incrementally (streaming directory scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val first = rows.take(3).toDF()
+    first.write.mode("append").parquet(dir)
+    // the streaming twin of the reference's one-shot directory scan:
+    // same glob+schema surface, but new files keep arriving
+    val sdf = spark.readStream.schema(first.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = sdf.writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      rows.drop(3).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // maxFilesPerTrigger=1 forces one micro-batch per file: discovery
+      // was genuinely incremental, not a single snapshot
+      assert(q.lastProgress.batchId >= 1)
+    } finally q.stop()
+    val got = spark.table("filesrc").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == rows.map(_.event_id).sorted)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
