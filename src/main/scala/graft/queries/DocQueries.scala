@@ -405,7 +405,30 @@ object DocQueries {
         |GROUP BY shingle ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin)
   }
 
+  /** Mixture-plan EXECUTION: apply [[pipeMixturePlan]]'s per-language
+    * keep_rate with the seeded-md5 bucket sampler (same mechanism as
+    * [[pipeStratifiedSample]] — no RNG, reproducible on any cluster
+    * layout). The plan is a 5-row broadcast joined onto the corpus scan;
+    * the audit compares realized keeps against the plan's n_keep.
+    * Bucketing at 1e6 granularity keeps the realized rate within ~0.1%
+    * of target at corpus scale. */
+  def pipeMixtureApply(s: SparkSession, dir: String): DataFrame = {
+    val plan = pipeMixturePlan(s, dir)
+      .select(col("lang"), col("keep_rate"), col("n_keep"))
+    val bucket = conv(substring(
+      md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000
+    Tables.documents(s, dir)
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("keep", bucket < col("keep_rate") * 1000000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_realized"),
+           min(col("n_keep")).as("n_planned"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mixture_apply"  -> (pipeMixtureApply _),
     "doc_udtf_trigrams"   -> (docUdtfTrigrams _),
     "pipe_pii_redact"     -> (pipeRedact _),
     "pipe_contamination"  -> (pipeContamination _),
@@ -485,7 +508,36 @@ object DocQueries {
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
 
+  /** Shared mixture-plan CTE prefix (weights → counts → cap → plan) —
+    * single source for pipe_mixture_plan and pipe_mixture_apply. */
+  private val mixturePlanCte: String =
+    s"""w(lang, target_w) AS (VALUES
+       |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+       |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+       |  ('zh', CAST(0.15 AS DOUBLE))),
+       |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |j AS (SELECT c.lang, n_docs, target_w FROM c JOIN w ON c.lang = w.lang),
+       |cap AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_w) AS total_cap
+       |        FROM j)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipe_mixture_apply" -> {
+      val bucket = "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR))," +
+        " 1, 8) AS BIGINT) % 1000000"
+      s"""WITH $mixturePlanCte,
+         |plan AS (
+         |  SELECT lang,
+         |    least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE))
+         |      AS keep_rate,
+         |    CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
+         |  FROM j CROSS JOIN cap)
+         |SELECT d.lang, COUNT(*) AS n_total,
+         |CAST(SUM(CASE WHEN $bucket < keep_rate * 1000000 THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_realized,
+         |MIN(n_keep) AS n_planned
+         |FROM documents d JOIN plan ON d.lang = plan.lang
+         |GROUP BY d.lang""".stripMargin
+    },
     "doc_udtf_trigrams" ->
       s"""SELECT s5 AS trigram, COUNT(*) AS n
          |FROM (SELECT unnest(${sqlShingles(3)}) AS s5 FROM documents)
@@ -523,14 +575,7 @@ object DocQueries {
          |MAX(share) AS max_share
          |FROM per_doc GROUP BY source""".stripMargin,
     "pipe_mixture_plan" ->
-      s"""WITH w(lang, target_w) AS (VALUES
-         |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
-         |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
-         |  ('zh', CAST(0.15 AS DOUBLE))),
-         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-         |j AS (SELECT c.lang, n_docs, target_w FROM c JOIN w ON c.lang = w.lang),
-         |cap AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_w) AS total_cap
-         |        FROM j)
+      s"""WITH $mixturePlanCte
          |SELECT lang, n_docs, target_w,
          |least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE)) AS keep_rate,
          |CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
