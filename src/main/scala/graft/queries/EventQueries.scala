@@ -236,7 +236,25 @@ object EventQueries {
         .as("n_full_funnel"))
   }
 
+  /** Event-sequence transition mining: (prev_type → type) bigram counts
+    * over each user's time-ordered stream — the Markov transition matrix
+    * behind user-path analysis. One shuffle on user_id feeds the lag;
+    * the tiny (from,to) matrix then aggregates with map-side combine.
+    * Ordering is exact: µs event time with event_id as the unique
+    * tie-break (fixture ns timestamps can collide at µs grain). */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    withTsUs(Tables.events(s, dir))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+           countDistinct(col("user_id")).as("n_users"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transitions"      -> (transitions _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
@@ -257,6 +275,15 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_transitions" ->
+      s"""SELECT prev_type, event_type, COUNT(*) AS n_transitions,
+         |COUNT(DISTINCT user_id) AS n_users
+         |FROM (SELECT user_id, event_type,
+         |        lag(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY $usExpr ASC, event_id ASC) AS prev_type
+         |      FROM events)
+         |WHERE prev_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     "evt_funnel" ->
       s"""SELECT COUNT(*) AS n_users,
          |CAST(SUM(CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

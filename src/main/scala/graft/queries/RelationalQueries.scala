@@ -457,6 +457,32 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_segments"))
   }
 
+  /** TPC-H Q21-shaped waiting-supplier report: suppliers that were the
+    * ONLY late shipper on a multi-supplier order. The two correlated
+    * self-EXISTS of the textbook form (another supplier exists / no other
+    * late supplier exists) are decorrelated into one aggregation ladder —
+    * per-(order,supplier) late flag → per-order supplier and late-supplier
+    * counts → filter — so lineitem is scanned once and shuffled once on
+    * the order key, instead of three correlated probes of the fact table. */
+  def waitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .cast("int"))
+    val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    perSupp.join(perOrder, Seq("l_orderkey"))
+      .filter(col("supp_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+  }
+
   /** UDAF path (SURVEY §2.10): the typed [[graft.functions.WeightedMeanMicros]]
     * Aggregator — exact micro-unit integer arithmetic, so the custom
     * aggregate is order-independent and oracle-matchable like a built-in.
@@ -471,6 +497,7 @@ object RelationalQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_udaf_weighted"     -> (udafWeightedMean _),
+    "rel_waiting_supplier"  -> (waitingSupplier _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
     "rel_nation_volume"     -> (nationVolume _),
     "rel_product_profit"    -> (productProfit _),
@@ -524,6 +551,23 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_waiting_supplier" ->
+      s"""WITH lo AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |      THEN 1 ELSE 0 END AS is_late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |per_supp AS (
+         |  SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+         |  FROM lo GROUP BY 1, 2),
+         |per_order AS (
+         |  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(supp_late) AS n_late
+         |  FROM per_supp GROUP BY 1)
+         |SELECT s_name, COUNT(*) AS n_waiting_orders
+         |FROM per_supp JOIN per_order USING (l_orderkey)
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
+         |GROUP BY s_name""".stripMargin,
     "rel_udaf_weighted" ->
       s"""SELECT l_returnflag,
          |CASE WHEN SUM(CAST(round(l_discount * 10000) AS BIGINT)) = 0
