@@ -495,7 +495,26 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Z-order locality audit: bucket lineitem by the top bits of the
+    * (partkey, suppkey) Morton key and report each bucket's spread in
+    * BOTH dimensions. Every aligned 2^14 z-range is a 128×128 aligned
+    * rectangle, so both per-bucket ranges are provably ≤ 127 — the
+    * property that makes footer min/max stats prune multi-dimensional
+    * predicates after [[graft.operators.Layout.clusterByZ]]. */
+  def zorderLocality(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        shiftright(graft.operators.Layout.zorderKey(
+          col("l_partkey"), col("l_suppkey")), 14).as("zbucket"),
+        graft.operators.Layout.zmod(col("l_partkey")).as("pm"),
+        graft.operators.Layout.zmod(col("l_suppkey")).as("sm"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_lines"),
+           min(col("pm")).as("min_p"), max(col("pm")).as("max_p"),
+           min(col("sm")).as("min_s"), max(col("sm")).as("max_s"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_zorder_locality"   -> (zorderLocality _),
     "rel_udaf_weighted"     -> (udafWeightedMean _),
     "rel_waiting_supplier"  -> (waitingSupplier _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
@@ -551,6 +570,17 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_zorder_locality" -> {
+      val z = graft.operators.Layout.zorderSqlExpr(
+        "l_partkey % 65536", "l_suppkey % 65536")
+      s"""SELECT (zkey >> 14) AS zbucket, COUNT(*) AS n_lines,
+         |MIN(pm) AS min_p, MAX(pm) AS max_p,
+         |MIN(sm) AS min_s, MAX(sm) AS max_s
+         |FROM (SELECT $z AS zkey, (l_partkey % 65536) AS pm,
+         |        (l_suppkey % 65536) AS sm
+         |      FROM lineitem)
+         |GROUP BY 1""".stripMargin
+    },
     "rel_waiting_supplier" ->
       s"""WITH lo AS (
          |  SELECT l_orderkey, l_suppkey,
