@@ -495,6 +495,30 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Null-aware anti join — the NOT IN trap: when the subquery's value
+    * set contains a NULL, three-valued logic makes `x NOT IN (...)`
+    * UNKNOWN for every x, so rows only survive against the null-free
+    * branch. Spark plans this as BroadcastNestedLoopJoin/null-aware
+    * anti; the query contrasts NOT IN (nullable set) with the NOT
+    * EXISTS form on identical data — engines must agree on both. The
+    * probed set here: priorities of orders above a price threshold,
+    * with a NULL manufactured for one priority class. */
+  def notInNulls(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    ord.createOrReplaceTempView("orders_nin")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders_nin
+        |   WHERE o_orderpriority NOT IN (
+        |     SELECT nullif(o_orderpriority, '5-LOW') FROM orders_nin
+        |     WHERE o_totalprice > 90000)) AS n_not_in_nullable,
+        |  (SELECT COUNT(*) FROM orders_nin o1
+        |   WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders_nin o2 WHERE o2.o_totalprice > 90000
+        |     AND nullif(o2.o_orderpriority, '5-LOW') = o1.o_orderpriority))
+        |    AS n_not_exists""".stripMargin)
+  }
+
   /** Z-order locality audit: bucket lineitem by the top bits of the
     * (partkey, suppkey) Morton key and report each bucket's spread in
     * BOTH dimensions. Every aligned 2^14 z-range is a 128×128 aligned
@@ -515,6 +539,7 @@ object RelationalQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_zorder_locality"   -> (zorderLocality _),
+    "rel_not_in_nulls"      -> (notInNulls _),
     "rel_udaf_weighted"     -> (udafWeightedMean _),
     "rel_waiting_supplier"  -> (waitingSupplier _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
@@ -570,6 +595,17 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_not_in_nulls" ->
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM orders
+         |   WHERE o_orderpriority NOT IN (
+         |     SELECT nullif(o_orderpriority, '5-LOW') FROM orders
+         |     WHERE o_totalprice > 90000)) AS n_not_in_nullable,
+         |  (SELECT COUNT(*) FROM orders o1
+         |   WHERE NOT EXISTS (
+         |     SELECT 1 FROM orders o2 WHERE o2.o_totalprice > 90000
+         |     AND nullif(o2.o_orderpriority, '5-LOW') = o1.o_orderpriority))
+         |    AS n_not_exists""".stripMargin,
     "rel_zorder_locality" -> {
       val z = graft.operators.Layout.zorderSqlExpr(
         "l_partkey % 65536", "l_suppkey % 65536")
