@@ -495,6 +495,21 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Join-strategy control surface: the same orders⋈customer rollup
+    * under an explicit SORT-MERGE hint — the planner override a user
+    * reaches for when size estimates are wrong (a mis-broadcast dim
+    * OOMs executors at 100 TB; the hint forces the safe exchange). The
+    * result is strategy-invariant — the oracle is the plain join — and
+    * the spec asserts the physical operator actually flips
+    * (SortMergeJoin here, ShuffledHashJoin for the sibling hint). */
+  def mergeJoinHint(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(col("o_totalprice")).as("sum_price"))
+
   /** Null-aware anti join — the NOT IN trap: when the subquery's value
     * set contains a NULL, three-valued logic makes `x NOT IN (...)`
     * UNKNOWN for every x, so rows only survive against the null-free
@@ -540,6 +555,7 @@ object RelationalQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_zorder_locality"   -> (zorderLocality _),
     "rel_not_in_nulls"      -> (notInNulls _),
+    "rel_merge_join"        -> (mergeJoinHint _),
     "rel_udaf_weighted"     -> (udafWeightedMean _),
     "rel_waiting_supplier"  -> (waitingSupplier _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
@@ -595,6 +611,11 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_merge_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
     "rel_not_in_nulls" ->
       s"""SELECT
          |  (SELECT COUNT(*) FROM orders

@@ -28,6 +28,24 @@ class RelationalSpec extends SparkSpec {
       Seq($"price".desc), 5).count() == 0)
   }
 
+  test("join hints flip the physical strategy without changing results") {
+    val dir = "/root/testdata/sf0.001"
+    val ord = graft.sources.Tables.orders(spark, dir)
+    val cust = graft.sources.Tables.customer(spark, dir)
+    def agg(hinted: org.apache.spark.sql.DataFrame) =
+      ord.join(hinted, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    val merge = agg(cust.hint("merge"))
+    val shash = agg(cust.hint("shuffle_hash"))
+    val plain = agg(cust)
+    assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(shash.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(plain.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merge.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == rows)
+    assert(shash.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == rows)
+  }
+
   test("starJoin broadcasts every dimension") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust", "tier")
     val joined = Relational.starJoin(orders, Seq((dim, Seq("cust"))))
