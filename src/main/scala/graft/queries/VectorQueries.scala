@@ -131,9 +131,12 @@ object VectorQueries {
     * correctly rounded; round() is half-up on non-negative input in both
     * engines), so even the error buckets hash-match. */
   def simQuantize(s: SparkSession, dir: String): DataFrame = {
+    // xs feeds both the codebook aggregate and the (exchange-free) probe
+    // side of the join — materialize once or the explode runs twice
     val xs = Tables.embeddings(s, dir)
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = xs.groupBy(col("dim"))
       .agg(min(col("xd")).as("min_x"), max(col("xd")).as("max_x"))
     xs.join(broadcast(stats), Seq("dim"))
