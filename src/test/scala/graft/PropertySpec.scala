@@ -185,4 +185,65 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("zorderKey equals the bit-interleave reference on random points") {
+    val ptGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+    } yield (a, b))
+    check("zorder", Prop.forAll(ptGen) { pts =>
+      val got = pts.toDF("a", "b")
+        .select(graft.operators.Layout.zorderKey($"a", $"b"))
+        .as[Long].collect().toSeq
+      val expected = pts.map { case (a, b) =>
+        (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+        }
+      }
+      got == expected
+    })
+  }
+
+  test("WeightedMeanMicros equals exact rational arithmetic on 4-decimal inputs") {
+    graft.functions.WeightedMeanMicros.register(spark)
+    // values/weights on the 1e-4 grid — the aggregator's exactness domain
+    val rowGen = Gen.nonEmptyListOf(for {
+      v <- Gen.choose(0, 500000).map(_ / 10000.0)
+      w <- Gen.choose(0, 20000).map(_ / 10000.0)
+    } yield (v, w))
+    check("wmean", Prop.forAll(rowGen) { rows =>
+      val got = rows.toDF("v", "w")
+        .agg(call_function("wmean_micros", $"v", $"w"))
+        .as[Double].head()
+      // reference: exact integer micro-unit arithmetic on the driver
+      val sumVW = rows.map { case (v, w) =>
+        math.round(v * w * 1e8) }.sum
+      val sumW = rows.map { case (_, w) => math.round(w * 1e4) }.sum
+      val expected = if (sumW == 0L) 0.0
+                     else (sumVW.toDouble / 1e8) / (sumW.toDouble / 1e4)
+      got == expected
+    })
+  }
+
+  test("mixture plan is feasible and tight for random counts/weights") {
+    // law checked in pure Scala on the same arithmetic the query uses:
+    // n_keep ≤ n_docs, and the binding lang keeps (nearly) everything
+    val caseGen = for {
+      n <- Gen.choose(2, 6)
+      counts <- Gen.listOfN(n, Gen.choose(1L, 100000L))
+      raw <- Gen.listOfN(n, Gen.choose(1, 100))
+    } yield (counts, raw.map(_.toDouble / raw.sum))
+    check("mixture", Prop.forAll(caseGen) { case (counts, weights) =>
+      val cap = counts.zip(weights).map { case (c, w) => c / w }.min
+      counts.zip(weights).forall { case (c, w) =>
+        val keep = math.floor(w * cap)
+        keep <= c && keep >= 0
+      } && {
+        val total = weights.map(w => math.floor(w * cap)).sum
+        // realized mixture within 1 doc per lang of the target split
+        weights.forall(w => math.abs(math.floor(w * cap) - w * total) <=
+          weights.length + 1)
+      }
+    })
+  }
 }
