@@ -160,4 +160,43 @@ object Similarity {
               VectorFunctions.cosineSim(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Product quantization: split each vector into `m` contiguous
+    * subspaces and assign every (vector, subspace) the nearest entry of
+    * a per-subspace codebook — the memory-compression companion to
+    * [[ivfTopK]] (IVF-PQ). Codebooks reuse the IVF determinism recipe:
+    * entries are per-dimension MEDIANS over the coarse cells
+    * (`cellCol`), so training is a partial-merge aggregate with no RNG
+    * and no iteration. Distances are L2 computed as an ORDERED left
+    * fold over the subspace (`aggregate(zip_with(...))`) — the same
+    * sequential-sum contract as the native dot-product expression, so
+    * every distance is bit-identical cross-engine and the argmin
+    * (tie-broken by code) is oracle-replayable.
+    *
+    * Shuffle shape at 100 TB: codebook = (cells × dims) medians — tiny,
+    * broadcast; assignment is a map-side cross of each vector row with
+    * m×cells codebook entries, no corpus shuffle. Output: one row per
+    * (vector, subspace) with the chosen code and its distance. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              m: Int, dims: Int): DataFrame = {
+    val subDims = dims / m
+    val cents = emb
+      .select(col(cellCol).as("code"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("code"), col("d"))
+      .agg(expr("percentile(v, 0.5)").as("cv"))
+      .withColumn("sub", (col("d") / subDims).cast("int"))
+      .groupBy(col("code"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+                     x => x.getField("cv")).as("cent"))
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("svec", expr(
+        s"transform(slice(vec, sub * $subDims + 1, $subDims)," +
+          " x -> CAST(x AS DOUBLE))"))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(svec, cent, (x, c) -> (x - c) * (x - c))," +
+          " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"))
+      .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+  }
 }

@@ -24,6 +24,19 @@ object VectorQueries {
   private def sqlDot(a: String, b: String): String =
     (1 to Dims).map(i => s"CAST($a[$i] AS DOUBLE)*$b[$i]").mkString(" + ")
 
+  /** PQ layout constants — single source for Spark call + oracle SQL. */
+  private val PqM = 4
+  private val PqSubDims = Dims / PqM
+
+  /** Ordered L2 over one subspace: explicit left-associated sum, the SQL
+    * twin of Spark's `aggregate(zip_with(...))` fold (0.0 + e1 ≡ e1 for
+    * the non-negative squared terms). `sub` is a column reference. */
+  private def sqlPqDist(sub: String): String =
+    (1 to PqSubDims).map { i =>
+      s"((CAST(embedding[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]) * " +
+        s"(CAST(embedding[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]))"
+    }.mkString(" + ")
+
   private def sqlCos(a: String, b: String): String = {
     val na = sqlDot(a, a); val nb = sqlDot(b, b)
     s"""CASE WHEN ($na) = 0.0 OR ($nb) = 0.0 THEN 0.0
@@ -154,6 +167,21 @@ object VectorQueries {
            max(col("abs_err_bucket")).as("max_err_millis"))
   }
 
+  /** Product-quantization audit: argmin code per (vector, subspace) via
+    * [[graft.operators.Similarity.pqCodes]] (4 subspaces × the 10 coarse
+    * cells as codebook entries), rolled up per (subspace, code) with
+    * bucketed distortion bounds. Every distance is an ordered L2 fold on
+    * identical doubles, so even the distortion buckets hash-match. */
+  def simPqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(
+      Similarity.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding",
+                         "label", PqM, Dims),
+      Seq("vec_id", "sub"), Seq(col("dist").asc, col("code").asc), 1, "rn")
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"),
+           min(floor(col("dist") * 100)).as("min_dist_c"),
+           max(floor(col("dist") * 100)).as("max_dist_c"))
+
   /** ANN quality evaluation: recall@3 of the LSH index against the
     * brute-force ground truth, per query — the standard measure an
     * engine must produce about its own approximate paths. Left join
@@ -202,6 +230,7 @@ object VectorQueries {
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
     "sim_quantize"      -> (simQuantize _),
+    "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -316,6 +345,31 @@ object VectorQueries {
          |MIN(sqrt($sumSq)) AS min_norm, MAX(sqrt($sumSq)) AS max_norm
          |FROM embeddings GROUP BY 1""".stripMargin
     },
+    "sim_pq_codes" ->
+      s"""WITH cents AS (
+         |  SELECT label AS code, d,
+         |    percentile_cont(0.5) WITHIN GROUP (
+         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
+         |              AS d)
+         |  GROUP BY 1, 2),
+         |cent_arr AS (
+         |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
+         |    list(cv ORDER BY d) AS cent
+         |  FROM cents GROUP BY 1, 2),
+         |dists AS (
+         |  SELECT e.vec_id, c.sub, c.code, ${sqlPqDist("c.sub")} AS dist
+         |  FROM embeddings e JOIN cent_arr c ON TRUE),
+         |best AS (
+         |  SELECT sub, code, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist ASC, code ASC) AS rn FROM dists)
+         |  WHERE rn = 1)
+         |SELECT sub, code, COUNT(*) AS n_vectors,
+         |CAST(MIN(floor(dist * 100)) AS BIGINT) AS min_dist_c,
+         |CAST(MAX(floor(dist * 100)) AS BIGINT) AS max_dist_c
+         |FROM best GROUP BY 1, 2""".stripMargin,
     "sim_quantize" ->
       s"""WITH xs AS (
          |  SELECT dim, CAST(embedding[dim] AS DOUBLE) AS xd
