@@ -98,15 +98,21 @@ object Similarity {
     * result is order-independent, so — unlike a float mean, which
     * depends on partial-aggregation order — centroids are deterministic
     * and the whole operator is DuckDB-oracle-replayable. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = emb
+  /** Per-cell centroid vectors (per-dimension medians, ordered, float) —
+    * the coarse "training" step shared by [[ivfTopK]] and the IVF-PQ
+    * probe. */
+  def cellCentroids(emb: DataFrame, vecCol: String, cellCol: String): DataFrame =
+    emb
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("cell"), col("d"))
       .agg(expr("percentile(v, 0.5)").as("cv"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
                      x => x.getField("cv").cast("float")).as("centroid"))
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = cellCentroids(emb, vecCol, cellCol)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val probed = Relational.topKPerGroup(
@@ -177,10 +183,13 @@ object Similarity {
     * broadcast; assignment is a map-side cross of each vector row with
     * m×cells codebook entries, no corpus shuffle. Output: one row per
     * (vector, subspace) with the chosen code and its distance. */
-  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              m: Int, dims: Int): DataFrame = {
+  /** Per-(code, subspace) PQ codebook: ordered double centroid slices
+    * (per-dimension medians over the coarse cells). Shared by
+    * [[pqCodes]] and the IVF-PQ asymmetric scorer. */
+  def pqCodebook(emb: DataFrame, vecCol: String, cellCol: String,
+                 m: Int, dims: Int): DataFrame = {
     val subDims = dims / m
-    val cents = emb
+    emb
       .select(col(cellCol).as("code"), posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy(col("code"), col("d"))
       .agg(expr("percentile(v, 0.5)").as("cv"))
@@ -188,15 +197,70 @@ object Similarity {
       .groupBy(col("code"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
                      x => x.getField("cv")).as("cent"))
+  }
+
+  /** Ordered L2 fold over a subspace pair — the sequential-sum contract
+    * shared with the generated oracle SQL. */
+  private def l2Fold(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c))," +
+      " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              m: Int, dims: Int): DataFrame = {
+    val subDims = dims / m
+    val cents = pqCodebook(emb, vecCol, cellCol, m, dims)
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("svec", expr(
         s"transform(slice(vec, sub * $subDims + 1, $subDims)," +
           " x -> CAST(x AS DOUBLE))"))
       .join(broadcast(cents), Seq("sub"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(svec, cent, (x, c) -> (x - c) * (x - c))," +
-          " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"))
+      .withColumn("dist", l2Fold("svec", "cent"))
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+  }
+
+  /** IVF-PQ serving path: probe the `nprobe` nearest coarse cells (by
+    * cosine to the cell centroid, as [[ivfTopK]]), then score every
+    * candidate by ASYMMETRIC distance — the exact query subvector
+    * against the candidate's quantized code centroid, summed over
+    * subspaces in FIXED subspace order (conditional-aggregate sum, not
+    * an unordered float reduction) so the ADC score is bit-deterministic.
+    * At scale: codes are m small ints per vector (the 4× memory win),
+    * the codebook broadcasts, and scoring reads codes — never the
+    * original candidate vectors. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                cellCol: String, queryPred: Column, k: Int,
+                m: Int, dims: Int, nprobe: Int = 2): DataFrame = {
+    val subDims = dims / m
+    val cents = pqCodebook(emb, vecCol, cellCol, m, dims)
+    val codes = Relational.topKPerGroup(
+      pqCodes(emb, idCol, vecCol, cellCol, m, dims),
+      Seq("vec_id", "sub"), Seq(col("dist").asc, col("code").asc), 1, "rn")
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val probed = Relational.topKPerGroup(
+      emb.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(broadcast(cellCentroids(emb, vecCol, cellCol)))
+        .select(col("query_id"), col("qvec"), col("cell"),
+                graft.functions.VectorFunctions
+                  .cosineSim(col("qvec"), col("centroid")).as("cc")),
+      Seq("query_id"), Seq(col("cc").desc, col("cell").asc), nprobe, "cell_rank")
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val candidates = emb
+      .select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val subScores = candidates
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(cents), Seq("sub", "code"))
+      .withColumn("qsvec", expr(
+        s"transform(slice(qvec, sub * $subDims + 1, $subDims)," +
+          " x -> CAST(x AS DOUBLE))"))
+      .withColumn("sd", l2Fold("qsvec", "cent"))
+    val adc = subScores.groupBy(col("query_id"), col("neighbor_id"))
+      .agg((0 until m).map(i => max(when(col("sub") === i, col("sd"))))
+             .reduce(_ + _).as("adc"))
+    Relational.topKPerGroup(adc, Seq("query_id"),
+      Seq(col("adc").asc, col("neighbor_id").asc), k, "rank")
   }
 }

@@ -30,11 +30,12 @@ object VectorQueries {
 
   /** Ordered L2 over one subspace: explicit left-associated sum, the SQL
     * twin of Spark's `aggregate(zip_with(...))` fold (0.0 + e1 ≡ e1 for
-    * the non-negative squared terms). `sub` is a column reference. */
-  private def sqlPqDist(sub: String): String =
+    * the non-negative squared terms). `vec` names the float-list column,
+    * `sub` is a column reference. */
+  private def sqlPqDist(vec: String, sub: String): String =
     (1 to PqSubDims).map { i =>
-      s"((CAST(embedding[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]) * " +
-        s"(CAST(embedding[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]))"
+      s"((CAST($vec[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]) * " +
+        s"(CAST($vec[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]))"
     }.mkString(" + ")
 
   private def sqlCos(a: String, b: String): String = {
@@ -182,6 +183,16 @@ object VectorQueries {
            min(floor(col("dist") * 100)).as("min_dist_c"),
            max(floor(col("dist") * 100)).as("max_dist_c"))
 
+  /** IVF-PQ serving path: probe 2 coarse cells, score candidates by
+    * asymmetric distance against their PQ codes (exact query subvector
+    * vs quantized centroid, fixed subspace-order sum), top-3. The
+    * complete compressed-index ANN stack, fully oracle-replayable. */
+  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                         "label", queryPred, 3, PqM, Dims)
+  }
+
   /** ANN quality evaluation: recall@3 of the LSH index against the
     * brute-force ground truth, per query — the standard measure an
     * engine must produce about its own approximate paths. Left join
@@ -231,6 +242,7 @@ object VectorQueries {
     "sim_dim_minmax"    -> (simDimMinMax _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
+    "sim_topk_ivfpq"    -> (simTopKIvfPq _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -345,6 +357,62 @@ object VectorQueries {
          |MIN(sqrt($sumSq)) AS min_norm, MAX(sqrt($sumSq)) AS max_norm
          |FROM embeddings GROUP BY 1""".stripMargin
     },
+    "sim_topk_ivfpq" ->
+      s"""WITH pq_cents AS (
+         |  SELECT label AS code, d,
+         |    percentile_cont(0.5) WITHIN GROUP (
+         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS cv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
+         |              AS d)
+         |  GROUP BY 1, 2),
+         |cent_arr AS (
+         |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
+         |    list(cv ORDER BY d) AS cent
+         |  FROM pq_cents GROUP BY 1, 2),
+         |fcentroids AS (
+         |  SELECT code AS cell, list(CAST(cv AS REAL) ORDER BY d) AS centroid
+         |  FROM pq_cents GROUP BY code),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE $QueryPredSql),
+         |probe AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+         |        AS cell_rank
+         |    FROM q CROSS JOIN fcentroids c)
+         |  WHERE cell_rank <= 2),
+         |code_dists AS (
+         |  SELECT e.vec_id, c.sub, c.code,
+         |    ${sqlPqDist("e.embedding", "c.sub")} AS dist
+         |  FROM embeddings e JOIN cent_arr c ON TRUE),
+         |codes AS (
+         |  SELECT vec_id AS neighbor_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist ASC, code ASC) AS rn FROM code_dists)
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT p.query_id, p.qv, e.vec_id AS neighbor_id
+         |  FROM embeddings e JOIN probe p ON e.label = p.cell
+         |  WHERE e.vec_id <> p.query_id),
+         |subsc AS (
+         |  SELECT query_id, cand.neighbor_id, s.sub,
+         |    ${sqlPqDist("cand.qv", "s.sub")} AS sd
+         |  FROM cand
+         |  JOIN codes s ON cand.neighbor_id = s.neighbor_id
+         |  JOIN cent_arr ca ON ca.sub = s.sub AND ca.code = s.code),
+         |adc_t AS (
+         |  SELECT query_id, neighbor_id,
+         |    MAX(CASE WHEN sub = 0 THEN sd END)
+         |      + MAX(CASE WHEN sub = 1 THEN sd END)
+         |      + MAX(CASE WHEN sub = 2 THEN sd END)
+         |      + MAX(CASE WHEN sub = 3 THEN sd END) AS adc
+         |  FROM subsc GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc_t)
+         |WHERE rank <= 3""".stripMargin,
     "sim_pq_codes" ->
       s"""WITH cents AS (
          |  SELECT label AS code, d,
@@ -359,7 +427,8 @@ object VectorQueries {
          |    list(cv ORDER BY d) AS cent
          |  FROM cents GROUP BY 1, 2),
          |dists AS (
-         |  SELECT e.vec_id, c.sub, c.code, ${sqlPqDist("c.sub")} AS dist
+         |  SELECT e.vec_id, c.sub, c.code,
+         |    ${sqlPqDist("e.embedding", "c.sub")} AS dist
          |  FROM embeddings e JOIN cent_arr c ON TRUE),
          |best AS (
          |  SELECT sub, code, dist FROM (
