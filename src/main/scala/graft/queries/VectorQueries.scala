@@ -193,6 +193,24 @@ object VectorQueries {
                          "label", queryPred, 3, PqM, Dims)
   }
 
+  /** Recall@3 of the IVF-PQ path vs brute-force ground truth — closing
+    * the eval triad (LSH, IVF, IVF-PQ): recall quantifies what the 4×
+    * compression costs in answer quality. */
+  def simIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = simTopKIvfPq(s, dir)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
+             .as("recall_at_k"))
+  }
+
   /** ANN quality evaluation: recall@3 of the LSH index against the
     * brute-force ground truth, per query — the standard measure an
     * engine must produce about its own approximate paths. Left join
@@ -243,6 +261,7 @@ object VectorQueries {
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
+    "sim_ivfpq_recall"  -> (simIvfPqRecall _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
@@ -281,6 +300,67 @@ object VectorQueries {
        |    ${sqlCos("probe.qv", "e.embedding")} AS cosine
        |  FROM embeddings e JOIN probe ON e.label = probe.cell
        |  WHERE e.vec_id <> probe.query_id)""".stripMargin
+
+  /** Shared IVF-PQ oracle CTE chain, ending in
+    * `pq_top(query_id, neighbor_id, adc, rank)` — single source for
+    * sim_topk_ivfpq and sim_ivfpq_recall. */
+  private val ivfPqCteBody: String =
+    s"""pq_cents AS (
+       |  SELECT label AS code, d,
+       |    percentile_cont(0.5) WITHIN GROUP (
+       |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS cv
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
+       |              AS d)
+       |  GROUP BY 1, 2),
+       |cent_arr AS (
+       |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
+       |    list(cv ORDER BY d) AS cent
+       |  FROM pq_cents GROUP BY 1, 2),
+       |fcentroids AS (
+       |  SELECT code AS cell, list(CAST(cv AS REAL) ORDER BY d) AS centroid
+       |  FROM pq_cents GROUP BY code),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE $QueryPredSql),
+       |probe AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+       |        AS cell_rank
+       |    FROM q CROSS JOIN fcentroids c)
+       |  WHERE cell_rank <= 2),
+       |code_dists AS (
+       |  SELECT e.vec_id, c.sub, c.code,
+       |    ${sqlPqDist("e.embedding", "c.sub")} AS dist
+       |  FROM embeddings e JOIN cent_arr c ON TRUE),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, sub, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist ASC, code ASC) AS rn FROM code_dists)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.query_id, p.qv, e.vec_id AS neighbor_id
+       |  FROM embeddings e JOIN probe p ON e.label = p.cell
+       |  WHERE e.vec_id <> p.query_id),
+       |subsc AS (
+       |  SELECT query_id, cand.neighbor_id, s.sub,
+       |    ${sqlPqDist("cand.qv", "s.sub")} AS sd
+       |  FROM cand
+       |  JOIN codes s ON cand.neighbor_id = s.neighbor_id
+       |  JOIN cent_arr ca ON ca.sub = s.sub AND ca.code = s.code),
+       |adc_t AS (
+       |  SELECT query_id, neighbor_id,
+       |    MAX(CASE WHEN sub = 0 THEN sd END)
+       |      + MAX(CASE WHEN sub = 1 THEN sd END)
+       |      + MAX(CASE WHEN sub = 2 THEN sd END)
+       |      + MAX(CASE WHEN sub = 3 THEN sd END) AS adc
+       |  FROM subsc GROUP BY 1, 2),
+       |pq_top AS (
+       |  SELECT query_id, neighbor_id, adc, rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc_t)
+       |  WHERE rank <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_recall" ->
@@ -357,62 +437,30 @@ object VectorQueries {
          |MIN(sqrt($sumSq)) AS min_norm, MAX(sqrt($sumSq)) AS max_norm
          |FROM embeddings GROUP BY 1""".stripMargin
     },
+    "sim_ivfpq_recall" ->
+      s"""WITH $ivfPqCteBody,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q2.query_id
+         |        ORDER BY ${sqlCos("q2.qv", "e2.embedding")} DESC,
+         |                 e2.vec_id ASC) AS rank
+         |    FROM embeddings e2,
+         |      (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE $QueryPredSql) q2
+         |    WHERE e2.vec_id <> q2.query_id)
+         |  WHERE rank <= 3)
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN pq_top a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     "sim_topk_ivfpq" ->
-      s"""WITH pq_cents AS (
-         |  SELECT label AS code, d,
-         |    percentile_cont(0.5) WITHIN GROUP (
-         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS cv
-         |  FROM embeddings
-         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
-         |              AS d)
-         |  GROUP BY 1, 2),
-         |cent_arr AS (
-         |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
-         |    list(cv ORDER BY d) AS cent
-         |  FROM pq_cents GROUP BY 1, 2),
-         |fcentroids AS (
-         |  SELECT code AS cell, list(CAST(cv AS REAL) ORDER BY d) AS centroid
-         |  FROM pq_cents GROUP BY code),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM embeddings WHERE $QueryPredSql),
-         |probe AS (
-         |  SELECT query_id, qv, cell FROM (
-         |    SELECT q.query_id, q.qv, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
-         |        AS cell_rank
-         |    FROM q CROSS JOIN fcentroids c)
-         |  WHERE cell_rank <= 2),
-         |code_dists AS (
-         |  SELECT e.vec_id, c.sub, c.code,
-         |    ${sqlPqDist("e.embedding", "c.sub")} AS dist
-         |  FROM embeddings e JOIN cent_arr c ON TRUE),
-         |codes AS (
-         |  SELECT vec_id AS neighbor_id, sub, code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY dist ASC, code ASC) AS rn FROM code_dists)
-         |  WHERE rn = 1),
-         |cand AS (
-         |  SELECT p.query_id, p.qv, e.vec_id AS neighbor_id
-         |  FROM embeddings e JOIN probe p ON e.label = p.cell
-         |  WHERE e.vec_id <> p.query_id),
-         |subsc AS (
-         |  SELECT query_id, cand.neighbor_id, s.sub,
-         |    ${sqlPqDist("cand.qv", "s.sub")} AS sd
-         |  FROM cand
-         |  JOIN codes s ON cand.neighbor_id = s.neighbor_id
-         |  JOIN cent_arr ca ON ca.sub = s.sub AND ca.code = s.code),
-         |adc_t AS (
-         |  SELECT query_id, neighbor_id,
-         |    MAX(CASE WHEN sub = 0 THEN sd END)
-         |      + MAX(CASE WHEN sub = 1 THEN sd END)
-         |      + MAX(CASE WHEN sub = 2 THEN sd END)
-         |      + MAX(CASE WHEN sub = 3 THEN sd END) AS adc
-         |  FROM subsc GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, adc, rank FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc_t)
-         |WHERE rank <= 3""".stripMargin,
+      s"""WITH $ivfPqCteBody
+         |SELECT query_id, neighbor_id, adc, rank FROM pq_top""".stripMargin,
     "sim_pq_codes" ->
       s"""WITH cents AS (
          |  SELECT label AS code, d,
