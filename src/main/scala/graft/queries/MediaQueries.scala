@@ -39,15 +39,47 @@ object MediaQueries {
       Seq("media_id"), Seq(col("byte_sum").desc, col("frame_idx").asc), 1, "rn")
       .select(col("media_id"), col("frame_idx"), col("byte_sum"))
 
+  /** Multimodal record assembly: pair the text modality (documents)
+    * with the vector modality (embeddings) by id via FULL OUTER join and
+    * report per-source pairing coverage — the completeness audit a
+    * multi-modality training store runs before packing records. At
+    * 100 TB both sides shuffle on the id once; presence flags aggregate
+    * map-side. */
+  def mmModalityMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id")),
+            col("doc_id") === col("vec_id"), "full_outer")
+      .groupBy(coalesce(col("source"), lit("(no_text)")).as("source"))
+      .agg(count(lit(1)).as("n_records"),
+           sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+                 .otherwise(0L)).as("n_paired"),
+           sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_text_only"),
+           sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_vec_only"),
+           sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"   -> (mmByteStats _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_key_frames"   -> (mmKeyFrames _),
+    "mm_modality_mix" -> (mmModalityMix _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
 
   val oracles: Map[String, String] = Map(
+    "mm_modality_mix" ->
+      s"""SELECT COALESCE(source, '(no_text)') AS source,
+         |COUNT(*) AS n_records,
+         |CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+         |CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_text_only,
+         |CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_vec_only,
+         |CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+         |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+         |GROUP BY 1""".stripMargin,
     "mm_byte_stats" ->
       // COALESCE + CASE guard the empty-blob row: DuckDB list_sum([]) is
       // NULL (and the mean would divide by zero) while FakeCodec returns

@@ -96,6 +96,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 11L, 10L)))
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(
+      StreamEvent(10, ts(5), 1, "view", 0),
+      StreamEvent(11, ts(8), 1, "click", 0),   // 3 min after view → matches
+      StreamEvent(12, ts(40), 2, "click", 0))  // no view → outer null
+    val q = StreamOps.intervalJoinOuter(mem.toDF(), "click", "view",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // outer results are gated on the GLOBAL watermark (min across both
+      // inputs): advance views AND clicks far past click 12's window so
+      // its no-match row can be finalized, then one more batch to emit
+      mem.addData(StreamEvent(13, ts(120), 3, "click", 0),
+                  StreamEvent(14, ts(120), 3, "view", 0))
+      q.processAllAvailable()
+      mem.addData(StreamEvent(15, ts(180), 3, "click", 0),
+                  StreamEvent(16, ts(180), 3, "view", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrib_outer")
+      .select("user_id", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got.contains((1L, 11L, Some(10L))), s"matched row missing: $got")
+    assert(got.contains((2L, 12L, None)),
+      s"unmatched click not emitted as outer row: $got")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
