@@ -85,22 +85,12 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN
-    * scale path: the corpus is partitioned into coarse cells, each query
-    * probes only the `nprobe` cells whose centroids are nearest, and
-    * exact scoring runs within those cells. `cellCol` supplies the
-    * coarse assignment (a trained quantizer's output in production; the
-    * fixture's `label` column here); centroids are derived per cell with
-    * one posexplode + aggregate pass — no driver-side k-means loop.
-    *
-    * Centroids are per-dimension MEDIANS (k-medians flavor), not means:
-    * `percentile` is an exact partial-merge aggregate whose interpolated
-    * result is order-independent, so — unlike a float mean, which
-    * depends on partial-aggregation order — centroids are deterministic
-    * and the whole operator is DuckDB-oracle-replayable. */
   /** Per-cell centroid vectors (per-dimension medians, ordered, float) —
     * the coarse "training" step shared by [[ivfTopK]] and the IVF-PQ
-    * probe. */
+    * probe. Medians, not means: `percentile` is an exact partial-merge
+    * aggregate whose interpolated result is order-independent, so —
+    * unlike a float mean, which depends on partial-aggregation order —
+    * centroids are deterministic and oracle-replayable. */
   def cellCentroids(emb: DataFrame, vecCol: String, cellCol: String): DataFrame =
     emb
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
@@ -110,6 +100,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
                      x => x.getField("cv").cast("float")).as("centroid"))
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: the corpus is partitioned into coarse cells, each query
+    * probes only the `nprobe` cells whose centroids are nearest, and
+    * exact scoring runs within those cells. `cellCol` supplies the
+    * coarse assignment (a trained quantizer's output in production; the
+    * fixture's `label` column here); centroids come from
+    * [[cellCentroids]] — one posexplode + aggregate pass, no driver-side
+    * k-means loop. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
               queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
     val centroids = cellCentroids(emb, vecCol, cellCol)
@@ -167,27 +165,15 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** Product quantization: split each vector into `m` contiguous
-    * subspaces and assign every (vector, subspace) the nearest entry of
-    * a per-subspace codebook — the memory-compression companion to
-    * [[ivfTopK]] (IVF-PQ). Codebooks reuse the IVF determinism recipe:
-    * entries are per-dimension MEDIANS over the coarse cells
-    * (`cellCol`), so training is a partial-merge aggregate with no RNG
-    * and no iteration. Distances are L2 computed as an ORDERED left
-    * fold over the subspace (`aggregate(zip_with(...))`) — the same
-    * sequential-sum contract as the native dot-product expression, so
-    * every distance is bit-identical cross-engine and the argmin
-    * (tie-broken by code) is oracle-replayable.
-    *
-    * Shuffle shape at 100 TB: codebook = (cells × dims) medians — tiny,
-    * broadcast; assignment is a map-side cross of each vector row with
-    * m×cells codebook entries, no corpus shuffle. Output: one row per
-    * (vector, subspace) with the chosen code and its distance. */
-  /** Per-(code, subspace) PQ codebook: ordered double centroid slices
-    * (per-dimension medians over the coarse cells). Shared by
-    * [[pqCodes]] and the IVF-PQ asymmetric scorer. */
+  /** Per-(code, subspace) PQ codebook: ordered double centroid slices —
+    * per-dimension MEDIANS over the coarse cells (`cellCol`), the IVF
+    * determinism recipe: training is a partial-merge aggregate with no
+    * RNG and no iteration. Shared by [[pqCodes]] and [[ivfPqTopK]].
+    * Requires `dims % m == 0` — an uneven split would silently drop
+    * trailing dimensions and leave a phantom partial subspace. */
   def pqCodebook(emb: DataFrame, vecCol: String, cellCol: String,
                  m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m subspaces")
     val subDims = dims / m
     emb
       .select(col(cellCol).as("code"), posexplode(col(vecCol)).as(Seq("d", "v")))
@@ -199,22 +185,50 @@ object Similarity {
                      x => x.getField("cv")).as("cent"))
   }
 
+  /** Coarse cell centroids derived from an already-built PQ codebook
+    * (flatten the ordered subspace slices, cast float) — value-identical
+    * to [[cellCentroids]] but free when the codebook exists. */
+  private def centroidsFromCodebook(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("code").as("cell"))
+      .agg(transform(
+        flatten(transform(array_sort(collect_list(struct(col("sub"), col("cent")))),
+                          x => x.getField("cent"))),
+        v => v.cast("float")).as("centroid"))
+
   /** Ordered L2 fold over a subspace pair — the sequential-sum contract
     * shared with the generated oracle SQL. */
   private def l2Fold(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c))," +
       " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
 
+  /** Product quantization candidate distances: split each vector into
+    * `m` contiguous subspaces and score it against EVERY codebook entry
+    * per subspace — one row per (vector, subspace, codebook entry), L2
+    * as an ORDERED left fold (`aggregate(zip_with(...))`, the same
+    * sequential-sum contract as the native dot product) so every
+    * distance is bit-identical cross-engine. Callers pick the code via
+    * a (dist asc, code asc) rank — see `sim_pq_codes` / [[ivfPqTopK]].
+    *
+    * Shuffle shape at 100 TB: codebook = (cells × dims) medians — tiny,
+    * broadcast; scoring is a map-side cross of each vector row with
+    * m×cells codebook entries, no corpus shuffle. */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              m: Int, dims: Int): DataFrame = {
+              m: Int, dims: Int): DataFrame =
+    pqCodes(emb, idCol, vecCol, m, dims,
+            pqCodebook(emb, vecCol, cellCol, m, dims))
+
+  /** [[pqCodes]] against a pre-built codebook (avoids re-training when
+    * the caller already has one — see [[ivfPqTopK]]). */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, dims: Int, codebook: DataFrame): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m subspaces")
     val subDims = dims / m
-    val cents = pqCodebook(emb, vecCol, cellCol, m, dims)
     emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("svec", expr(
         s"transform(slice(vec, sub * $subDims + 1, $subDims)," +
           " x -> CAST(x AS DOUBLE))"))
-      .join(broadcast(cents), Seq("sub"))
+      .join(broadcast(codebook), Seq("sub"))
       .withColumn("dist", l2Fold("svec", "cent"))
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
   }
@@ -232,15 +246,20 @@ object Similarity {
                 cellCol: String, queryPred: Column, k: Int,
                 m: Int, dims: Int, nprobe: Int = 2): DataFrame = {
     val subDims = dims / m
+    // train ONCE: the codebook feeds the code assignment, the ADC
+    // scorer, AND (flattened) the coarse probe centroids — three
+    // independent DataFrame subtrees would otherwise each re-run the
+    // posexplode + two-level percentile pass over the corpus
     val cents = pqCodebook(emb, vecCol, cellCol, m, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = Relational.topKPerGroup(
-      pqCodes(emb, idCol, vecCol, cellCol, m, dims),
+      pqCodes(emb, idCol, vecCol, m, dims, cents),
       Seq("vec_id", "sub"), Seq(col("dist").asc, col("code").asc), 1, "rn")
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
     val probed = Relational.topKPerGroup(
       emb.filter(queryPred)
         .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-        .crossJoin(broadcast(cellCentroids(emb, vecCol, cellCol)))
+        .crossJoin(broadcast(centroidsFromCodebook(cents)))
         .select(col("query_id"), col("qvec"), col("cell"),
                 graft.functions.VectorFunctions
                   .cosineSim(col("qvec"), col("centroid")).as("cc")),

@@ -193,22 +193,29 @@ object VectorQueries {
                          "label", queryPred, 3, PqM, Dims)
   }
 
+  /** Shared recall@k scaffold: brute-force ground truth left-joined to
+    * an approximate result, per-query hit counts — one definition for
+    * all three eval queries (LSH, IVF, IVF-PQ). */
+  private def recallAgainstTruth(s: SparkSession, dir: String,
+                                 approx: DataFrame, k: Int): DataFrame = {
+    val truth = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    truth.join(hits, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
+             .as("recall_at_k"))
+  }
+
   /** Recall@3 of the IVF-PQ path vs brute-force ground truth — closing
     * the eval triad (LSH, IVF, IVF-PQ): recall quantifies what the 4×
     * compression costs in answer quality. */
   def simIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    val k = 3
-    val truth = Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = simTopKIvfPq(s, dir)
-      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
-             .as("recall_at_k"))
+    recallAgainstTruth(s, dir, simTopKIvfPq(s, dir), 3)
   }
 
   /** ANN quality evaluation: recall@3 of the LSH index against the
@@ -218,18 +225,9 @@ object VectorQueries {
     * oracle-matched), matches / k. */
   def simRecallEval(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    val k = 3
-    val truth = Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
-      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
-             .as("recall_at_k"))
+    recallAgainstTruth(s, dir,
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                         queryPred, 3), 3)
   }
 
   /** IVF recall@3 against brute-force ground truth — the companion of
@@ -237,19 +235,9 @@ object VectorQueries {
     * quantify the recall/cost trade of both approximate paths. */
   def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    val k = 3
-    val truth = Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", queryPred, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.ivfTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-        queryPred, k)
-      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
-    truth.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-           (sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
-             .as("recall_at_k"))
+    recallAgainstTruth(s, dir,
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+                         "label", queryPred, 3), 3)
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,10 +289,9 @@ object VectorQueries {
        |  FROM embeddings e JOIN probe ON e.label = probe.cell
        |  WHERE e.vec_id <> probe.query_id)""".stripMargin
 
-  /** Shared IVF-PQ oracle CTE chain, ending in
-    * `pq_top(query_id, neighbor_id, adc, rank)` — single source for
-    * sim_topk_ivfpq and sim_ivfpq_recall. */
-  private val ivfPqCteBody: String =
+  /** PQ codebook-training CTEs (pq_cents + cent_arr) — single source
+    * for sim_pq_codes and the IVF-PQ chain. */
+  private val pqCentArrCte: String =
     s"""pq_cents AS (
        |  SELECT label AS code, d,
        |    percentile_cont(0.5) WITHIN GROUP (
@@ -316,7 +303,28 @@ object VectorQueries {
        |cent_arr AS (
        |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
        |    list(cv ORDER BY d) AS cent
-       |  FROM pq_cents GROUP BY 1, 2),
+       |  FROM pq_cents GROUP BY 1, 2)""".stripMargin
+
+  /** Brute-force ground-truth CTE (top-3 per query) — single source for
+    * the three recall oracles. */
+  private val bruteTruthCte: String =
+    s"""truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT bt_q.query_id, bt_e.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY bt_q.query_id
+       |        ORDER BY ${sqlCos("bt_q.qv", "bt_e.embedding")} DESC,
+       |                 bt_e.vec_id ASC) AS rank
+       |    FROM embeddings bt_e,
+       |      (SELECT vec_id AS query_id, embedding AS qv
+       |       FROM embeddings WHERE $QueryPredSql) bt_q
+       |    WHERE bt_e.vec_id <> bt_q.query_id)
+       |  WHERE rank <= 3)""".stripMargin
+
+  /** Shared IVF-PQ oracle CTE chain, ending in
+    * `pq_top(query_id, neighbor_id, adc, rank)` — single source for
+    * sim_topk_ivfpq and sim_ivfpq_recall. */
+  private val ivfPqCteBody: String =
+    s"""$pqCentArrCte,
        |fcentroids AS (
        |  SELECT code AS cell, list(CAST(cv AS REAL) ORDER BY d) AS centroid
        |  FROM pq_cents GROUP BY code),
@@ -351,10 +359,8 @@ object VectorQueries {
        |  JOIN cent_arr ca ON ca.sub = s.sub AND ca.code = s.code),
        |adc_t AS (
        |  SELECT query_id, neighbor_id,
-       |    MAX(CASE WHEN sub = 0 THEN sd END)
-       |      + MAX(CASE WHEN sub = 1 THEN sd END)
-       |      + MAX(CASE WHEN sub = 2 THEN sd END)
-       |      + MAX(CASE WHEN sub = 3 THEN sd END) AS adc
+       |    ${(0 until PqM).map(i => s"MAX(CASE WHEN sub = $i THEN sd END)")
+             .mkString("\n       |      + ")} AS adc
        |  FROM subsc GROUP BY 1, 2),
        |pq_top AS (
        |  SELECT query_id, neighbor_id, adc, rank FROM (
@@ -370,17 +376,7 @@ object VectorQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |  WHERE rank <= 3),
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT tq.query_id, e.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY tq.query_id
-         |        ORDER BY ${sqlCos("tq.qv", "e.embedding")} DESC,
-         |                 e.vec_id ASC) AS rank
-         |    FROM embeddings e,
-         |      (SELECT vec_id AS query_id, embedding AS qv
-         |       FROM embeddings WHERE $QueryPredSql) tq
-         |    WHERE e.vec_id <> tq.query_id)
-         |  WHERE rank <= 3)
+         |$bruteTruthCte
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -392,17 +388,7 @@ object VectorQueries {
     "sim_recall_eval" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.query_id, e.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${sqlCos("q.qv", "e.embedding")} DESC,
-         |                 e.vec_id ASC) AS rank
-         |    FROM embeddings e,
-         |      (SELECT vec_id AS query_id, embedding AS qv
-         |       FROM embeddings WHERE $QueryPredSql) q
-         |    WHERE e.vec_id <> q.query_id)
-         |  WHERE rank <= 3),
+         |$bruteTruthCte,
          |approx AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -439,17 +425,7 @@ object VectorQueries {
     },
     "sim_ivfpq_recall" ->
       s"""WITH $ivfPqCteBody,
-         |truth AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q2.query_id, e2.vec_id AS neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q2.query_id
-         |        ORDER BY ${sqlCos("q2.qv", "e2.embedding")} DESC,
-         |                 e2.vec_id ASC) AS rank
-         |    FROM embeddings e2,
-         |      (SELECT vec_id AS query_id, embedding AS qv
-         |       FROM embeddings WHERE $QueryPredSql) q2
-         |    WHERE e2.vec_id <> q2.query_id)
-         |  WHERE rank <= 3)
+         |$bruteTruthCte
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -462,18 +438,7 @@ object VectorQueries {
       s"""WITH $ivfPqCteBody
          |SELECT query_id, neighbor_id, adc, rank FROM pq_top""".stripMargin,
     "sim_pq_codes" ->
-      s"""WITH cents AS (
-         |  SELECT label AS code, d,
-         |    percentile_cont(0.5) WITHIN GROUP (
-         |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS cv
-         |  FROM embeddings
-         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
-         |              AS d)
-         |  GROUP BY 1, 2),
-         |cent_arr AS (
-         |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
-         |    list(cv ORDER BY d) AS cent
-         |  FROM cents GROUP BY 1, 2),
+      s"""WITH $pqCentArrCte,
          |dists AS (
          |  SELECT e.vec_id, c.sub, c.code,
          |    ${sqlPqDist("e.embedding", "c.sub")} AS dist

@@ -45,32 +45,14 @@ object StreamOps {
     * click-attribution shape. */
   def intervalJoin(events: DataFrame, leftType: String, rightType: String,
                    withinMinutes: Int = 10,
-                   watermark: String = "10 minutes"): DataFrame = {
-    val left = events.filter(col("event_type") === leftType)
-      .select(col("user_id"), col("event_id").as("left_id"),
-              col("ts").as("left_ts"))
-      .withWatermark("left_ts", watermark)
-    val right = events.filter(col("event_type") === rightType)
-      .select(col("user_id").as("r_user_id"), col("event_id").as("right_id"),
-              col("ts").as("right_ts"))
-      .withWatermark("right_ts", watermark)
-    left.join(right,
-      col("user_id") === col("r_user_id") &&
-      col("right_ts") <= col("left_ts") &&
-      col("right_ts") >= col("left_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
-      .select(col("user_id"), col("left_id"), col("right_id"),
-              col("left_ts"), col("right_ts"))
-  }
+                   watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(events, leftType, rightType, withinMinutes, watermark,
+                     "inner")
 
-  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
-    * unmatched left rows are EMITTED (with null right columns) once the
-    * watermark passes their join window — the attribution form that
-    * keeps unconverted events. Outer results are inherently watermark-
-    * delayed: state for a left row can only be released as "no match"
-    * when no future right row could still fall in its interval. */
-  def intervalJoinOuter(events: DataFrame, leftType: String, rightType: String,
-                        withinMinutes: Int = 10,
-                        watermark: String = "10 minutes"): DataFrame = {
+  private def intervalJoinImpl(events: DataFrame, leftType: String,
+                               rightType: String, withinMinutes: Int,
+                               watermark: String,
+                               joinType: String): DataFrame = {
     val left = events.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("left_id"),
               col("ts").as("left_ts"))
@@ -83,10 +65,22 @@ object StreamOps {
       col("user_id") === col("r_user_id") &&
       col("right_ts") <= col("left_ts") &&
       col("right_ts") >= col("left_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
-      "left_outer")
+      joinType)
       .select(col("user_id"), col("left_id"), col("right_id"),
               col("left_ts"), col("right_ts"))
   }
+
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
+    * unmatched left rows are EMITTED (with null right columns) once the
+    * watermark passes their join window — the attribution form that
+    * keeps unconverted events. Outer results are inherently watermark-
+    * delayed: state for a left row can only be released as "no match"
+    * when no future right row could still fall in its interval. */
+  def intervalJoinOuter(events: DataFrame, leftType: String, rightType: String,
+                        withinMinutes: Int = 10,
+                        watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(events, leftType, rightType, withinMinutes, watermark,
+                     "left_outer")
 
   /** Streaming exact dedup: drop re-deliveries of the same key, keeping
     * state only within the watermark horizon

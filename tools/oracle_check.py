@@ -27,6 +27,29 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        for attempt in (1, 2):
+            r = check_one(con, out_dir, name, sql, attempt)
+            # DuckDB OOM is transient host memory pressure (e.g. a JVM
+            # still unwinding next door), not a correctness signal —
+            # retry once with a fresh connection before counting a fail
+            if r == "oom" and attempt == 1:
+                import time, gc
+                gc.collect(); time.sleep(5)
+                con = duckdb.connect()
+                for t in TABLES:
+                    con.sql(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+                continue
+            if r:
+                ok += 1
+            else:
+                fail += 1
+            break
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+def check_one(con, out_dir, name, sql, attempt):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = sorted(spark_rel.columns)
@@ -40,7 +63,7 @@ def main(sf_dir, out_dir):
                 key=lambda r: tuple((x is None, str(x)) for x in r))
             if scols != dcols:
                 print(f"FAIL {name}: columns spark={scols} duck={dcols}")
-                fail += 1; continue
+                return False
             # Replicate the driver's pandas-side typing: a DuckDB HUGEINT
             # (e.g. windowed SUM over INTEGER) lands as float64 in pandas
             # while the Spark parquet is int64 — stringifies differently,
@@ -53,25 +76,26 @@ def main(sf_dir, out_dir):
                 f"SELECT {', '.join(dcols)} FROM duck_rel LIMIT 0").df().dtypes]
             if skinds != dkinds:
                 print(f"FAIL {name}: pandas dtype kinds spark={skinds} duck={dkinds}")
-                fail += 1; continue
+                return False
             if len(spark_rows) != len(duck_rows):
                 print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
-                fail += 1; continue
+                return False
             bad = None
             for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
                 if tuple(map(norm, a)) != tuple(map(norm, b)):
                     bad = (i, a, b); break
             if bad:
                 print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
-                fail += 1
-            else:
-                print(f"OK   {name} ({len(spark_rows)} rows)")
-                ok += 1
+                return False
+            print(f"OK   {name} ({len(spark_rows)} rows)")
+            return True
         except Exception as e:
+            if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
+                if attempt == 1:
+                    print(f"RETRY {name}: transient duckdb OOM")
+                    return "oom"
             print(f"ERROR {name}: {type(e).__name__}: {e}")
-            fail += 1
-    print(f"\n{ok} ok, {fail} fail")
-    return 1 if fail else 0
+            return False
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
