@@ -495,6 +495,30 @@ object RelationalQueries {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Array-function suite: per-order quantity vectors through the
+    * higher-order-function surface — sorted collect, slice, filter,
+    * transform, ordered fold, containment. The collect is
+    * deterministically ordered (sort_array on exact decimals), so every
+    * downstream HOF is oracle-replayable; one shuffle builds the arrays,
+    * everything after is per-row. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(dec(col("l_quantity"))), asc = false)
+             .as("qtys"),
+           exactSum(col("l_quantity")).as("total_qty"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).as("n_lines"),
+        element_at(col("qtys"), 1).cast("double").as("max_qty"),
+        // decimal→string is exact digits in both engines ("31.0000"),
+        // unlike double→string whose shortest-repr formatting differs
+        concat_ws(",", transform(slice(col("qtys"), 1, 3),
+                                 q => q.cast("string"))).as("top3_qty"),
+        size(filter(col("qtys"), q => q > lit(30))).as("n_big"),
+        col("total_qty"),
+        exists(col("qtys"), q => q === lit(1)).as("has_single"))
+
   /** Join-strategy control surface: the same orders⋈customer rollup
     * under an explicit SORT-MERGE hint — the planner override a user
     * reaches for when size estimates are wrong (a mis-broadcast dim
@@ -556,6 +580,7 @@ object RelationalQueries {
     "rel_zorder_locality"   -> (zorderLocality _),
     "rel_not_in_nulls"      -> (notInNulls _),
     "rel_merge_join"        -> (mergeJoinHint _),
+    "rel_array_funcs"       -> (arrayFuncs _),
     "rel_udaf_weighted"     -> (udafWeightedMean _),
     "rel_waiting_supplier"  -> (waitingSupplier _),
     "rel_min_cost_supplier" -> (minCostSupplier _),
@@ -611,6 +636,19 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_array_funcs" ->
+      s"""SELECT l_orderkey,
+         |CAST(len(qtys) AS INTEGER) AS n_lines,
+         |${sqlToDouble("qtys[1]")} AS max_qty,
+         |array_to_string(list_transform(qtys[1:3],
+         |  x_ -> CAST(x_ AS VARCHAR)), ',') AS top3_qty,
+         |CAST(len(list_filter(qtys, x_ -> x_ > 30)) AS INTEGER) AS n_big,
+         |${sqlToDouble("total_dec")} AS total_qty,
+         |list_contains(qtys, 1) AS has_single
+         |FROM (SELECT l_orderkey,
+         |        list_sort(list(${sqlDec("l_quantity")}), 'DESC') AS qtys,
+         |        SUM(${sqlDec("l_quantity")}) AS total_dec
+         |      FROM lineitem GROUP BY 1)""".stripMargin,
     "rel_merge_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          |${sqlSum("o_totalprice")} AS sum_price
