@@ -431,7 +431,26 @@ object DocQueries {
            min(col("n_keep")).as("n_planned"))
   }
 
+  /** Data-quality gate report: per-source constraint violations — null
+    * or empty text, metadata/content length mismatch, unknown language
+    * code. The validation pass every ingest pipeline runs before
+    * admitting a source batch; one scan, map-side conditional counts,
+    * no shuffle beyond the tiny per-source rollup. */
+  def pipeQualityGates(s: SparkSession, dir: String): DataFrame = {
+    val known = TextOps.LangStopwords.map(_._1)
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+                 .otherwise(0L)).as("n_empty_text"),
+           sum(when(length(col("text")) =!= col("n_chars"), 1L)
+                 .otherwise(0L)).as("n_len_mismatch"),
+           sum(when(!col("lang").isin(known: _*), 1L).otherwise(0L))
+             .as("n_unknown_lang"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quality_gates"  -> (pipeQualityGates _),
     "pipe_mixture_apply"  -> (pipeMixtureApply _),
     "doc_udtf_trigrams"   -> (docUdtfTrigrams _),
     "pipe_pii_redact"     -> (pipeRedact _),
@@ -525,6 +544,18 @@ object DocQueries {
        |        FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_quality_gates" -> {
+      val known = TextOps.LangStopwords.map(_._1)
+        .map(l => s"'$l'").mkString(", ")
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+         |CAST(SUM(CASE WHEN length(text) != n_chars
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+         |CAST(SUM(CASE WHEN lang NOT IN ($known)
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_lang
+         |FROM documents GROUP BY source""".stripMargin
+    },
     "pipe_mixture_apply" -> {
       val bucket = "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR))," +
         " 1, 8) AS BIGINT) % 1000000"

@@ -38,6 +38,19 @@ object Sinks {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .saveAsTable(table)
 
+  /** Small-file compaction (the OPTIMIZE job): rewrite a fragmented
+    * parquet directory into `targetFiles` splits. Small files are the
+    * classic lakehouse degradation — per-file open/footer overhead and
+    * task-scheduling cost dominate once files shrink below a split; a
+    * periodic compaction pass restores scan efficiency. Reads the
+    * existing layout, repartitions to the target width, writes to a
+    * fresh directory (atomic swap is the caller's rename). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).csv(path)

@@ -26,6 +26,37 @@ class SinksSpec extends SparkSpec {
     assert(!scan.contains("grp=B"))
   }
 
+  test("compact rewrites a fragmented directory into the target file count") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    // fragment: 20 tiny files of 3 rows each
+    val rows = (1L to 60L).map(i => (i, s"g${i % 4}", i * 1.5))
+      .toDF("id", "grp", "v")
+    rows.repartition(20).write.parquet(s"$base/frag")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/frag") == 20)
+    Sinks.compact(spark, s"$base/frag", s"$base/opt", targetFiles = 2)
+    assert(parquetFiles(s"$base/opt") == 2)
+    // data survives byte-for-byte
+    val before = rows.as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val after = spark.read.parquet(s"$base/opt")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("schema evolution: mergeSchema unifies batches with differing columns") {
+    val base = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.mode("append").parquet(base)
+    Seq((2L, 9.5)).toDF("id", "score").write.mode("append").parquet(base)
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.select($"id", $"name", $"score")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some("a"), None), (2L, None, Some(9.5))))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("csv and json round-trip with schema") {
     val dir = Files.createTempDirectory("graft_sink2")
     Sinks.writeCsv(sample, s"$dir/csv")
