@@ -28,6 +28,18 @@ class RelationalSpec extends SparkSpec {
       Seq($"price".desc), 5).count() == 0)
   }
 
+  test("topKPerGroup plans a WindowGroupLimit (rank filter pushed below the sort)") {
+    val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val plan = Relational.topKPerGroup(
+      df.select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      Seq("o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+      .queryExecution.executedPlan.toString
+    // the rn <= k predicate must become a WindowGroupLimit, which keeps
+    // only k rows per group BEFORE the full window sort materializes —
+    // the difference between a top-k and a full per-group sort at scale
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("join hints flip the physical strategy without changing results") {
     val dir = "/root/testdata/sf0.001"
     val ord = graft.sources.Tables.orders(spark, dir)

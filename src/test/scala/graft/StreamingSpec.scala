@@ -233,6 +233,32 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("StreamingQueryListener observes per-batch input row counts") {
+    implicit val sq = spark.sqlContext
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        seen.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[StreamEvent]
+      mem.addData(rows: _*)
+      val q = mem.toDF().writeStream.format("memory")
+        .queryName("listener_sink").outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      // progress events are delivered asynchronously on the listener bus
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.get() < rows.length && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(seen.get() == rows.length,
+        s"listener saw ${seen.get()} input rows, expected ${rows.length}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("checkpointed file-sink pipeline restarts exactly-once (no loss, no dups)") {
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
