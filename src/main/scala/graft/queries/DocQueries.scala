@@ -431,13 +431,20 @@ object DocQueries {
            min(col("n_keep")).as("n_planned"))
   }
 
+  /** Admission policy: the language codes this corpus accepts. Distinct
+    * from TextOps.LangStopwords (the langId MODEL's coverage — it has no
+    * zh stopword list): zh is a valid corpus language the gate must not
+    * flag. */
+  val KnownLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
   /** Data-quality gate report: per-source constraint violations — null
     * or empty text, metadata/content length mismatch, unknown language
-    * code. The validation pass every ingest pipeline runs before
-    * admitting a source batch; one scan, map-side conditional counts,
-    * no shuffle beyond the tiny per-source rollup. */
+    * code (vs [[KnownLangs]], the admission policy). The validation pass
+    * every ingest pipeline runs before admitting a source batch; one
+    * scan, map-side conditional counts, no shuffle beyond the tiny
+    * per-source rollup. */
   def pipeQualityGates(s: SparkSession, dir: String): DataFrame = {
-    val known = TextOps.LangStopwords.map(_._1)
+    val known = KnownLangs
     Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -545,8 +552,7 @@ object DocQueries {
 
   val oracles: Map[String, String] = Map(
     "pipe_quality_gates" -> {
-      val known = TextOps.LangStopwords.map(_._1)
-        .map(l => s"'$l'").mkString(", ")
+      val known = KnownLangs.map(l => s"'$l'").mkString(", ")
       s"""SELECT source, COUNT(*) AS n_docs,
          |CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
          |  THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,

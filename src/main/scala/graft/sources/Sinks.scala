@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink surface (reference analog: the GTiff writer + output-directory
@@ -45,7 +45,7 @@ object Sinks {
     * periodic compaction pass restores scan efficiency. Reads the
     * existing layout, repartitions to the target width, writes to a
     * fresh directory (atomic swap is the caller's rename). */
-  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+  def compact(spark: SparkSession, inPath: String,
               outPath: String, targetFiles: Int): Unit =
     spark.read.parquet(inPath)
       .repartition(targetFiles)
