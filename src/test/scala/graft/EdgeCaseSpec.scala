@@ -57,4 +57,34 @@ class EdgeCaseSpec extends SparkSpec {
       assert(out == Map(1L -> None, 2L -> None))
     }
   }
+
+  test("clusterByZ and zorderKey handle an empty input") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(empty.select(graft.operators.Layout.zorderKey($"a", $"b"))
+      .count() == 0)
+    assert(graft.operators.Layout.clusterByZ(empty, $"a", $"b", 4)
+      .count() == 0)
+  }
+
+  test("pqCodes on an empty corpus yields no codes (and no crash)") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.operators.Similarity
+      .pqCodes(empty, "vec_id", "embedding", "label", 4, 64).count() == 0)
+  }
+
+  test("pqCodes rejects an uneven subspace split loudly") {
+    val df = Seq((1L, Array(1f, 2f, 3f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqCodes(df, "vec_id", "embedding", "label",
+                                         2, 3)
+    }
+  }
+
+  test("WeightedMeanMicros over zero rows yields no output rows, not NaN") {
+    graft.functions.WeightedMeanMicros.register(spark)
+    val out = Seq.empty[(String, Double, Double)].toDF("g", "v", "w")
+      .groupBy($"g").agg(call_function("wmean_micros", $"v", $"w"))
+    assert(out.count() == 0)
+  }
 }
