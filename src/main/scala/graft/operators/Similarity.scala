@@ -63,14 +63,27 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** Embedding width read off the DataFrame schema's array metadata when
+    * present, else measured from one row — so LSH callers can't silently
+    * bucketize a non-fixture corpus on a wrong-width plane matrix. The
+    * one-row fallback is a tiny LIMIT-1 job (plans prune to the scan). */
+  def embeddingDims(emb: DataFrame, vecCol: String): Int = {
+    val firstVec = emb.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .limit(1).collect()
+    require(firstVec.nonEmpty, s"cannot infer dims: no non-null $vecCol row")
+    firstVec(0).getSeq[Float](0).length
+  }
+
   /** LSH-blocked approximate top-k: candidates share the query's bucket.
     * Recall is governed by nPlanes (fewer bits → bigger buckets → higher
     * recall & cost); multi-probe or repeated tables are the standard
-    * extensions. */
+    * extensions. `dims` must match the corpus embedding width (pass it
+    * when known; ≤ 0 infers via [[embeddingDims]]). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nPlanes: Int = 8): DataFrame = {
-    val dims = 64 // fixture embedding width; make a param for other corpora
-    val planes = planeSigns(nPlanes, dims)
+              queryPred: Column, k: Int, nPlanes: Int = 8,
+              dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    val planes = planeSigns(nPlanes, d)
     val bucketed = emb.select(col(idCol), col(vecCol),
                               lshBucket(col(vecCol), planes).as("bucket"))
     val corpus = bucketed.select(col(idCol).as("neighbor_id"),
@@ -135,9 +148,10 @@ object Similarity {
     * The 100 TB form of [[cosineNearDupPairs]] (blocking instead of the
     * all-pairs cross join), fully oracle-replayable. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                      minCosine: Double, nPlanes: Int = 8): DataFrame = {
-    val dims = 64
-    val planes = planeSigns(nPlanes, dims)
+                      minCosine: Double, nPlanes: Int = 8,
+                      dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    val planes = planeSigns(nPlanes, d)
     val bucketed = emb.select(col(idCol), col(vecCol),
                               lshBucket(col(vecCol), planes).as("bucket"))
     val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("va"),

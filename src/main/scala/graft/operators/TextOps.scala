@@ -102,16 +102,21 @@ object TextOps {
     * small). All integer counts until the one final ln/multiply. */
   def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.count() // corpus size: one scalar action, baked as a literal
+    // corpus size as a broadcast one-row aggregate cross-joined in: keeps
+    // TF-IDF a SINGLE job (an eager df.count() here would be a second
+    // full pass over the corpus just to bake N as a literal)
+    val n = df.agg(count(lit(1)).as("corpus_n"))
     val tokens = df.select(col(idCol), explode(tokenize(col(textCol))).as("term"))
     val tf = tokens.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
       .withColumn("tf_idf",
         col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")))
+          log(col("corpus_n").cast("double") / col("df").cast("double")))
+      .drop("corpus_n")
   }
 
   // ------------------------------------------------------- fingerprints

@@ -270,13 +270,25 @@ object RelationalQueries {
       .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
            expr("percentile(l_quantity, 0.9)").as("p90_qty"))
 
-  /** Sketch aggregate: HyperLogLog++ distinct counts (no SQL oracle —
-    * driver records the weaker rows-only check; the exact countDistinct
-    * twin is `rel_distinct_agg`). */
+  /** Sketch aggregate: HyperLogLog++ distinct counts. The raw estimate
+    * is engine-specific (DuckDB's HLL differs from Spark's), so the
+    * compared columns are the exact counts plus a BOUND CHECK — is the
+    * HLL estimate within 5% relative error of exact? The oracle computes
+    * the exact side and asserts TRUE, turning sketch *quality* into a
+    * hash-comparable contract (rsd=0.02 makes 5% a ≥2.5σ margin). The
+    * production form drops the exact columns and keeps only the sketch —
+    * that is the whole point of HLL at 100 TB. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-           approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+           approx_count_distinct(col("l_suppkey"), 0.02).as("as_"),
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           countDistinct(col("l_suppkey")).as("exact_supps"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("parts_within_5pct"),
+        (abs(col("as_") - col("exact_supps")).cast("double") /
+          col("exact_supps") <= 0.05).as("supps_within_5pct"))
 
   /** NULL-semantics suite (the fixtures ship no NULLs, so they are
     * manufactured with nullif): COUNT skips NULLs, AVG ignores them,
@@ -929,6 +941,16 @@ object RelationalQueries {
          |SELECT c_custkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
          |UNION ALL
          |SELECT c_custkey, 'union' AS op FROM (SELECT * FROM building UNION SELECT * FROM big)""".stripMargin,
+    // sketch values are engine-specific; the contract hashed here is the
+    // exact counts + "Spark's HLL estimate is within 5% of exact" booleans
+    // (the oracle asserts TRUE — a drifted sketch flips the hash)
+    "rel_approx_distinct" ->
+      s"""SELECT l_returnflag,
+         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+         |TRUE AS parts_within_5pct,
+         |TRUE AS supps_within_5pct
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_distinct_agg" ->
       s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
          |COUNT(*) AS n_customers, ${sqlAvg("c_acctbal")} AS avg_acctbal

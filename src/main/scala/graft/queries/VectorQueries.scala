@@ -68,7 +68,7 @@ object VectorQueries {
   def simTopKLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-                       queryPred, 3)
+                       queryPred, 3, dims = Dims)
   }
 
   /** Exact all-pairs cosine ≥ 0.4 — embedding near-dup detection. */
@@ -82,7 +82,7 @@ object VectorQueries {
   def simNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-                               "embedding", 0.4)
+                               "embedding", 0.4, dims = Dims)
   }
 
   /** IVF top-3 using `label` as the coarse cell; per-dimension median
@@ -227,7 +227,7 @@ object VectorQueries {
     VectorFunctions.register(s)
     recallAgainstTruth(s, dir,
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-                         queryPred, 3), 3)
+                         queryPred, 3, dims = Dims), 3)
   }
 
   /** IVF recall@3 against brute-force ground truth — the companion of

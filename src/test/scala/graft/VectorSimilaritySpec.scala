@@ -83,4 +83,23 @@ class VectorSimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(b(0L) == b(2L), "colinear vectors share all sign bits")
   }
+
+  test("lshTopK at non-fixture dims: schema-inferred == explicit (dims=3)") {
+    // the fixture corpus is 64-wide; this 3-wide corpus would silently
+    // bucketize on garbage if dims were still hard-coded
+    val explicit = Similarity.lshTopK(vecs, "vec_id", "embedding",
+                                      col("vec_id") === 0, 2, nPlanes = 4,
+                                      dims = 3)
+    val inferred = Similarity.lshTopK(vecs, "vec_id", "embedding",
+                                      col("vec_id") === 0, 2, nPlanes = 4)
+    val e = explicit.select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    val i = inferred.select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(e == i)
+    assert(e.head._1 == 2L, "colinear neighbor shares the bucket and ranks first")
+    val pairs = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9,
+                                           nPlanes = 4, dims = 3)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(Similarity.embeddingDims(vecs, "embedding") == 3)
+  }
 }
