@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,13 +15,15 @@ private[sources] case class BandRow(file: String, band: Int, w: Int, h: Int,
   * of the reference's GDAL read path (`GDALOpen` + per-band
   * `GDALRasterIO`, band_mean_computation.cpp:12-31; SURVEY §1.4).
   *
-  * The decode itself is a plain Scala UDF over `binaryFile` content; no
-  * GDAL exists in this container, so the wire format is [[GraftRasterCodec]]
-  * — a toy deterministic header+Float32 layout standing in for GeoTIFF.
-  * Swapping in a real TIFF decoder changes only the UDF body; the
-  * exploded long format, the partitioning story (one input file per
-  * task, pixels never leave the task until an aggregation shuffles
-  * *statistics*, not pixels), and every downstream operator stay as-is.
+  * Two wire formats, dispatched on magic bytes:
+  *  - real TIFF via the JDK's bundled javax.imageio TIFF plugin
+  *    (public API, JDK 9+) — the GeoTIFF-shaped path ([[TiffCodec]]);
+  *  - [[GraftRasterCodec]], a deterministic header+Float32 layout for
+  *    float bands beyond what baseline TIFF carries.
+  * The decode is per-file inside the scan task; the exploded long
+  * format, the partitioning story (one input file per task, pixels never
+  * leave the task until an aggregation shuffles *statistics*, not
+  * pixels), and every downstream operator are format-agnostic.
   */
 object Raster {
 
@@ -50,24 +53,92 @@ object Raster {
     }
   }
 
+  /** Real TIFF decode/encode through javax.imageio (the JDK bundles a
+    * TIFF reader AND writer since JDK 9 — public API, no native lib).
+    * This is the GDAL stand-in the reference actually needs: its inputs
+    * are multi-band GeoTIFFs read band-at-a-time
+    * (band_mean_computation.cpp:12-26). Samples come off the decoded
+    * `java.awt.image.Raster` per band, so any sample layout ImageIO
+    * understands (banded, interleaved, palette) lands in the same
+    * band-major float arrays as [[GraftRasterCodec]]. */
+  object TiffCodec {
+    /** TIFF magic: little-endian "II*\0" or big-endian "MM\0*". */
+    def isTiff(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 4 &&
+        ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+         (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Float]])] = {
+      if (!isTiff(bytes)) return None
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (w, h, nb) = (raster.getWidth, raster.getHeight, raster.getNumBands)
+      val bands = Array.tabulate(nb) { b =>
+        val out = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSampleFloat(x, y, b); x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      Some((w, h, bands))
+    }
+
+    /** Encode three 0-255 bands as a baseline RGB TIFF (band 1→R, 2→G,
+      * 3→B — the reference's band-number convention, 1-based). */
+    def encodeRgb(w: Int, h: Int, bands: Array[Array[Float]]): Array[Byte] = {
+      require(bands.length == 3, "baseline RGB TIFF carries exactly 3 bands")
+      require(bands.forall(_.length == w * h), "band size must be w*h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          def clamp(f: Float): Int = math.max(0, math.min(255, f.toInt))
+          img.setRGB(x, y, (clamp(bands(0)(i)) << 16) |
+                           (clamp(bands(1)(i)) << 8) | clamp(bands(2)(i)))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, "tiff", bos)
+      require(ok, "no TIFF ImageIO writer available (requires JDK 9+)")
+      bos.toByteArray
+    }
+  }
+
+  /** Format dispatch: TIFF by magic, else the toy codec. */
+  def decodeAny(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Float]])] =
+    if (TiffCodec.isTiff(bytes)) TiffCodec.decode(bytes)
+    else GraftRasterCodec.decode(bytes)
+
   // (BandRow is top-level in this package: a case class nested inside an
   // object breaks whole-stage codegen's constructor lookup and silently
   // falls back to interpreted execution.)
 
-  /** binaryFile scan (+ glob pushdown) → decode UDF → per-band rows →
-    * posexplode to pixels. Column pruning keeps `content` out of any
-    * plan that only needs metadata; the explode runs inside the scan
-    * task, so pixel rows are pipelined straight into whatever aggregate
-    * or filter follows (never materialized whole, unlike the reference's
-    * full-band buffers).
-    */
-  def pixels(spark: SparkSession, dir: String, glob: String = "*.graftraster"): DataFrame = {
+  /** The decode+explode core over ANY (path, content) DataFrame — the
+    * binaryFile scan ([[pixels]]) and in-plan blob derivations (the
+    * oracle-checked `raster_*` queries, which manufacture deterministic
+    * blobs from the documents fixture) share this exact path. The explode
+    * runs inside the upstream task, so pixel rows are pipelined straight
+    * into whatever aggregate or filter follows (never materialized whole,
+    * unlike the reference's full-band buffers). */
+  def decodePixels(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    val decoded = Tables.binaryFiles(spark, dir, glob)
+    val decoded = files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        GraftRasterCodec.decode(bytes).toSeq.flatMap { case (w, h, bands) =>
+        decodeAny(bytes).toSeq.flatMap { case (w, h, bands) =>
           bands.iterator.zipWithIndex.map { case (vals, i) =>
             BandRow(path, i + 1, w, h, vals)
           }
@@ -81,6 +152,13 @@ object Raster {
               (col("pos") % col("w")).cast("int").as("x"),
               col("value"))
   }
+
+  /** binaryFile scan (+ glob pushdown) → decode → per-band rows →
+    * posexplode to pixels. Column pruning keeps `content` out of any
+    * plan that only needs metadata. */
+  def pixels(spark: SparkSession, dir: String, glob: String = "*.graftraster"): DataFrame =
+    decodePixels(Tables.binaryFiles(spark, dir, glob)
+      .select(col("path"), col("content")))
 
   /** Composite sink: RGB rows → parquet, one directory per run with the
     * reference's `<stem>_color` naming handled by the path column
