@@ -25,6 +25,7 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
     (BandQueries.registry, BandQueries.oracles),
+    (RasterQueries.registry, RasterQueries.oracles),
     (RelationalQueries.registry, RelationalQueries.oracles),
     (AnalyticsQueries.registry, AnalyticsQueries.oracles),
     (DocQueries.registry, DocQueries.oracles),

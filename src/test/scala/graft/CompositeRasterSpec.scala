@@ -61,4 +61,30 @@ class CompositeRasterSpec extends SparkSpec {
       .as[String].head()
     assert(out == "colorimage/foo_color.tif")
   }
+
+  test("TIFF roundtrip: encodeRgb → isTiff → ImageIO decode, byte-exact") {
+    val rgb = Array.tabulate(3)(b =>
+      Array.tabulate(W * H)(p => ((b * 83 + p * 7) % 256).toFloat))
+    val blob = Raster.TiffCodec.encodeRgb(W, H, rgb)
+    assert(Raster.TiffCodec.isTiff(blob), "writer output must carry TIFF magic")
+    assert(!Raster.TiffCodec.isTiff(GraftRasterCodec.encode(W, H, rgb)))
+    val Some((w, h, back)) = Raster.TiffCodec.decode(blob)
+    assert(w == W && h == H && back.length == 3)
+    assert(back.zip(rgb).forall { case (a, b) => a.sameElements(b) },
+           "0-255 RGB samples must survive the ImageIO roundtrip exactly")
+    // decodeAny dispatches on magic to the same result
+    val Some((_, _, viaAny)) = Raster.decodeAny(blob)
+    assert(viaAny.zip(rgb).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("TIFF blobs flow through decodePixels (magic dispatch in-plan)") {
+    val rgb = Array.tabulate(3)(b =>
+      Array.tabulate(W * H)(p => ((b * 83 + p * 7) % 256).toFloat))
+    val files = Seq(("dataset/t.tif", Raster.TiffCodec.encodeRgb(W, H, rgb)))
+      .toDF("path", "content")
+    val px = Raster.decodePixels(files)
+    assert(px.count() == 3L * W * H)
+    val band2sum = px.filter($"band" === 2).agg(sum($"value")).head().getDouble(0)
+    assert(band2sum == rgb(1).sum.toDouble)
+  }
 }

