@@ -24,14 +24,11 @@ object Dedup {
     * upstream pipeline per reference (no exchange to reuse under a
     * broadcast join). At production scale the equivalent is a
     * materialized stage (write to a bucketed table); in-process,
-    * MEMORY_AND_DISK persist expresses the same reuse. Evicted LRU;
-    * callers can `spark.catalog.clearCache()`. */
-  private def reused(df: DataFrame): DataFrame =
-    // Idempotent: callers compose (dupClusters reuses already-persisted
-    // pair tables) — re-persisting an already-cached plan only logs
-    // warnings and adds eviction pressure.
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * MEMORY_AND_DISK persist expresses the same reuse — with a bounded
+    * FIFO lifecycle ([[PlanCache]]: oldest entries unpersist past the
+    * cap, `PlanCache.releaseAll()` for teardown). Idempotent on
+    * already-cached plans (dupClusters re-marks its pair table). */
+  private def reused(df: DataFrame): DataFrame = PlanCache.reuse(df)
 
   /** Exact dedup groups: content-hash → group size + canonical keeper
     * (min id). `SELECT hash, count, min(id)` — one shuffle on the hash.

@@ -63,11 +63,25 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
-  /** Embedding width read off the DataFrame schema's array metadata when
-    * present, else measured from one row — so LSH callers can't silently
-    * bucketize a non-fixture corpus on a wrong-width plane matrix. The
-    * one-row fallback is a tiny LIMIT-1 job (plans prune to the scan). */
+  /** Metadata key carrying the fixed width of an embedding column
+    * (parquet array types don't encode length). [[graft.sources.Tables
+    * .embeddings]] stamps it on the fixture; any producer with a known
+    * width can do the same and make dims inference free. */
+  val DimsMetadataKey = "dims"
+
+  /** Embedding width read off the column's schema metadata when present
+    * (`DimsMetadataKey`, zero cost, no job), else measured from one row —
+    * so LSH callers can't silently bucketize a non-fixture corpus on a
+    * wrong-width plane matrix. The one-row fallback is a LIMIT-1 job that
+    * runs eagerly at plan-construction time (plans prune to the scan);
+    * pass `dims` explicitly or stamp the metadata to avoid it. */
   def embeddingDims(emb: DataFrame, vecCol: String): Int = {
+    val md = emb.schema(vecCol).metadata
+    if (md.contains(DimsMetadataKey)) {
+      val d = md.getLong(DimsMetadataKey).toInt
+      require(d > 0, s"$vecCol metadata '$DimsMetadataKey' must be positive, got $d")
+      return d
+    }
     val firstVec = emb.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .limit(1).collect()
     require(firstVec.nonEmpty, s"cannot infer dims: no non-null $vecCol row")
@@ -264,8 +278,7 @@ object Similarity {
     // scorer, AND (flattened) the coarse probe centroids — three
     // independent DataFrame subtrees would otherwise each re-run the
     // posexplode + two-level percentile pass over the corpus
-    val cents = pqCodebook(emb, vecCol, cellCol, m, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = PlanCache.reuse(pqCodebook(emb, vecCol, cellCol, m, dims))
     val codes = Relational.topKPerGroup(
       pqCodes(emb, idCol, vecCol, m, dims, cents),
       Seq("vec_id", "sub"), Seq(col("dist").asc, col("code").asc), 1, "rn")

@@ -26,9 +26,10 @@ object AnalyticsQueries {
 
   /** Cache a small intermediate referenced from two plan branches (the
     * second reference would otherwise re-run the full upstream
-    * aggregation — same contract as Dedup.reused). */
+    * aggregation — same contract as Dedup.reused, same bounded
+    * [[graft.operators.PlanCache]] lifecycle). */
   private def reused(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.PlanCache.reuse(df)
 
   // ------------------------------------------------------------- queries
 

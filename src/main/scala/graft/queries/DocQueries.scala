@@ -353,9 +353,9 @@ object DocQueries {
     // three branches consume the exploded shingle table (bench distinct,
     // semi-join probe, totals) with no exchange between them to reuse —
     // materialize it once or the scan+explode runs 3x (CLAUDE.md rule)
-    val sh = docs.select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 5)).as("s5"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.operators.PlanCache.reuse(
+      docs.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 5)).as("s5")))
     val bench = sh.filter(col("doc_id") % 10 === 0).select(col("s5")).distinct()
     val corpus = sh.filter(col("doc_id") % 10 =!= 0)
     val hits = corpus.join(bench, Seq("s5"), "left_semi")

@@ -286,9 +286,9 @@ object RelationalQueries {
            countDistinct(col("l_suppkey")).as("exact_supps"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")).cast("double") /
-          col("exact_parts") <= 0.05).as("parts_within_5pct"),
+          col("exact_parts") <= 0.10).as("parts_within_10pct"),
         (abs(col("as_") - col("exact_supps")).cast("double") /
-          col("exact_supps") <= 0.05).as("supps_within_5pct"))
+          col("exact_supps") <= 0.10).as("supps_within_10pct"))
 
   /** NULL-semantics suite (the fixtures ship no NULLs, so they are
     * manufactured with nullif): COUNT skips NULLs, AVG ignores them,
@@ -942,14 +942,19 @@ object RelationalQueries {
          |UNION ALL
          |SELECT c_custkey, 'union' AS op FROM (SELECT * FROM building UNION SELECT * FROM big)""".stripMargin,
     // sketch values are engine-specific; the contract hashed here is the
-    // exact counts + "Spark's HLL estimate is within 5% of exact" booleans
-    // (the oracle asserts TRUE — a drifted sketch flips the hash)
+    // exact counts + "Spark's HLL estimate is within 10% of exact"
+    // booleans (the oracle asserts TRUE — a drifted sketch flips the
+    // hash). 10%, not 5%: at rsd=0.02 a 5% bound is ~2.5σ PER CELL and
+    // each verification scale re-rolls the estimate — across 6 cells ×
+    // tri-scale the one-in-hundreds flip becomes a realistic gate risk;
+    // 10% (~5σ) keeps the row a meaningful quality bound with no
+    // realistic false-failure probability.
     "rel_approx_distinct" ->
       s"""SELECT l_returnflag,
          |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
-         |TRUE AS parts_within_5pct,
-         |TRUE AS supps_within_5pct
+         |TRUE AS parts_within_10pct,
+         |TRUE AS supps_within_10pct
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_distinct_agg" ->
       s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,

@@ -147,10 +147,9 @@ object VectorQueries {
   def simQuantize(s: SparkSession, dir: String): DataFrame = {
     // xs feeds both the codebook aggregate and the (exchange-free) probe
     // side of the join — materialize once or the explode runs twice
-    val xs = Tables.embeddings(s, dir)
+    val xs = graft.operators.PlanCache.reuse(Tables.embeddings(s, dir)
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd")))
     val stats = xs.groupBy(col("dim"))
       .agg(min(col("xd")).as("min_x"), max(col("xd")).as("max_x"))
     xs.join(broadcast(stats), Seq("dim"))
@@ -521,17 +520,36 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+    // Same norms-in-CTE shrink as sim_neardup_lsh (the all-pairs twin).
     "sim_neardup_pairs" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       ${sqlCos("a.embedding", "b.embedding")} AS cosine
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    CASE WHEN (a.nrm) = 0.0 OR (c.nrm) = 0.0 THEN 0.0
+         |     ELSE (${sqlDot("a.embedding", "c.embedding")})
+         |          / (sqrt(a.nrm) * sqrt(c.nrm)) END AS cosine
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin,
+    // Norms and bucket land in the CTE and the cosine is computed ONCE
+    // (then filtered by name): the naive twin repeats the 64-term dot
+    // expansion 12× (select + where, each 5 sums deep + bucket), and the
+    // resulting expression tree was the biggest single allocation in the
+    // oracle run — r4's harness OOM'd on exactly this query. Arithmetic
+    // is unchanged: nrm is the same left-associated self-dot sqlCos
+    // inlines, so every double is bit-identical.
     "sim_neardup_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         |       ${sqlCos("a.embedding", "c.embedding")} AS cosine
-         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |WHERE ${sqlCos("a.embedding", "c.embedding")} >= 0.4""".stripMargin,
+         |             ${sqlBucket("embedding", 8)} AS bucket,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    CASE WHEN (a.nrm) = 0.0 OR (c.nrm) = 0.0 THEN 0.0
+         |     ELSE (${sqlDot("a.embedding", "c.embedding")})
+         |          / (sqrt(a.nrm) * sqrt(c.nrm)) END AS cosine
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin,
   )
 }

@@ -45,7 +45,17 @@ object Tables {
         .cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The embeddings fixture is fixed-width (64-dim float, TESTDATA.md);
+    * parquet list types don't carry the length, so stamp it as column
+    * metadata — `Similarity.embeddingDims` reads it with zero cost
+    * instead of running a LIMIT-1 inference job at plan construction. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.operators.Similarity.DimsMetadataKey, 64L).build()
+    df.withColumn("embedding", df("embedding").as("embedding", md))
+  }
 
   /** Spread a (small-file) input across the cluster's cores before
     * compute-heavy per-row work: a 2 MB parquet arrives as ONE split, so
