@@ -76,10 +76,37 @@ object Bench {
     }.toMap
     val retried = firstPass.filter(_._2 > RetryOverSec).map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retried":$retried,"sf":"$sfDir"}""")
+    // Full per-query detail: printed first (may scroll out of the
+    // harness's bounded tail capture) and persisted next to the build.
+    val detail =
+      s"""{"metric":"detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(results)},"retried":$retried,"sf":"$sfDir"}"""
+    println(detail)
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Contract line LAST and compact: the harness keeps only the final
+    // ~2000 chars of output, and a 134-entry queries map (~5 KB) gets
+    // its opening brace truncated away — so the parseable line carries
+    // the total plus a fixed headline subset and stays well under the
+    // buffer. Full timings live in the detail line / bench_detail.json.
+    val headline = Seq(
+      "rel_pricing_summary", "rel_nation_volume", "rel_top_lineitems",
+      "rel_cube_sales", "rel_salted_join", "rel_window_rank",
+      "band_file_means", "band_stats", "composite_pivot",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_clusters",
+      "sim_topk_brute", "sim_topk_ivf", "sim_topk_ivfpq",
+      "text_stats", "doc_tfidf_top_terms", "pipe_dedup_keep",
+      "evt_asof_attribution", "evt_tumbling_hourly", "mm_byte_stats")
+    val head = only match {
+      case Some(_) => results.toSeq.sortBy(_._1)
+      case None    => headline.flatMap(n => results.get(n).map(n -> _))
+    }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
