@@ -27,6 +27,8 @@ object SparkEntry {
     (BandQueries.registry, BandQueries.oracles),
     (RasterQueries.registry, RasterQueries.oracles),
     (RelationalQueries.registry, RelationalQueries.oracles),
+    (TpchQueries.registry, TpchQueries.oracles),
+    (CdcQueries.registry, CdcQueries.oracles),
     (AnalyticsQueries.registry, AnalyticsQueries.oracles),
     (DocQueries.registry, DocQueries.oracles),
     (VectorQueries.registry, VectorQueries.oracles),

@@ -247,4 +247,65 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Exact threshold-Jaccard join via PREFIX FILTERING (PPJoin family):
+    * the scale path that needs NO stop-shingle cap and loses NO pairs.
+    *
+    * Order every document's shingles by ascending global document
+    * frequency (rarest first; shingle value tie-breaks make the order
+    * total) and index only each doc's first |x| − ⌈t·|x|⌉ + 1 shingles:
+    * two sets with J ≥ t MUST share a prefix shingle under any common
+    * total order (if the prefixes were disjoint, the overlap is at most
+    * min of the suffix lengths, forcing J < t). The inverted index
+    * shrinks from all postings to prefix postings — and because the
+    * frequency order puts RARE shingles in prefixes, hot-shingle
+    * buckets (the skew killer `maxShingleDf` papers over in
+    * [[jaccardPairs]]) mostly vanish instead of being dropped: a hot
+    * shingle appears in a prefix only for docs that contain almost
+    * nothing else. Candidates then verify with one exact
+    * intersection count. Identical output to the naive all-pairs
+    * threshold join — spec-proven, and the oracle is the full O(n²)
+    * replay. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 3,
+                               minJaccard: Double = 0.4): DataFrame = {
+    val docShingles = reused(graft.sources.Tables.spread(df).select(
+      col(idCol),
+      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
+        .as("shingle")))
+    val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sdf = docShingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("sdf"))
+    // rank within doc by (global frequency, shingle); per-doc windows are
+    // bounded by document length, so the sort is small and local
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sdf").asc, col("shingle").asc)
+    val prefixes = docShingles
+      .join(sdf, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, idCol)
+      .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col(idCol), col("shingle"))
+    val candidates = prefixes.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(prefixes.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // intersection count via equi-join on (doc, shingle) — expanding a
+    // pair to A-shingles then equi-matching B's postings keeps the work
+    // |A∩B| + |A|, never the |A|·|B| cross product
+    val common = candidates
+      .join(docShingles.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(docShingles.select(col(idCol).as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
 }

@@ -502,7 +502,53 @@ object AnalyticsQueries {
            exactSum(col("o_totalprice")).as("sum_price"),
            grouping_id().as("gid"))
 
+  /** Two-sample distribution tests in pure INTEGER arithmetic —
+    * Kolmogorov-Smirnov D and Mann-Whitney U between returned ('R') and
+    * delivered ('N') line quantities. Every statistic is a ratio of
+    * exact integers (tie-averaged rank sums are half-integers, so 2·R is
+    * an integer; D's numerator is max|cA·nB − cB·nA|), and a single
+    * IEEE division of bit-identical integers is bit-identical — no
+    * transcendental, no quantization. The heavy lifting is one
+    * aggregation to the DISTINCT-VALUE grain (≤ |value domain| rows, 50
+    * here), so the ordered window that builds CDFs and rank ranges runs
+    * over a tiny frame regardless of corpus size — the standard
+    * value-histogram compression for rank tests at scale. */
+  def ksMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(col("l_quantity").as("v"),
+              when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isA"))
+    val perValue = li.groupBy(col("v"))
+      .agg(sum(col("isA")).as("ca"), sum(lit(1L) - col("isA")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
+    // 2·(rank sum of A) with tie-averaged ranks: each distinct value's
+    // occupants share avg rank = prior_total + (cnt+1)/2, so
+    // 2·contribution = ca · (2·prior_total + cnt + 1) — all integers
+    val withPrior = cum
+      .withColumn("prior", col("cuma") + col("cumb") - col("ca") - col("cb"))
+    val stats = withPrior.crossJoin(broadcast(totals))
+      .agg(
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("ks_num"),
+        sum(col("ca") * (col("prior") * 2 + col("ca") + col("cb") + 1))
+          .as("r2a"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+    stats.select(
+      col("n_a"), col("n_b"),
+      col("ks_num"),
+      (col("ks_num").cast(DoubleType) /
+        (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_d"),
+      // 2·U_A = 2·R_A − nA(nA+1)
+      (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_ks_mannwhitney"   -> (ksMannWhitney _),
     "evt_dau_wau"        -> (dauWau _),
     "rel_rollup_time"    -> (rollupTime _),
     "rel_fk_audit"       -> (fkAudit _),
@@ -535,6 +581,28 @@ object AnalyticsQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "rel_ks_mannwhitney" ->
+      s"""WITH pv AS (
+         |  SELECT l_quantity AS v,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cb
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+         |cum AS (
+         |  SELECT v, ca, cb,
+         |    SUM(ca) OVER (ORDER BY v) AS cuma,
+         |    SUM(cb) OVER (ORDER BY v) AS cumb
+         |  FROM pv),
+         |tot AS (SELECT CAST(MAX(cuma) AS BIGINT) AS na,
+         |          CAST(MAX(cumb) AS BIGINT) AS nb FROM cum)
+         |SELECT na AS n_a, nb AS n_b,
+         |  CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+         |  CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+         |    / CAST(na * nb AS DOUBLE) AS ks_d,
+         |  CAST(SUM(ca * ((cuma + cumb - ca - cb) * 2 + ca + cb + 1))
+         |    - na * (na + 1) AS BIGINT) AS u2_a
+         |FROM cum, tot GROUP BY na, nb""".stripMargin,
     "rel_window_nav" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice,
          |  lag(o_totalprice, 1) OVER w AS prev_price,

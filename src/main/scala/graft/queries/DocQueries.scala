@@ -113,6 +113,12 @@ object DocQueries {
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Exact threshold-Jaccard join (t = 0.4) via prefix filtering — the
+    * lossless scale path (no stop-shingle cap, no missed pairs); the
+    * oracle replays the full all-pairs threshold join. */
+  def dedupPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+
   /** Composed cleaning pipeline — the operators chained the way a
     * training-data job would: docs ⋈ embeddings (broadcast), quality +
     * language + token features, exact-dup flag via a hash-window, then
@@ -485,6 +491,7 @@ object DocQueries {
     "text_repetition"     -> (textRepetition _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
+    "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -791,6 +798,24 @@ object DocQueries {
          |FROM documents GROUP BY lang""".stripMargin
     },
     "dedup_jaccard_pairs" -> jaccardPairsSql,
+    // prefix filtering is exact: the oracle is the FULL all-pairs
+    // threshold join at t=0.4 with no frequency cap
+    "dedup_prefix_pairs" ->
+      s"""WITH docsh AS (
+         |  SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM docsh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM docsh a JOIN docsh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+         |  >= 0.4""".stripMargin,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)

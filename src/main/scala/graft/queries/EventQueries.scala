@@ -253,7 +253,36 @@ object EventQueries {
            countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Interval-overlap join via [[graft.operators.Intervals.overlapJoin]]:
+    * click intervals × view intervals per user (interval = [ts, ts +
+    * value minutes]), binned to 1-hour equi-join keys — the scale path
+    * that replaces the BroadcastNestedLoopJoin a raw range predicate
+    * produces. Duration derives from the exact 2-decimal recovery
+    * `round(value·100)·0.6s` (a direct double→long cast would truncate
+    * in Spark but round in DuckDB). Overlap micros are pure integer
+    * arithmetic — exact on both engines. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              expr("ts_ns DIV 1000").as("start_us"),
+              (expr("ts_ns DIV 1000") +
+                expr("CAST(round(value * 100) AS BIGINT) * 600000"))
+                .as("end_us"))
+    val clicks = e.filter(col("event_type") === "click").drop("event_type")
+    val views = e.filter(col("event_type") === "view").drop("event_type")
+    graft.operators.Intervals
+      .overlapJoin(clicks, views, Seq("user_id"), "start_us", "end_us",
+                   binWidthUs = 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(least(col("l_end_us"), col("r_end_us")) -
+               greatest(col("l_start_us"), col("r_start_us")))
+             .as("sum_overlap_us"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
@@ -275,6 +304,18 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_interval_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, $usExpr AS s,
+         |    $usExpr + CAST(round(value * 100) AS BIGINT) * 600000 AS e_
+         |  FROM events WHERE event_type IN ('click', 'view'))
+         |SELECT a.user_id, COUNT(*) AS n_pairs,
+         |CAST(SUM(least(a.e_, b.e_) - greatest(a.s, b.s)) AS BIGINT)
+         |  AS sum_overlap_us
+         |FROM e a JOIN e b ON a.user_id = b.user_id
+         |  AND a.event_type = 'click' AND b.event_type = 'view'
+         |  AND a.s <= b.e_ AND b.s <= a.e_
+         |GROUP BY 1""".stripMargin,
     "evt_transitions" ->
       s"""SELECT prev_type, event_type, COUNT(*) AS n_transitions,
          |COUNT(DISTINCT user_id) AS n_users

@@ -290,6 +290,55 @@ object RelationalQueries {
         (abs(col("as_") - col("exact_supps")).cast("double") /
           col("exact_supps") <= 0.10).as("supps_within_10pct"))
 
+  /** Sketch quantiles: approx_percentile (GK/KLL-family) against the
+    * exact percentile, as a rank-error bound check — same contract shape
+    * as [[approxDistinct]]. accuracy=1000 guarantees rank error
+    * ≤ 0.1%·N; the asserted window is the exact value span at ±2.5
+    * quantile points (25σ of the guarantee), so the boolean is stable
+    * across scales and partition layouts while still pinning sketch
+    * quality. The compared columns are the exact percentiles (canonical
+    * cross-engine doubles) + the bound booleans. */
+  def approxPercentileBound(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val aggs = qs.flatMap { q =>
+      val t = (q * 100).toInt
+      Seq(expr(s"percentile(l_extendedprice, $q)").as(s"exact_p$t"),
+          expr(s"approx_percentile(l_extendedprice, $q, 1000)").as(s"ap_p$t"),
+          expr(s"percentile(l_extendedprice, ${q - 0.025})").as(s"lo_p$t"),
+          expr(s"percentile(l_extendedprice, ${q + 0.025})").as(s"hi_p$t"))
+    }
+    val flags = qs.flatMap { q =>
+      val t = (q * 100).toInt
+      Seq(col(s"exact_p$t"),
+          (col(s"ap_p$t") >= col(s"lo_p$t") &&
+           col(s"ap_p$t") <= col(s"hi_p$t")).as(s"p${t}_in_bound"))
+    }
+    li.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag") +: flags: _*)
+  }
+
+  /** Triangle census of the supplier co-shipping graph — suppliers are
+    * adjacent when they ship the SAME PART on the SAME DAY (per-order
+    * co-occurrence is complete at any fixture scale; the (part, day)
+    * grain yields real sparse structure). Degree-oriented counting via
+    * [[graft.operators.Graphs.triangleCensus]]; the edge build self-joins
+    * a DISTINCT (part, day, supplier) projection on its (part, day) key —
+    * bounded per-key fan-out, then the census's orientation bounds the
+    * wedge join. Integer-only output. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_suppkey")).distinct()
+    val edges = ps
+      .select(col("l_partkey"), col("l_shipdate"), col("l_suppkey").as("sa"))
+      .join(ps.select(col("l_partkey"), col("l_shipdate"),
+                      col("l_suppkey").as("sb")),
+            Seq("l_partkey", "l_shipdate"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"))
+    graft.operators.Graphs.triangleCensus(edges, "sa", "sb")
+  }
+
   /** NULL-semantics suite (the fixtures ship no NULLs, so they are
     * manufactured with nullif): COUNT skips NULLs, AVG ignores them,
     * COALESCE backfills, null-safe equality — the SQL three-valued-logic
@@ -589,6 +638,8 @@ object RelationalQueries {
            min(col("sm")).as("min_s"), max(col("sm")).as("max_s"))
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_approx_pct_bound"  -> (approxPercentileBound _),
+    "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
     "rel_not_in_nulls"      -> (notInNulls _),
     "rel_merge_join"        -> (mergeJoinHint _),
@@ -648,6 +699,35 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "rel_approx_pct_bound" ->
+      s"""SELECT l_returnflag,
+         |percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+         |  AS exact_p25, TRUE AS p25_in_bound,
+         |percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+         |  AS exact_p50, TRUE AS p50_in_bound,
+         |percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+         |  AS exact_p90, TRUE AS p90_in_bound
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_triangle_count" ->
+      s"""WITH ps AS (
+         |  SELECT DISTINCT l_partkey, l_shipdate, l_suppkey FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         |  FROM ps a JOIN ps b
+         |  ON a.l_partkey = b.l_partkey AND a.l_shipdate = b.l_shipdate
+         |  WHERE a.l_suppkey < b.l_suppkey),
+         |deg AS (
+         |  SELECT x, COUNT(*) AS d FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+         |  GROUP BY 1)
+         |SELECT
+         |  (SELECT COUNT(*) FROM deg) AS n_vertices,
+         |  (SELECT COUNT(*) FROM e) AS n_edges,
+         |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         |    AS n_wedges,
+         |  (SELECT COUNT(*)
+         |   FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
     "rel_array_funcs" ->
       s"""SELECT l_orderkey,
          |CAST(len(qtys) AS INTEGER) AS n_lines,

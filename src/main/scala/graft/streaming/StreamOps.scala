@@ -108,6 +108,74 @@ object StreamOps {
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  // ------------------------------------------------------- upsert sink
+
+  /** Streaming MERGE: maintain a keyed current-state table from a change
+    * stream via foreachBatch, with versioned-snapshot commits that make
+    * batch REPLAY idempotent (the missing half of exactly-once for
+    * non-transactional sinks).
+    *
+    * Each micro-batch merges into the last committed snapshot with
+    * last-writer-wins per key (highest `orderCol`; within-batch dups
+    * collapse the same way), writes the merged state to
+    * `stateDir/v_<batchId>`, then commits by atomically moving a pointer
+    * file. A crash between write and commit replays the batch into the
+    * same version directory (overwrite) and re-commits — converging, not
+    * duplicating. This is the same version+pointer protocol Delta/Iceberg
+    * commit with; at production scale the snapshot write is partitioned
+    * and the merge is the [[graft.operators.ChangeCapture]] shuffle, one
+    * per batch on the merge key.
+    *
+    * Reads of the current state go through [[currentState]]. */
+  def upsertForeachBatch(updates: DataFrame, keyCols: Seq[String],
+                         orderCol: String, stateDir: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val merged = mergeSnapshot(
+          currentState(s, stateDir, batch.schema), batch, keyCols, orderCol)
+        merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
+        val tmp = java.nio.file.Paths.get(stateDir, "_latest.tmp")
+        java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(stateDir, "_latest"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .start()
+
+  /** One merge step: last-writer-wins per key between a committed
+    * snapshot and a batch of updates (highest `orderCol` survives; the
+    * batch side is the upsert). Idempotent — merging the same batch
+    * twice yields the same snapshot, which is what makes the versioned
+    * replay safe. */
+  def mergeSnapshot(prev: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                    orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    prev.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The last committed upsert snapshot (empty with `schema` before the
+    * first commit). */
+  def currentState(s: SparkSession, stateDir: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val ptr = java.nio.file.Paths.get(stateDir, "_latest")
+    if (java.nio.file.Files.exists(ptr)) {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim
+      s.read.parquet(s"$stateDir/v_$v")
+    } else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                             schema)
+  }
+
   // ---------------------------------------------------- custom state op
 
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,

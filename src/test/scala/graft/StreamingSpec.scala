@@ -364,4 +364,68 @@ class StreamingSpec extends SparkSpec {
       assert(afterBatch2 == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("foreachBatch upsert maintains keyed current state across batches") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val (stateDir, ckpt) = (s"$base/state", s"$base/ckpt")
+    new java.io.File(stateDir).mkdirs()
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamOps.upsertForeachBatch(mem.toDF(), Seq("k"), "seq",
+                                         stateDir, ckpt)
+    try {
+      mem.addData(UpsertRow(1, "a", 1), UpsertRow(2, "b", 1))
+      q.processAllAvailable()
+      mem.addData(UpsertRow(1, "c", 2), UpsertRow(3, "d", 2),
+                  UpsertRow(3, "e", 3)) // within-batch dup: highest seq wins
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = StreamOps.currentState(spark, stateDir,
+        Seq.empty[UpsertRow].toDF().schema)
+      .as[UpsertRow].collect().map(r => r.k -> r.v).toMap
+    assert(state == Map(1L -> "c", 2L -> "b", 3L -> "e"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("upsert merge is idempotent — replaying a batch converges, not dups") {
+    val prev = Seq(UpsertRow(1, "a", 1), UpsertRow(2, "b", 1)).toDF()
+    val batch = Seq(UpsertRow(1, "c", 2), UpsertRow(3, "d", 2)).toDF()
+    val once = StreamOps.mergeSnapshot(prev, batch, Seq("k"), "seq")
+    val twice = StreamOps.mergeSnapshot(once, batch, Seq("k"), "seq")
+    val expect = Map(1L -> "c", 2L -> "b", 3L -> "d")
+    assert(once.as[UpsertRow].collect().map(r => r.k -> r.v).toMap == expect)
+    assert(twice.as[UpsertRow].collect().map(r => r.k -> r.v).toMap == expect)
+    assert(twice.count() == once.count())
+  }
+
+  test("Trigger.AvailableNow drains the backlog, stops, and resumes from offsets") {
+    val base = java.nio.file.Files.createTempDirectory("graft_availnow").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    rows.take(2).toDF().write.mode("append").parquet(src)
+    rows.slice(2, 3).toDF().write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(rows.take(1).toDF().schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    }
+    runOnce() // drains the 2-file backlog and STOPS (batch catch-up mode)
+    val afterFirst = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(afterFirst == rows.take(3).map(_.event_id).sorted)
+    // new arrivals are NOT seen until the next run, which resumes from
+    // the recorded offsets — no reprocessing, no loss
+    rows.drop(3).toDF().write.mode("append").parquet(src)
+    runOnce()
+    val afterSecond = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(afterSecond == rows.map(_.event_id).sorted)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
+
+/** Top-level row type for the upsert spec (nested case classes break
+  * encoder derivation / whole-stage codegen — round-1 gotcha). */
+case class UpsertRow(k: Long, v: String, seq: Long)

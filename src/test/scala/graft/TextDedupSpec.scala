@@ -75,4 +75,26 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(qm(1L) > qm(3L), "stopword-rich doc should outscore stopword-free")
   }
+
+  test("prefix filtering loses no pairs vs the all-pairs threshold join") {
+    // 30 docs over a tiny vocabulary → dense near-dup structure; hot
+    // shingles ensure prefixes actually prune (not all postings kept)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+                       "eta", "theta")
+    val corpus = (0 until 30).map { i =>
+      val toks = (0 until 8 + i % 5).map(j => words((i * 7 + j * 3) % words.size))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val fast = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text",
+                                                shingleN = 2, minJaccard = t)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      // brute force: uncapped inverted-index join (maxShingleDf huge)
+      val brute = Dedup.jaccardPairs(corpus, "doc_id", "text",
+                                     shingleN = 2, minJaccard = t,
+                                     maxShingleDf = Int.MaxValue)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"prefix-filter result differs at t=$t")
+    }
+  }
 }
