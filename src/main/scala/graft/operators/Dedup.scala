@@ -105,13 +105,23 @@ object Dedup {
     * hot shingles are the skew risk — cap or drop shingles with
     * document frequency above a threshold (stop-shingles), standard
     * practice mirrored by `maxShingleDf`. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, minJaccard: Double = 0.5,
-                   maxShingleDf: Int = 1000): DataFrame = {
-    val docShingles = reused(graft.sources.Tables.spread(df).select(
+  /** The exploded distinct-shingle set (id, shingle) — THE shared
+    * sketch of the text-dedup family. Always built through this helper:
+    * PlanCache/CacheManager dedupe by plan sameResult, so every
+    * shingle-based operator in a session materializes the explode (the
+    * family's dominant cost — an interpreted-lambda transform over every
+    * document) exactly once. */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int): DataFrame =
+    reused(graft.sources.Tables.spread(df).select(
       col(idCol),
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
         .as("shingle")))
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val docShingles = shingleSet(df, idCol, textCol, shingleN)
     val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // stop-shingle cap via a partial-aggregated count + broadcast anti
     // join: only (shingle, partial count) pairs shuffle, never the full
@@ -268,24 +278,35 @@ object Dedup {
     * replay. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                                shingleN: Int = 3,
-                               minJaccard: Double = 0.4): DataFrame = {
-    val docShingles = reused(graft.sources.Tables.spread(df).select(
-      col(idCol),
-      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
-        .as("shingle")))
-    val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+                               minJaccard: Double = 0.5): DataFrame = {
+    // shingles carry as xxhash64 BIGINTs from here on: every downstream
+    // join/group/sort keys on a long, not an interpreted string (the
+    // string ops live once in the shared [[shingleSet]] sketch; a 64-bit
+    // collision anywhere in the corpus is ~|shingles|²/2⁶⁵ —
+    // negligible).
+    // NOTE prefix size is |x|−⌈t·|x|⌉+1: LOW thresholds mean WEAK
+    // filtering (t=0.4 indexes 60% of every set); the economics want
+    // t ≥ ~0.5.
+    val strShingles = shingleSet(df, idCol, textCol, shingleN)
+    val docShingles = reused(
+      strShingles.select(col(idCol), xxhash64(col("shingle")).as("shingle")))
+    val sizes = reused(
+      strShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val sdf = docShingles.groupBy(col("shingle"))
       .agg(count(lit(1)).as("sdf"))
     // rank within doc by (global frequency, shingle); per-doc windows are
-    // bounded by document length, so the sort is small and local
+    // bounded by document length, so the sort is small and local.
+    // prefixes and sizes are persisted: each is read from 2-3 plan
+    // subtrees (both self-join sides / both pair endpoints), and an
+    // unpersisted branch re-runs the join+window chain per reference.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("sdf").asc, col("shingle").asc)
-    val prefixes = docShingles
+    val prefixes = reused(docShingles
       .join(sdf, "shingle")
       .withColumn("pos", row_number().over(w))
       .join(sizes, idCol)
       .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), col("shingle")))
     val candidates = prefixes.select(col(idCol).as("doc_a"), col("shingle"))
       .join(prefixes.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))

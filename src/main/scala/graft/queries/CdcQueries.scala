@@ -98,10 +98,38 @@ object CdcQueries {
                 .as("sum_price"))
   }
 
+  /** Point-in-time (as-of) lookup against the SCD2 history: the version
+    * set valid at two probe instants — one BEFORE the batch (rows valid
+    * from their order date; later orders don't exist yet) and one AFTER
+    * (the post-merge current state, deletes gone, updates at new
+    * values). A row is valid at T iff valid_from ≤ T < valid_to (open
+    * end = ∞). This is the dimension-lookup join every fact pipeline
+    * runs against a versioned dimension; the filter is a pure map over
+    * the history (no extra shuffle beyond the summary's group-by). */
+  def cdcAsof(s: SparkSession, dir: String): DataFrame = {
+    val batchTs = lit("2002-01-01 00:00:00").cast("timestamp")
+    val actions = ChangeCapture.mergeActions(
+      Tables.orders(s, dir), staged(s, dir), "o_orderkey", CompareCols)
+    val hist = ChangeCapture.scd2Apply(
+      actions, "o_orderkey", CompareCols, "o_orderdate", batchTs)
+    def at(label: String, t: String): DataFrame =
+      hist.filter(col("valid_from") <= lit(t).cast("timestamp") &&
+                  (col("valid_to").isNull ||
+                   col("valid_to") > lit(t).cast("timestamp")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+             exactSum(col("o_totalprice")).as("sum_price"))
+        .select(lit(label).as("epoch"), col("o_orderpriority"),
+                col("n_rows"), col("sum_price"))
+    at("before_batch", "2001-06-15 00:00:00")
+      .unionByName(at("after_batch", "2002-02-01 00:00:00"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cdc_merge_actions" -> (cdcMergeActions _),
     "rel_cdc_scd2"          -> (cdcScd2Summary _),
     "rel_cdc_incr_agg"      -> (cdcIncrementalAgg _),
+    "rel_cdc_asof"          -> (cdcAsof _),
   )
 
   // Oracle twins replay the staged-snapshot derivation in SQL. DuckDB
@@ -141,6 +169,23 @@ object CdcQueries {
        |         ELSE 'NOOP' END AS action
        |  FROM diff)""".stripMargin
 
+  /** Shared SCD2-history CTE (staged → diff → classified → hist) for the
+    * scd2 / as-of oracles. */
+  private val histSql =
+    s"""$stagedSql,
+       |hist AS (
+       |  SELECT cur_prio AS o_orderpriority, cur_price AS p,
+       |    cur_date AS valid_from,
+       |    TIMESTAMP '2002-01-01' AS valid_to, FALSE AS is_current
+       |  FROM classified WHERE action IN ('UPDATE', 'DELETE')
+       |  UNION ALL
+       |  SELECT new_prio, new_price,
+       |    TIMESTAMP '2002-01-01', NULL, TRUE
+       |  FROM classified WHERE action IN ('UPDATE', 'INSERT')
+       |  UNION ALL
+       |  SELECT cur_prio, cur_price, cur_date, NULL, TRUE
+       |  FROM classified WHERE action = 'NOOP')""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "rel_cdc_merge_actions" ->
       s"""WITH $stagedSql
@@ -149,24 +194,22 @@ object CdcQueries {
          |  AS sum_price
          |FROM classified GROUP BY 1""".stripMargin,
     "rel_cdc_scd2" ->
-      s"""WITH $stagedSql,
-         |hist AS (
-         |  SELECT cur_prio AS o_orderpriority, cur_price AS p,
-         |    cur_date AS valid_from,
-         |    TIMESTAMP '2002-01-01' AS valid_to, FALSE AS is_current
-         |  FROM classified WHERE action IN ('UPDATE', 'DELETE')
-         |  UNION ALL
-         |  SELECT new_prio, new_price,
-         |    TIMESTAMP '2002-01-01', NULL, TRUE
-         |  FROM classified WHERE action IN ('UPDATE', 'INSERT')
-         |  UNION ALL
-         |  SELECT cur_prio, cur_price, cur_date, NULL, TRUE
-         |  FROM classified WHERE action = 'NOOP')
+      s"""WITH $histSql
          |SELECT o_orderpriority, is_current, COUNT(*) AS n_rows,
          |${sqlToDouble(s"SUM(${sqlDec("p")})")} AS sum_price,
          |CAST(SUM(date_diff('day', valid_from,
          |  COALESCE(valid_to, valid_from))) AS BIGINT) AS sum_closed_days
          |FROM hist GROUP BY 1, 2""".stripMargin,
+    "rel_cdc_asof" ->
+      s"""WITH $histSql,
+         |epochs(epoch, t) AS (VALUES
+         |  ('before_batch', TIMESTAMP '2001-06-15'),
+         |  ('after_batch', TIMESTAMP '2002-02-01'))
+         |SELECT epoch, o_orderpriority, COUNT(*) AS n_rows,
+         |${sqlToDouble(s"SUM(${sqlDec("p")})")} AS sum_price
+         |FROM epochs JOIN hist
+         |  ON valid_from <= t AND (valid_to IS NULL OR valid_to > t)
+         |GROUP BY 1, 2""".stripMargin,
     // the oracle IS the full recompute the incremental path avoids —
     // hash equality proves the IVM fold correct
     "rel_cdc_incr_agg" ->

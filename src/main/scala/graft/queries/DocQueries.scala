@@ -113,11 +113,12 @@ object DocQueries {
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Exact threshold-Jaccard join (t = 0.4) via prefix filtering — the
+  /** Exact threshold-Jaccard join (t = 0.6) via prefix filtering — the
     * lossless scale path (no stop-shingle cap, no missed pairs); the
     * oracle replays the full all-pairs threshold join. */
   def dedupPrefixPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                                   minJaccard = 0.6)
 
   /** Composed cleaning pipeline — the operators chained the way a
     * training-data job would: docs ⋈ embeddings (broadcast), quality +
@@ -799,7 +800,7 @@ object DocQueries {
     },
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     // prefix filtering is exact: the oracle is the FULL all-pairs
-    // threshold join at t=0.4 with no frequency cap
+    // threshold join at t=0.6 with no frequency cap
     "dedup_prefix_pairs" ->
       s"""WITH docsh AS (
          |  SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
@@ -815,7 +816,7 @@ object DocQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
-         |  >= 0.4""".stripMargin,
+         |  >= 0.6""".stripMargin,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)

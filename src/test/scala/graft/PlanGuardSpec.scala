@@ -1,0 +1,77 @@
+package graft
+
+/** Registry-wide physical-plan regression guard: building every
+  * registered query's plan against the sf0.001 fixtures, assert that
+  * the worst scale killers never appear —
+  *
+  *  - `CartesianProduct` nowhere (an unconditional O(|L|·|R|) shuffle
+  *    join; nothing in the registry should ever need one);
+  *  - `BroadcastNestedLoopJoin` ONLY in queries on the explicit
+  *    allowlist, where the broadcast side is a 1-row aggregate or a
+  *    few-row literal table (scalar-subquery shape — each entry was
+  *    reviewed when allowlisted).
+  *
+  * A new query that accidentally degrades to a nested-loop join (a
+  * dropped join key, a non-equi condition Catalyst can't hash) fails
+  * here at plan-build time instead of surfacing as a bench regression
+  * three rounds later.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+    * every entry is a 1-row (or literal few-row) broadcast — scalar
+    * thresholds, cardinality caps, census assembly, epoch tables. */
+  private val scalarBroadcastAllowed: Set[String] = Set(
+    "rel_above_avg_orders",   // avg(o_totalprice) scalar
+    "rel_top_supplier",       // max-revenue scalar equality
+    "rel_division",           // divisor-cardinality scalar
+    "rel_stock_concentration",// concentration threshold scalar
+    "rel_small_qty_revenue",  // correlated-scalar decorrelation
+    "rel_market_share",       // windowed-total 1-row side
+    "rel_triangle_count",     // census assembly (3 one-row aggs)
+    "rel_ks_mannwhitney",     // n_a/n_b totals broadcast
+    "rel_approx_distinct",    // HLL vs exact scalar compare
+    "rel_cdc_asof",           // 2-row epoch table
+    "pipe_mixture_plan",      // scarcest-language cap scalar
+    "pipe_mixture_apply",     // same cap, applied
+    "pipe_contamination",     // benchmark-side scalar stats
+    "pipe_pack_bins",         // shard-width scalar
+    "pipe_stratified_sample", // per-stratum rate table
+    "evt_funnel",             // single-row funnel pivot
+    "dedup_exact_rows",       // corpus-count scalar
+    "doc_tfidf_top_terms",    // corpus-N 1-row cross join
+    "text_lang_confusion",    // total-count scalar share
+    "sim_recall_eval", "sim_ivf_recall", "sim_ivfpq_recall", // k scalars
+    "sim_topk_ivf", "sim_topk_ivfpq", // nprobe centroid few-row sides
+    "sim_quantize", "sim_pq_codes",   // codebook broadcast
+    "mm_modality_mix",        // modality-universe literal
+    "evt_dau_wau",            // 7-day spine literal
+    "evt_daily_gapfill",      // day-spine literal
+    "evt_value_deciles",      // percentile-cutpoint 1-row broadcast
+    "rel_idle_customers",     // Q22 avg-acctbal scalar subquery
+    "rel_cross_matrix",       // DELIBERATE cross join (contingency table
+                              //   with zero cells — the §2.3 cross-join row)
+    "sim_topk_brute",         // labeled all-pairs correctness baseline
+    "sim_neardup_pairs",      // labeled all-pairs correctness baseline
+  )
+
+  test("no CartesianProduct anywhere; BNLJ only on the reviewed allowlist") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN-BUILD-FAILED: ${e.getMessage}" }
+      if (plan.contains("PLAN-BUILD-FAILED"))
+        offenders += s"$name: $plan"
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") &&
+          !scalarBroadcastAllowed(name))
+        offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"plan regressions:\n${offenders.mkString("\n")}")
+  }
+}
