@@ -127,6 +127,57 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
                      x => x.getField("cv").cast("float")).as("centroid"))
 
+  /** Deterministic spherical k-means coarse quantizer — the *trained*
+    * alternative to a pre-existing label column for [[ivfTopK]], so ANN
+    * serving works on unlabeled corpora. No RNG anywhere, so the trained
+    * cells are identical across runs, partitionings, and engines:
+    *
+    *  - '''init''': the `c` corpus vectors ranked first by
+    *    `md5(cast(id as string))` — a seeded sample selected by a
+    *    distributed top-c (`orderBy.limit` → TakeOrderedAndProject,
+    *    never a global sort); cell ids are ranks within those c rows.
+    *  - '''assignment''': argmax cosine against the broadcast centroids
+    *    (codegen'd [[graft.functions.VectorFunctions.cosineSim]]), ties
+    *    broken toward the smaller cell id.
+    *  - '''update''': per-dimension MEDIAN centroids ([[cellCentroids]])
+    *    — order-independent where a float mean is not, which is what
+    *    keeps `iters` rounds of re-assignment deterministic.
+    *
+    * Scale: each iteration broadcasts c·d floats, does one map-side
+    * argmax pass over the corpus, and one posexplode aggregation for the
+    * update — the corpus itself never shuffles. A cell abandoned by
+    * re-assignment simply disappears (both engines agree row-for-row).
+    *
+    * Returns `(idCol, vecCol, cell)` — the final assignment against the
+    * last trained centroids, persisted ([[PlanCache]]) because IVF
+    * consumers reference it from centroid/corpus/query subtrees.
+    */
+  def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
+                  c: Int, iters: Int): DataFrame = {
+    def assign(cents: DataFrame): DataFrame =
+      Relational.topKPerGroup(
+        emb.select(col(idCol), col(vecCol)).crossJoin(broadcast(cents))
+          .select(col(idCol), col(vecCol), col("cell"),
+                  VectorFunctions.cosineSim(col(vecCol), col("centroid"))
+                    .as("cs")),
+        Seq(idCol), Seq(col("cs").desc, col("cell").asc), 1, "rn")
+        .select(col(idCol), col(vecCol), col("cell"))
+    val seeds = emb
+      .select(col(idCol), col(vecCol),
+              md5(col(idCol).cast("string")).as("sk"))
+      .orderBy(col("sk"), col(idCol)).limit(c)
+    // unpartitioned window is safe here: it runs AFTER the limit, over
+    // exactly c rows (the corpus-wide ranking above is the distributed
+    // top-c, not this window)
+    val seedW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sk"), col(idCol))
+    var cents = seeds.select(row_number().over(seedW).as("cell"),
+                             col(vecCol).as("centroid"))
+    for (_ <- 1 to iters)
+      cents = cellCentroids(assign(cents), vecCol, "cell")
+    PlanCache.reuse(assign(cents))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: the corpus is partitioned into coarse cells, each query
     * probes only the `nprobe` cells whose centroids are nearest, and

@@ -239,6 +239,34 @@ object VectorQueries {
                          "label", queryPred, 3), 3)
   }
 
+  /** Trained-quantizer constants — single source for the Spark call and
+    * the oracle's replayed k-means (cells, Lloyd iterations). */
+  private val KmC = 8
+  private val KmIters = 2
+
+  /** IVF top-3 over TRAINED coarse cells: deterministic spherical
+    * k-means (md5-seeded init, cosine argmax assignment, median-centroid
+    * updates — [[Similarity.kmeansCells]]) replaces the fixture `label`
+    * column, so the serving path works on unlabeled corpora. The oracle
+    * replays the identical training: seeding is a ROW_NUMBER over md5,
+    * every assignment reuses the left-associated cosine fold, and median
+    * updates are percentile_cont — all already-proven bit-exact shapes. */
+  def simTopKIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.ivfTopK(
+      Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id", "embedding",
+                             KmC, KmIters),
+      "vec_id", "embedding", "cell", queryPred, 3)
+  }
+
+  /** Recall@3 of the trained-quantizer IVF path vs brute-force truth —
+    * the quality proof that k-means cells serve as well as the oracle
+    * labels (compare with [[simIvfRecall]]). */
+  def simIvfTrainedRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    recallAgainstTruth(s, dir, simTopKIvfTrained(s, dir), 3)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_eval"   -> (simRecallEval _),
     "sim_ivf_recall"    -> (simIvfRecall _),
@@ -254,6 +282,8 @@ object VectorQueries {
     "sim_topk_ivf"      -> (simTopKIvf _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_neardup_lsh"   -> (simNearDupLsh _),
+    "sim_topk_ivf_trained"   -> (simTopKIvfTrained _),
+    "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -303,6 +333,86 @@ object VectorQueries {
        |  SELECT code, CAST((d - 1) // $PqSubDims AS INTEGER) AS sub,
        |    list(cv ORDER BY d) AS cent
        |  FROM pq_cents GROUP BY 1, 2)""".stripMargin
+
+  /** Hoisted-norm cosine: same arithmetic and association as [[sqlCos]]
+    * but with the two squared norms read from pre-computed columns —
+    * the k-means chain would otherwise inline the 64-term norm
+    * expansions once per assignment round (CLAUDE.md: repeated inline
+    * dot expansions are what OOM'd the driver's DuckDB harness). */
+  private def sqlCosN(dot: String, na: String, nb: String): String =
+    s"""CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+       | ELSE ($dot) / (sqrt($na) * sqrt($nb)) END""".stripMargin
+
+  /** One k-means assignment CTE: every vector to its argmax-cosine cell
+    * (ties to the smaller cell), mirroring Similarity.kmeansCells; reads
+    * vectors+norms from `kme`, centroids+norms from `cents`, and carries
+    * (vec_id, embedding, nrm, cell) forward. */
+  private def kmAssignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCosN(sqlDot("e.embedding", "c.centroid"),
+                                   "e.nrm", "c.nrm")} DESC,
+       |                 c.cell ASC) AS rn
+       |    FROM kme e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** Median-centroid update CTEs over an assignment CTE (same
+    * percentile_cont→REAL shape as the label-cell centroids), with the
+    * squared centroid norm hoisted alongside. */
+  private def kmCentroidCtes(asg: String, kc: String, cents: String): String =
+    s"""$kc AS (
+       |  SELECT cell, d,
+       |    CAST(percentile_cont(0.5) WITHIN GROUP (
+       |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
+       |  FROM $asg
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS d)
+       |  GROUP BY cell, d),
+       |${cents}0 AS (
+       |  SELECT cell, list(cv ORDER BY d) AS centroid
+       |  FROM $kc GROUP BY cell),
+       |$cents AS (
+       |  SELECT cell, centroid, ${sqlDot("centroid", "centroid")} AS nrm
+       |  FROM ${cents}0)""".stripMargin
+
+  /** Replayed k-means training + trained-cell IVF, ending in
+    * `scored(query_id, neighbor_id, cosine)` — single source for
+    * sim_topk_ivf_trained and sim_ivf_trained_recall. Chain: md5-ranked
+    * seed centroids → KmIters × (assign, median update) → final
+    * assignment → probe/score exactly like the label-cell IVF oracle. */
+  private val kmScoredCte: String =
+    s"""kme AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |kseeds AS (
+       |  SELECT cell, embedding AS centroid, nrm FROM (
+       |    SELECT embedding, nrm, ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
+       |    FROM kme) WHERE cell <= $KmC),
+       |${kmAssignCte("kasg0", "kseeds")},
+       |${kmCentroidCtes("kasg0", "kc1", "kcent1")},
+       |${kmAssignCte("kasg1", "kcent1")},
+       |${kmCentroidCtes("kasg1", "kc2", "kcent2")},
+       |${kmAssignCte("kfinal", "kcent2")},
+       |${kmCentroidCtes("kfinal", "tkc", "tcent")},
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |      FROM kme WHERE $QueryPredSql),
+       |probe AS (
+       |  SELECT query_id, qv, qnrm, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCosN(sqlDot("q.qv", "c.centroid"),
+                                   "q.qnrm", "c.nrm")} DESC, c.cell ASC)
+       |        AS cell_rank
+       |    FROM q CROSS JOIN tcent c)
+       |  WHERE cell_rank <= 2),
+       |scored AS (
+       |  SELECT probe.query_id, f.vec_id AS neighbor_id,
+       |    ${sqlCosN(sqlDot("probe.qv", "f.embedding"),
+                      "probe.qnrm", "f.nrm")} AS cosine
+       |  FROM kfinal f JOIN probe ON f.cell = probe.cell
+       |  WHERE f.vec_id <> probe.query_id)""".stripMargin
 
   /** Brute-force ground-truth CTE (top-3 per query) — single source for
     * the three recall oracles. */
@@ -413,6 +523,28 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+    "sim_topk_ivf_trained" ->
+      s"""WITH $kmScoredCte
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+    "sim_ivf_trained_recall" ->
+      s"""WITH $kmScoredCte,
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |  WHERE rank <= 3),
+         |$bruteTruthCte
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     "sim_norm_buckets" -> {
       val sumSq = (1 to Dims)
         .map(i => s"CAST(embedding[$i] AS DOUBLE)*embedding[$i]")

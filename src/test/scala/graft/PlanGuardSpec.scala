@@ -45,6 +45,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_lang_confusion",    // total-count scalar share
     "sim_recall_eval", "sim_ivf_recall", "sim_ivfpq_recall", // k scalars
     "sim_topk_ivf", "sim_topk_ivfpq", // nprobe centroid few-row sides
+    "sim_topk_ivf_trained",   // k-means centroid broadcasts (c=8 rows)
+    "sim_ivf_trained_recall", // same chain + 1-row truth scalars
     "sim_quantize", "sim_pq_codes",   // codebook broadcast
     "mm_modality_mix",        // modality-universe literal
     "evt_dau_wau",            // 7-day spine literal

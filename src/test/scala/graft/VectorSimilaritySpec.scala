@@ -102,4 +102,22 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
     assert(Similarity.embeddingDims(vecs, "embedding") == 3)
   }
+
+  test("kmeansCells: deterministic, partition-invariant, groups colinear vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansCells(emb, "vec_id", "embedding", 8, 2)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val b = Similarity.kmeansCells(emb.repartition(7), "vec_id", "embedding", 8, 2)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(a == b, "assignment must not depend on input partitioning")
+    assert(a.size == emb.count(), "every vector assigned exactly one cell")
+    assert(a.values.toSet.subsetOf((1 to 8).toSet))
+    assert(a.values.toSet.size > 1, "training must produce multiple live cells")
+    // geometry sanity on the toy corpus: colinear vectors co-assign
+    val toy = Similarity.kmeansCells(
+      vecs.filter($"vec_id" =!= 4), "vec_id", "embedding", 2, 2)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(toy(0L) == toy(2L), "cos=1 pair must share a trained cell")
+    graft.operators.PlanCache.releaseAll()
+  }
 }
