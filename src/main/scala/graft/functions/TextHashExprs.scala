@@ -91,6 +91,37 @@ object TextHash {
     }
     new GenericArrayData(mins)
   }
+
+  private val EmptyShingles = new GenericArrayData(Array.empty[Any])
+
+  /** Word n-gram shingles over single-space tokenization; empty array
+    * (never null) for sub-n documents. Output-identical to the builtin
+    * composition `transform(sequence(1, size(toks)-n+1), i =>
+    * concat_ws(" ", slice(toks, i, n)))` with `toks = split(text, " ")`
+    * — but that form re-evaluates the split once PER INDEX (the lambda
+    * body closes over `toks`, and higher-order functions are
+    * CodegenFallback, so every shingle pays an interpreted O(|text|)
+    * re-split: O(tokens²) splitting per document, measured as the
+    * dominant cost of every shingle pipeline). This is one split and
+    * one pass: O(|text| + shingles·n), fully codegen'd. */
+  def wordShingles(text: UTF8String, n: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return EmptyShingles
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Column-API surface for the native text-hash expressions. */
@@ -103,6 +134,9 @@ object TextHashFunctions {
 
   def minHashSigs(shingles: Column, k: Int): Column =
     ColumnShim.column(MinHashSigs(ColumnShim.expression(shingles), k))
+
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
 }
 
 /** simhash16(tokens: array<string>) → int */
@@ -125,6 +159,31 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHash16($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** word_shingles(text, n) → array<string> (empty for sub-n docs; null only
+  * for null text — [[graft.operators.TextOps.wordShingles]] coalesces that
+  * back to the empty array the builtin composition produced). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && n >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires (string, positive n), got " +
+          s"${child.dataType.simpleString}, $n")
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.wordShingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

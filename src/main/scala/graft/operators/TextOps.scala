@@ -125,15 +125,16 @@ object TextOps {
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
   /** Word n-gram shingles (with duplicates; `array_distinct` for set
-    * semantics). Empty array when the doc has fewer than n tokens —
-    * guards `sequence`'s descending-step surprise. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokenize(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-                i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * semantics). Empty array when the doc has fewer than n tokens or is
+    * null. Native one-pass expression (graft.functions.WordShingles):
+    * the builtin `transform(sequence(...), i => concat_ws(" ",
+    * slice(toks, i, n)))` form is output-identical but re-evaluates the
+    * `split` inside the (CodegenFallback, interpreted) lambda once per
+    * shingle index — O(tokens²) splitting per document, measured as the
+    * dominant cost of every shingle pipeline at sf0.1. */
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(graft.functions.TextHashFunctions.wordShingles(text, n),
+             array().cast("array<string>"))
 
   /** MinHash-style document fingerprint: lexicographic min of the md5s
     * of the doc's shingles. A 1-hash signature — [[Dedup]] extends this

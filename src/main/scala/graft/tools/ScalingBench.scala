@@ -1,8 +1,11 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, SparkEntry}
+import graft.operators.BandStats
+import graft.sources.Tables
 
 /** Speedup / parallel-efficiency sweep — the reference assignment's
   * central measurement (`/root/reference/README.md:5-7`: run time,
@@ -29,8 +32,12 @@ import graft.{GraftSession, SparkEntry}
   */
 object ScalingBench {
 
-  /** Representative panel: one per operator family, heavy enough that
-    * per-query overhead (~100 ms plan+schedule) doesn't dominate. */
+  /** Representative fixture panel: one per operator family. Measured
+    * finding (sf0.1, idle host): every entry costs ≈1 core-second, so
+    * the panel total is FLAT across core counts — it measures the
+    * per-query latency floor (plan/analyze/schedule), not operator
+    * scalability. Kept for exactly that reason; speedup/efficiency come
+    * from the compute-scaled panel below. */
   private val Panel = Seq(
     "rel_pricing_summary",  // scan-heavy exact-decimal aggregation
     "rel_min_cost_supplier",// multi-join + correlated-min
@@ -41,6 +48,66 @@ object ScalingBench {
     "evt_sliding_counts",   // time-window aggregation
     "raster_band_stats"     // blob encode/decode pipeline
   )
+
+  /** `n` in-plan copies of every row of `df`, via a broadcast cross
+    * join with `range(n)`: n× the downstream expression/aggregation
+    * work with zero setup, no side data, no disk writes.
+    *
+    * NOT a union of n scans: whole-stage codegen inlines a union
+    * branch's full expression tree once PER BRANCH into one generated
+    * method — an 8-way union of the shingle+MinHash pipeline blew the
+    * 64 KB method limit and silently fell back to interpreted eval
+    * (measured: ~100× slower, `StringSplit.nullSafeEval` hot). The
+    * cross join keeps exactly one codegen'd copy of the expressions.
+    *
+    * The input is round-robin repartitioned to `defaultParallelism`
+    * FIRST: every fixture parquet is a single row group (checked with
+    * pyarrow), so the raw scan is one split and the whole replicated
+    * pipeline would otherwise run on one core at every `local[n]` —
+    * measured exactly that (scaled subtotal flat 25→22 s from 1→8
+    * cores). The repartition shuffles only the 1× table (1-12 MB),
+    * negligible against the tens of core-seconds it unlocks; the
+    * explicit partition count also keeps AQE from coalescing it back. */
+  private def rep(df: DataFrame, n: Int): DataFrame = {
+    val s = df.sparkSession
+    df.repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(s.range(n))).drop("id")
+  }
+
+  /** Compute-scaled panel: the same operator families with enough
+    * in-plan work (tens of core-seconds per query) that parallel
+    * speedup is measurable above the latency floor — the sweep's
+    * speedup/efficiency rows are computed from THIS subtotal, the
+    * Spark-axis twin of the reference's MPI process-count study. */
+  private val ScaledPanel: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      // the reference's headline two-level band statistics, 16x events
+      "scaled_band_stats" -> ((s: SparkSession, dir: String) =>
+        BandStats.bandFileMeans(rep(Tables.events(s, dir), 16),
+                                "user_id", "event_type", "value",
+                                exact = true)),
+      // exact-decimal pricing aggregation over 16x lineitem
+      "scaled_pricing" -> ((s: SparkSession, dir: String) =>
+        rep(Tables.lineitem(s, dir), 16)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+               sum(col("l_extendedprice").cast("decimal(18,4)"))
+                 .as("sum_price"),
+               count(lit(1)).as("n"))),
+      // md5-bound MinHash sketches over 32x documents (pure map-side CPU;
+      // 32x because the native WordShingles path dropped per-doc cost ~50x
+      // vs the interpreted-HOF form this panel was first sized against)
+      "scaled_minhash" -> ((s: SparkSession, dir: String) =>
+        rep(Tables.documents(s, dir), 32)
+          .select(graft.functions.TextHashFunctions.minHashSigs(
+            graft.operators.TextOps.wordShingles(col("text"), 3), 12)
+            .as("sigs"))
+          .select(explode(col("sigs")).as("h"))
+          // modular checksum: raw 60-bit mins would overflow an ANSI
+          // BIGINT sum after a few hundred thousand rows
+          .agg(sum(col("h") % lit(1000003L)).as("chk"),
+               count(lit(1)).as("n")))
+    )
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,17 +124,32 @@ object ScalingBench {
       s
     }
 
-    def runPanel(s: SparkSession): Seq[(String, Double)] = panel.map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(s, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = math.min(once(), { s.catalog.clearCache(); once() })
-      name -> t
-    }
+    val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      panel.map(n => n -> SparkEntry.queries(n)) ++ ScaledPanel
 
+    def runPanel(s: SparkSession): Seq[(String, Double)] =
+      allQueries.map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(s, sfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        // Host CPU-steal events on this box last minutes and can hit BOTH
+        // runs of a min-of-2 (measured: scaled_pricing 73 s at 2 cores /
+        // 175 s at 32 cores for a ~7 s query). When the two runs disagree
+        // by >2x the measurement is noise-suspect — take a third and keep
+        // the overall min; costs nothing when the box is quiet.
+        val a = once()
+        val b = { s.catalog.clearCache(); once() }
+        val t =
+          if (math.max(a, b) > 2.0 * math.min(a, b))
+            math.min(math.min(a, b), { s.catalog.clearCache(); once() })
+          else math.min(a, b)
+        name -> t
+      }
+
+    val scaledNames = ScaledPanel.map(_._1).toSet
     val totals = coreSteps.map { n =>
       val s = session(n)
       if (n == coreSteps.head) { runPanel(s); s.catalog.clearCache() } // JIT warm-up, untimed
@@ -75,20 +157,23 @@ object ScalingBench {
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      val total = cells.map(_._2).sum
+      val fixture = cells.filterNot(c => scaledNames(c._1)).map(_._2).sum
+      val scaled = cells.filter(c => scaledNames(c._1)).map(_._2).sum
       val qs = cells.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"scaling","cores":$n,"total_sec":${f"$total%.3f"},"queries":$qs,"sf":"$sfDir"}""")
-      n -> total
+      println(s"""{"metric":"scaling","cores":$n,"fixture_sec":${f"$fixture%.3f"},"scaled_sec":${f"$scaled%.3f"},"queries":$qs,"sf":"$sfDir"}""")
+      (n, fixture, scaled)
     }
 
-    val t1 = totals.head._2
-    val rows = totals.map { case (n, t) =>
+    // speedup/efficiency from the compute-scaled subtotal; the fixture
+    // subtotal is reported alongside as the per-query latency floor
+    val t1 = totals.head._3
+    val rows = totals.map { case (n, fixture, t) =>
       val speedup = t1 / t
-      s"""{"cores":$n,"total_sec":${f"$t%.3f"},"speedup":${f"$speedup%.3f"},"efficiency":${f"${speedup / n}%.3f"}}"""
+      s"""{"cores":$n,"scaled_sec":${f"$t%.3f"},"fixture_sec":${f"$fixture%.3f"},"speedup":${f"$speedup%.3f"},"efficiency":${f"${speedup / n}%.3f"}}"""
     }
     val summary =
-      s"""{"metric":"scaling_summary","baseline_cores":${totals.head._1},"rows":[${rows.mkString(",")}],"panel":${panel.size},"sf":"$sfDir"}"""
+      s"""{"metric":"scaling_summary","baseline_cores":${totals.head._1},"rows":[${rows.mkString(",")}],"panel":${allQueries.size},"sf":"$sfDir"}"""
     println(summary)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("scaling_sweep.json"), summary.getBytes("UTF-8"))

@@ -24,6 +24,22 @@ class TextDedupSpec extends SparkSpec {
     assert(tiny.isEmpty)
   }
 
+  test("shingles: native expression contract at the edges") {
+    // null / empty / multi-space inputs — must match the builtin
+    // when/transform/slice composition the native WordShingles replaced:
+    // null and sub-n docs → EMPTY array (not null); split(" ", -1)
+    // preserves empty tokens from runs of spaces, exactly like Spark's
+    // split(text, " ") and DuckDB string_split
+    val rows = Seq((1L, null: String), (2L, ""), (3L, "a  b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.wordShingles($"text", 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(rows(1L) == Seq.empty)       // null text → empty, not null
+    assert(rows(2L) == Seq.empty)       // "" → one empty token < n
+    assert(rows(3L) == Seq("a ", " b")) // "a  b" → ["a","","b"] → 2 bigrams
+    assert(rows(4L) == Seq("x y"))
+  }
+
   test("exact groups find the duplicate and keep min id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .filter($"n_docs" > 1).collect()

@@ -34,11 +34,18 @@ def main(sf_dir, out_dir):
             # retry once with a fresh connection before counting a fail
             if r == "oom" and attempt == 1:
                 import time, gc
-                gc.collect(); time.sleep(5)
-                con = duckdb.connect()
-                for t in TABLES:
-                    con.sql(
-                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+                # the reconnect itself can OOM under the same transient
+                # pressure — keep backing off until the host frees memory
+                for backoff in (5, 15, 30):
+                    gc.collect(); time.sleep(backoff)
+                    try:
+                        con = duckdb.connect()
+                        for t in TABLES:
+                            con.sql(f"CREATE VIEW {t} AS SELECT * "
+                                    f"FROM '{sf_dir}/{t}.parquet'")
+                        break
+                    except Exception:
+                        continue
                 continue
             if r:
                 ok += 1
