@@ -63,4 +63,54 @@ object Graphs {
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
               col("n_triangles"))
   }
+
+  /** Weighted PageRank over a directed edge list, in FIXED-POINT integer
+    * arithmetic: ranks are "nano-ranks" summing to ~`scale` (1e9), every
+    * per-edge contribution is `rank·85·w DIV (100·out_w)` and the
+    * teleport is `scale·15 DIV (100·N)` — all BIGINT, all truncating
+    * `DIV`, so a fixed iteration count is bit-exact across engines and
+    * row orders (float PageRank is neither: double summation is
+    * order-dependent). Dangling-node mass is dropped (the standard
+    * simplification; total rank decays slightly per round — documented,
+    * deterministic).
+    *
+    * Scale shape: edges are materialized ONCE ([[PlanCache.reuse]]) and
+    * re-joined each round; per iteration the plan is one shuffle of the
+    * rank table (|V| rows) into the join and one map-side-combined
+    * aggregation of contributions (≤|E| rows in, |V| out). The rank
+    * lineage is truncated per round (`localCheckpoint`) or Catalyst
+    * re-analysis goes quadratic in iterations. Overflow headroom:
+    * rank < scale=1e9, ×85 ×w needs w < 1e8 per edge — far above any
+    * per-pair transition count at target scale.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val e = PlanCache.reuse(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                   col(weightCol).cast("long").as("w")))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val nodes = PlanCache.reuse(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    // N enters the plan as a 1-row cross join, not an eager count job
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), expr(s"CAST($scale AS BIGINT) DIV n_nodes")
+                .as("rank"), col("n_nodes"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select(col("node").as("src"), col("rank"))
+        .join(e, "src").join(outw, "src")
+        .select(col("dst").as("node"),
+                expr("rank * 85 * w DIV (100 * out_w)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_c"))
+      ranks = ranks.select(col("node"), col("n_nodes"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+                (expr(s"CAST(${scale * 15} AS BIGINT) DIV (100 * n_nodes)") +
+                  coalesce(col("in_c"), lit(0L))).as("rank"),
+                col("n_nodes"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a key column — the fixed-memory heavy-hitter
+  * primitive a training-data pipeline reaches for when exact per-token
+  * counts stop fitting. Hash family is seeded md5 (no RNG), the same
+  * constants the DuckDB oracle replays, so estimates are deterministic
+  * and cross-engine hash-exact.
+  *
+  * Scale shape: building the sketch is ONE shuffle whose exchange
+  * carries at most depth×width rows per map partition (hash aggregation
+  * pre-combines inside the scan task). The sketch size is independent
+  * of the corpus: an exact token count at 100 TB shuffles one row per
+  * DISTINCT token (billions), the CMS always shuffles depth×width
+  * cells. Estimates never underestimate; overestimate is ≤ e/width·N
+  * with probability 1−e^(−depth) per probe (Cormode & Muthukrishnan,
+  * J. Algorithms 2005).
+  */
+object Sketch {
+
+  /** Row-r bucket for a key: first 8 hex digits of md5("r|key") mod
+    * width — non-negative, so Spark `%` and DuckDB `%` agree. */
+  def cmsBucket(row: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(row.cast("string"), lit("|"), key)), 1, 8),
+         16, 10).cast("long") % width
+
+  private def rowIds(depth: Int): Column =
+    explode(array((0 until depth).map(lit): _*))
+
+  /** The sketch itself: (r, bucket, cell_n) cell counts, ≤ depth·width
+    * rows regardless of input size. */
+  def cmsBuild(keys: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol), rowIds(depth).as("r"))
+      .groupBy(col("r"), cmsBucket(col("r"), col(keyCol), width).as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+
+  /** Point estimates for every row of `probes`: min over the sketch's
+    * depth rows of the probed cell, appended as `cms_n`. The sketch is
+    * tiny by construction → broadcast; missing cells (key never counted)
+    * estimate 0. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probeCols = probes.columns.toSeq.map(col)
+    probes.select(col("*"), rowIds(depth).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col(keyCol), width))
+      .join(broadcast(cells), Seq("r", "bucket"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cell_n"), lit(0L))).as("cms_n"))
+  }
+}

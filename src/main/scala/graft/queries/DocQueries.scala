@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, PlanCache, Sketch, TextOps}
 import graft.sources.Tables
 import Canon._
 
@@ -463,7 +463,32 @@ object DocQueries {
              .as("n_unknown_lang"))
   }
 
+  /** Count-min-sketch heavy hitters: the exact top-20 tokens by count
+    * (deterministic tie-break on the token) with their CMS estimates
+    * from a 4×256 sketch, plus the sketch's never-underestimates
+    * guarantee as a projected boolean. Both sides replay the identical
+    * seeded-md5 bucket family, so the estimates — not just a bound —
+    * are hash-exact. The exact top-20 here is the fixture-side ground
+    * truth; at 100 TB the CMS probe path serves frequency queries with
+    * a depth×width-cell broadcast where the exact groupBy would shuffle
+    * a row per distinct token (see [[graft.operators.Sketch]]).
+    */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val (depth, width, k) = (4, 256, 20)
+    val toks = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0))
+    val cells = Sketch.cmsBuild(toks, "tok", depth, width)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(k)
+    Sketch.cmsEstimate(cells, top, "tok", depth, width)
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+              (col("cms_n") >= col("exact_n")).as("never_underestimates"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters"  -> (textHeavyHitters _),
     "pipe_quality_gates"  -> (pipeQualityGates _),
     "pipe_mixture_apply"  -> (pipeMixtureApply _),
     "doc_udtf_trigrams"   -> (docUdtfTrigrams _),
@@ -559,6 +584,28 @@ object DocQueries {
        |        FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> {
+      // the same seeded-md5 bucket family as Sketch.cmsBucket
+      val bucket = "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok)," +
+        " 1, 8) AS BIGINT) % 256"
+      s"""WITH toks AS (
+         |  SELECT tok FROM (SELECT unnest($wordsSql) AS tok FROM documents)
+         |  WHERE len(tok) > 0),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r, $bucket AS bucket, COUNT(*) AS cell_n
+         |  FROM toks CROSS JOIN rs GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY 1
+         |  ORDER BY exact_n DESC, tok LIMIT 20),
+         |probes AS (
+         |  SELECT tok, exact_n, r, $bucket AS bucket
+         |  FROM top CROSS JOIN rs)
+         |SELECT p.tok, p.exact_n, MIN(c.cell_n) AS cms_n,
+         |  MIN(c.cell_n) >= p.exact_n AS never_underestimates
+         |FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+         |GROUP BY p.tok, p.exact_n""".stripMargin
+    },
     "pipe_quality_gates" -> {
       val known = KnownLangs.map(l => s"'$l'").mkString(", ")
       s"""SELECT source, COUNT(*) AS n_docs,

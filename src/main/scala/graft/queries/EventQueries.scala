@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.operators.Graphs
 import graft.sources.Tables
 import Canon._
 
@@ -253,6 +254,22 @@ object EventQueries {
            countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Weighted PageRank over the event-type transition digraph
+    * ([[transitions]] is the edge builder), 3 iterations of
+    * [[graft.operators.Graphs.pageRank]]'s fixed-point integer
+    * formulation — the oracle unrolls the identical integer recurrence,
+    * so the ranks are hash-exact, not approximately compared. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val edges = withTsUs(Tables.events(s, dir))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
+  }
+
   /** Interval-overlap join via [[graft.operators.Intervals.overlapJoin]]:
     * click intervals × view intervals per user (interval = [ts, ts +
     * value minutes]), binned to 1-hour equi-join keys — the scale path
@@ -284,6 +301,7 @@ object EventQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
+    "evt_pagerank"         -> (pagerank _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
@@ -325,6 +343,40 @@ object EventQueries {
          |      FROM events)
          |WHERE prev_type IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
+    "evt_pagerank" -> {
+      // unrolled fixed-point recurrence — same constants as
+      // Graphs.pageRank(scale = 1e9, d = 85/100, iters = 3)
+      val scale = 1000000000L
+      val base =
+        s"""edges AS (
+           |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+           |  FROM (SELECT user_id, event_type,
+           |          lag(event_type) OVER (PARTITION BY user_id
+           |            ORDER BY $usExpr ASC, event_id ASC) AS prev_type
+           |        FROM events)
+           |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+           |         FROM edges GROUP BY 1),
+           |nodes AS (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+           |r0 AS (SELECT node, CAST($scale AS BIGINT) // n_nodes AS rank
+           |       FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(r.rank * 85 * e.w // (100 * o.out_w)) AS BIGINT)
+           |      AS in_c
+           |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+           |  JOIN outw o ON e.src = o.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.node, CAST(${scale * 15} AS BIGINT)
+           |      // (100 * nn.n_nodes) + COALESCE(c$i.in_c, 0) AS rank
+           |  FROM nodes n CROSS JOIN nn
+           |  LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+      }
+      s"WITH ${(base +: rounds).mkString(",\n")}\nSELECT node, rank FROM r3"
+    },
     "evt_funnel" ->
       s"""SELECT COUNT(*) AS n_users,
          |CAST(SUM(CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -36,4 +36,36 @@ class GraphsSpec extends SparkSpec {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
     assert(census(g) == ((4L, 4L, 5L, 1L)))
   }
+
+  private def ranks(edges: Seq[(String, String, Long)],
+                    iters: Int): Map[String, Long] =
+    Graphs.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .as[(String, Long)].collect().toMap
+
+  test("pagerank: symmetric cycle is a fixed point of the integer recurrence") {
+    // 3-cycle, unit weights: r0 = 1e9 DIV 3 = 333333333; teleport
+    // 15e9 DIV 300 = 50000000 plus 333333333*85 DIV 100 = 283333333
+    // reproduces 333333333 exactly — stable at every iteration count
+    val cycle = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    assert(ranks(cycle, 1) == Map("a" -> 333333333L, "b" -> 333333333L,
+                                  "c" -> 333333333L))
+    assert(ranks(cycle, 3) == Map("a" -> 333333333L, "b" -> 333333333L,
+                                  "c" -> 333333333L))
+  }
+
+  test("pagerank: source gets bare teleport, dangling sink converges") {
+    // a→b: N=2, teleport 15e9 DIV 200 = 75M. a never receives mass →
+    // rank(a) settles at 75M after iter 1; from iter 2 on rank(b) =
+    // 75M + 75M*85 DIV 100 = 138750000 (b's own mass is dangling, lost)
+    val r = ranks(Seq(("a", "b", 1L)), 3)
+    assert(r == Map("a" -> 75000000L, "b" -> 138750000L))
+  }
+
+  test("pagerank: heavier in-weight ranks higher, total stays near scale") {
+    val r = ranks(Seq(("a", "c", 9L), ("a", "b", 1L),
+                      ("b", "c", 1L), ("c", "a", 1L)), 3)
+    assert(r("c") > r("b"), "c receives 9x b's weight from a")
+    val total = r.values.sum
+    assert(total <= 1000000000L && total > 900000000L)
+  }
 }

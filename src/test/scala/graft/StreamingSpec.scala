@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Sketch
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{SessionOut, StreamEvent}
 
@@ -36,6 +37,26 @@ class StreamingSpec extends SparkSpec {
       .select("window_start", "event_type", "n_events", "sum_value")
       .collect().toSet
     val batch = StreamOps.tumblingCounts(rows.toDF(), watermark = "0 seconds")
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("count-min sketch cells over MemoryStream equal the batch sketch") {
+    // the CMS build is a pure hash aggregation, so it runs unchanged as
+    // a streaming heavy-hitter sketch: fixed depth x width state no
+    // matter how long the stream runs (the streaming-native alternative
+    // to an unbounded per-key count state)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows: _*)
+    val q = Sketch.cmsBuild(
+        mem.toDF().select($"event_type".as("tok")), "tok", 4, 64)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cms_cells").collect().toSet
+    val batch = Sketch.cmsBuild(
+        rows.toDF().select($"event_type".as("tok")), "tok", 4, 64)
       .collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Sketch, TextOps}
 
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +38,29 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(2L) == Seq.empty)       // "" → one empty token < n
     assert(rows(3L) == Seq("a ", " b")) // "a  b" → ["a","","b"] → 2 bigrams
     assert(rows(4L) == Seq("x y"))
+  }
+
+  test("count-min sketch: never underestimates, exact when collision-free") {
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+    val cells = Sketch.cmsBuild(toks, "tok", depth = 4, width = 256)
+    // sketch is bounded by depth x width no matter the input
+    assert(cells.count() <= 4L * 256)
+    val est = Sketch.cmsEstimate(cells, exact, "tok", depth = 4, width = 256)
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (tok, n, cms) =>
+      assert(cms >= n, s"CMS underestimated '$tok': $cms < $n")
+    }
+    // 21 distinct tokens in 4*256 cells: argmin row is collision-free
+    est.foreach { case (tok, n, cms) =>
+      assert(cms == n, s"unexpected collision for '$tok': $cms != $n")
+    }
+    // unseen keys estimate 0 (left join + coalesce path)
+    val missing = Sketch.cmsEstimate(
+      cells, Seq("zebra-unseen").toDF("tok"), "tok", 4, 256)
+      .as[(String, Long)].head()
+    assert(missing._2 == 0L)
   }
 
   test("exact groups find the duplicate and keep min id") {
