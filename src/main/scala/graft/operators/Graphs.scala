@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over edge-list DataFrames. Connected
@@ -112,5 +112,34 @@ object Graphs {
         .localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** BFS hop distances from a source node set over a directed edge
+    * list: `rounds` synchronous frontier expansions of min-label
+    * propagation; unreached nodes keep NULL hops. Same iterate shape
+    * as [[pageRank]] (edges materialized once, one rank-table-sized
+    * shuffle + one map-combined min aggregation per round,
+    * lineage-truncated) — integer labels, so bit-exact at any
+    * parallelism. `sources` is a predicate over the `node` column. */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: Column, rounds: Int): DataFrame = {
+    val e = PlanCache.reuse(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = PlanCache.reuse(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    var dist = nodes.select(col("node"),
+      when(sources, lit(0L)).otherwise(lit(null).cast("long")).as("hops"))
+    for (_ <- 1 to rounds) {
+      val next = dist.filter(col("hops").isNotNull)
+        .select(col("node").as("src"), col("hops"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node")).agg(min(col("hops") + 1L).as("h"))
+      // least() ignores nulls on both engines: an unreached node takes
+      // the frontier's label, a reached one keeps its (smaller) hops
+      dist = dist.join(next, Seq("node"), "left")
+        .select(col("node"), least(col("hops"), col("h")).as("hops"))
+        .localCheckpoint()
+    }
+    dist
   }
 }

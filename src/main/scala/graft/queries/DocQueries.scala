@@ -487,7 +487,43 @@ object DocQueries {
               (col("cms_n") >= col("exact_n")).as("never_underestimates"))
   }
 
+  /** Word-association mining: top-50 co-occurring token pairs by LIFT
+    * — P(ab)/(P(a)·P(b)) — over doc-level presence, emitted as the
+    * exact scaled integer `n_ab·N·1000 DIV (n_a·n_b)` so no float (or
+    * log, as PMI would need) enters the compared columns. Shape: the
+    * frequent-token set (support ≥ 25 docs) broadcasts into the
+    * presence list, the doc-level self-join's fan-out is (frequent
+    * tokens per doc)², and the pair aggregation map-combines — the
+    * standard bounded co-occurrence mining plan; the support floor is
+    * the fan-out knob at scale. Deterministic top-50: full (lift,
+    * tok_a, tok_b) ordering. */
+  def docAssocPairs(s: SparkSession, dir: String): DataFrame = {
+    val dt = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct())
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val freq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 25)
+    val ft = dt.join(broadcast(freq), "tok")
+    val pairs = ft.select(col("doc_id"), col("tok").as("tok_a"),
+                          col("df").as("n_a"))
+      .join(ft.select(col("doc_id"), col("tok").as("tok_b"),
+                      col("df").as("n_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(nDocs)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"),
+              col("n_b"),
+              expr("n_ab * n_docs * 1000 DIV (n_a * n_b)").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("tok_a"), col("tok_b"))
+      .limit(50)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_assoc_pairs"     -> (docAssocPairs _),
     "text_heavy_hitters"  -> (textHeavyHitters _),
     "pipe_quality_gates"  -> (pipeQualityGates _),
     "pipe_mixture_apply"  -> (pipeMixtureApply _),
@@ -584,6 +620,26 @@ object DocQueries {
        |        FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "doc_assoc_pairs" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS tok FROM documents)
+         |  WHERE len(tok) > 0),
+         |freq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1
+         |         HAVING COUNT(*) >= 25),
+         |ft AS (SELECT dt.doc_id, dt.tok, f.df
+         |       FROM dt JOIN freq f ON dt.tok = f.tok),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS n_a,
+         |         b.df AS n_b, COUNT(*) AS n_ab
+         |  FROM ft a JOIN ft b
+         |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tok_a, tok_b, n_ab, n_a, n_b,
+         |  n_ab * nn.n_docs * 1000 // (n_a * n_b) AS lift_milli
+         |FROM pairs CROSS JOIN nn
+         |ORDER BY lift_milli DESC, tok_a, tok_b LIMIT 50""".stripMargin,
     "text_heavy_hitters" -> {
       // the same seeded-md5 bucket family as Sketch.cmsBucket
       val bucket = "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok)," +

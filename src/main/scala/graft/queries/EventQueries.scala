@@ -270,6 +270,20 @@ object EventQueries {
     Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
   }
 
+  /** BFS reachability: hop distance from the `signup` event type over
+    * the transition digraph ([[graft.operators.Graphs.shortestHops]],
+    * 3 synchronous rounds — enough to saturate any reachable node in a
+    * ≤ handful-of-types graph; unreached stay NULL). */
+  def reach(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val edges = withTsUs(Tables.events(s, dir))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type").as("src"), col("event_type").as("dst"))
+    Graphs.shortestHops(edges, "src", "dst", col("node") === "signup", 3)
+  }
+
   /** Interval-overlap join via [[graft.operators.Intervals.overlapJoin]]:
     * click intervals × view intervals per user (interval = [ts, ts +
     * value minutes]), binned to 1-hour equi-join keys — the scale path
@@ -302,6 +316,7 @@ object EventQueries {
     "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
     "evt_pagerank"         -> (pagerank _),
+    "evt_reach"            -> (reach _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
@@ -376,6 +391,31 @@ object EventQueries {
            |  LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
       }
       s"WITH ${(base +: rounds).mkString(",\n")}\nSELECT node, rank FROM r3"
+    },
+    "evt_reach" -> {
+      // unrolled 3-round BFS, same shape as Graphs.shortestHops
+      val base =
+        s"""edges AS (
+           |  SELECT DISTINCT prev_type AS src, event_type AS dst
+           |  FROM (SELECT user_id, event_type,
+           |          lag(event_type) OVER (PARTITION BY user_id
+           |            ORDER BY $usExpr ASC, event_id ASC) AS prev_type
+           |        FROM events)
+           |  WHERE prev_type IS NOT NULL),
+           |nodes AS (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |d0 AS (SELECT node, CASE WHEN node = 'signup'
+           |         THEN CAST(0 AS BIGINT) END AS hops FROM nodes)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (
+           |  SELECT e.dst AS node, MIN(d.hops + 1) AS h
+           |  FROM d${i - 1} d JOIN edges e ON d.node = e.src
+           |  WHERE d.hops IS NOT NULL GROUP BY 1),
+           |d$i AS (
+           |  SELECT d.node, least(d.hops, n$i.h) AS hops
+           |  FROM d${i - 1} d LEFT JOIN n$i ON n$i.node = d.node)""".stripMargin
+      }
+      s"WITH ${(base +: rounds).mkString(",\n")}\nSELECT node, hops FROM d3"
     },
     "evt_funnel" ->
       s"""SELECT COUNT(*) AS n_users,

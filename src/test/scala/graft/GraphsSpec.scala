@@ -61,6 +61,24 @@ class GraphsSpec extends SparkSpec {
     assert(r == Map("a" -> 75000000L, "b" -> 138750000L))
   }
 
+  test("shortest hops: chain distances, min over paths, frontier cutoff") {
+    import org.apache.spark.sql.functions.col
+    def hops(edges: Seq[(String, String)], rounds: Int): Map[String, Option[Long]] =
+      Graphs.shortestHops(edges.toDF("src", "dst"), "src", "dst",
+                          col("node") === "a", rounds)
+        .as[(String, Option[Long])].collect().toMap
+    val chain = Seq(("a", "b"), ("b", "c"))
+    assert(hops(chain, 3) ==
+      Map("a" -> Some(0L), "b" -> Some(1L), "c" -> Some(2L)))
+    // one round: c is beyond the frontier, stays NULL
+    assert(hops(chain, 1)("c").isEmpty)
+    // shortcut a→c beats the 2-hop path
+    assert(hops(chain :+ (("a", "c")), 3)("c") == Some(1L))
+    // edges are directed: nothing reaches a
+    assert(hops(Seq(("b", "a"), ("b", "c")), 3) ==
+      Map("a" -> Some(0L), "b" -> None, "c" -> None))
+  }
+
   test("pagerank: heavier in-weight ranks higher, total stays near scale") {
     val r = ranks(Seq(("a", "c", 9L), ("a", "b", 1L),
                       ("b", "c", 1L), ("c", "a", 1L)), 3)
