@@ -86,4 +86,34 @@ class GraphsSpec extends SparkSpec {
     val total = r.values.sum
     assert(total <= 1000000000L && total > 900000000L)
   }
+
+  test("pagerank: 10k-node hash-derived graph — mass conserved, iterate scales") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random digraph: 3 out-edges per node with
+    // md5-derived endpoints — no dangling nodes, so total rank must stay
+    // within the teleport-truncation loss of scale (< 1 nano per node
+    // per round per term)
+    val n = 10000
+    val edges = spark.range(0, n).toDF("src")
+      .select(col("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        (conv(substring(md5(concat(col("src"), lit("|"), col("j"))), 1, 8),
+              16, 10).cast("long") % n).as("dst"),
+        lit(1L).as("w"))
+    val r = Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
+      .agg(sum(col("rank")), count(lit(1))).as[(Long, Long)].head()
+    assert(r._2 > 9900L, "nearly all nodes appear in the edge list")
+    assert(r._1 > 999000000L && r._1 <= 1000000000L,
+           s"rank mass ${r._1} outside conservation window")
+  }
+
+  test("shortest hops: 1k-node chain advances exactly one frontier per round") {
+    import org.apache.spark.sql.functions._
+    val chain = spark.range(0, 999).toDF("src")
+      .select(col("src"), (col("src") + 1L).as("dst"))
+    val d = Graphs.shortestHops(chain, "src", "dst", col("node") === 0L, 5)
+      .as[(Long, Option[Long])].collect().toMap
+    (0L to 5L).foreach(i => assert(d(i) == Some(i)))
+    assert(d(6L).isEmpty && d(999L).isEmpty, "beyond the 5-round frontier")
+  }
 }
