@@ -306,10 +306,20 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sizes, idCol)
       .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
-      .select(col(idCol), col("shingle")))
-    val candidates = prefixes.select(col(idCol).as("doc_a"), col("shingle"))
-      .join(prefixes.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col(idCol), col("shingle"), col("sz")))
+    // PPJoin length bound: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
+    // so size-incompatible matches are dropped IN the postings join —
+    // before the distinct and, more importantly, before the ×|A|
+    // intersection expansion below (measured: ~40% of size-random pairs
+    // fail the bound at t=0.5 on the fixture). Output-neutral: every
+    // pruned pair would fail the final jaccard ≥ t filter anyway.
+    val candidates = prefixes
+      .select(col(idCol).as("doc_a"), col("shingle"), col("sz").as("sz_a"))
+      .join(prefixes.select(col(idCol).as("doc_b"), col("shingle"),
+                            col("sz").as("sz_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+              least(col("sz_a"), col("sz_b")) >=
+                lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     // intersection count via equi-join on (doc, shingle) — expanding a
