@@ -37,6 +37,16 @@ object Sketch {
       .groupBy(col("r"), cmsBucket(col("r"), col(keyCol), width).as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
 
+  /** Union of independently-built sketches by cell-wise sum — CMS is a
+    * linear sketch, so `merge(build(A), build(B)) == build(A ∪ B)`
+    * exactly (spec-pinned). This is the property that makes the sketch
+    * distributed-friendly: shards/streams/partitions sketch locally and
+    * merge in one tiny aggregation, no re-scan of the raw data. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cell_n")).as("cell_n"))
+
   /** Point estimates for every row of `probes`: min over the sketch's
     * depth rows of the probed cell, appended as `cms_n`. The sketch is
     * tiny by construction → broadcast; missing cells (key never counted)

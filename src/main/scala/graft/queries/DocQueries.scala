@@ -522,7 +522,27 @@ object DocQueries {
       .limit(50)
   }
 
+  /** EXACT-size stratified sample: exactly k=10 docs per language,
+    * ranked by a seeded md5 of the key (no RNG — the same reproducible
+    * sample on every engine, run, and cluster size; the rate-based
+    * twin is [[pipeStratifiedSample]]). The per-stratum rank filter is
+    * WindowGroupLimit-optimized: each partition keeps only its top-k
+    * before the stratum shuffle, so heavy strata never materialize. */
+  def pipeSampleExactK(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val h = conv(substring(
+      md5(concat(lit("exk|"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_exact_k" -> (pipeSampleExactK _),
     "doc_assoc_pairs"     -> (docAssocPairs _),
     "text_heavy_hitters"  -> (textHeavyHitters _),
     "pipe_quality_gates"  -> (pipeQualityGates _),
@@ -620,6 +640,14 @@ object DocQueries {
        |        FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_sample_exact_k" ->
+      s"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY CAST('0x' || substr(md5('exk|' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+         |      doc_id ASC) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10""".stripMargin,
     "doc_assoc_pairs" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, tok

@@ -63,6 +63,22 @@ class TextDedupSpec extends SparkSpec {
     assert(missing._2 == 0L)
   }
 
+  test("count-min sketch: merge of shard sketches equals the whole-corpus sketch") {
+    // linearity — the property that lets shards/streams sketch locally
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val whole = Sketch.cmsBuild(toks, "tok", 4, 256)
+      .as[(Int, Long, Long)].collect().toSet
+    val shardA = Sketch.cmsBuild(
+      docs.filter($"doc_id" <= 2).select(explode(split($"text", " ")).as("tok")),
+      "tok", 4, 256)
+    val shardB = Sketch.cmsBuild(
+      docs.filter($"doc_id" > 2).select(explode(split($"text", " ")).as("tok")),
+      "tok", 4, 256)
+    val merged = Sketch.cmsMerge(shardA, shardB)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole && merged.nonEmpty)
+  }
+
   test("exact groups find the duplicate and keep min id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .filter($"n_docs" > 1).collect()
