@@ -37,6 +37,30 @@ object Sketch {
       .groupBy(col("r"), cmsBucket(col("r"), col(keyCol), width).as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
 
+  /** Row-r ±1 sign for a key (first md5 hex digit's parity) — the AMS
+    * tug-of-war hash, seeded distinctly from [[cmsBucket]]. */
+  def amsSign(row: Column, key: Column): Column =
+    when(conv(substring(md5(concat(row.cast("string"), lit("#"), key)),
+                        1, 1), 16, 10).cast("int") % 2 === 0, 1L)
+      .otherwise(-1L)
+
+  /** Second-moment (F2 = Σ_key count²) estimate by the AMS tug-of-war
+    * sketch: per row, bucket cells accumulate signed counts and
+    * Σ cell² estimates F2 unbiasedly; the lower median over rows
+    * concentrates it (variance ~2·F2²/width per row). F2/n² is the
+    * key-skew signal — the quantity behind the salt-or-not decision —
+    * computed in one bounded-exchange pass (≤ depth×width cells)
+    * where the exact form shuffles every distinct key. All integer,
+    * deterministic hash family → oracle-exact. */
+  def amsF2(keys: DataFrame, keyCol: String,
+            depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol).as("k"), rowIds(depth).as("r"))
+      .groupBy(col("r"), cmsBucket(col("r"), col("k"), width).as("bucket"))
+      .agg(sum(amsSign(col("r"), col("k"))).as("cell"))
+      .groupBy(col("r")).agg(sum(col("cell") * col("cell")).as("est_r"))
+      .agg(sort_array(collect_list(col("est_r"))).getItem(depth / 2 - 1)
+             .as("est_f2"))
+
   /** Union of independently-built sketches by cell-wise sum — CMS is a
     * linear sketch, so `merge(build(A), build(B)) == build(A ∪ B)`
     * exactly (spec-pinned). This is the property that makes the sketch
