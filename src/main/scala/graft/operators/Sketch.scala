@@ -58,7 +58,10 @@ object Sketch {
       .groupBy(col("r"), cmsBucket(col("r"), col("k"), width).as("bucket"))
       .agg(sum(amsSign(col("r"), col("k"))).as("cell"))
       .groupBy(col("r")).agg(sum(col("cell") * col("cell")).as("est_r"))
-      .agg(sort_array(collect_list(col("est_r"))).getItem(depth / 2 - 1)
+      // get(), not getItem(): ANSI mode throws INVALID_ARRAY_INDEX on
+      // the empty collected array (degenerate empty input) where get()
+      // returns NULL
+      .agg(get(sort_array(collect_list(col("est_r"))), lit(depth / 2 - 1))
              .as("est_f2"))
 
   /** Union of independently-built sketches by cell-wise sum — CMS is a

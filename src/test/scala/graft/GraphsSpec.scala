@@ -107,6 +107,19 @@ class GraphsSpec extends SparkSpec {
            s"rank mass ${r._1} outside conservation window")
   }
 
+  test("degenerate inputs: empty edge lists yield empty results, no throw") {
+    import org.apache.spark.sql.functions.col
+    val none = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(Graphs.pageRank(none, "src", "dst", "w", iters = 2).isEmpty)
+    assert(Graphs.shortestHops(none.drop("w"), "src", "dst",
+                               col("node") === "a", 2).isEmpty)
+    // self-loop-only graph: node feeds itself, rank mass is conserved
+    val selfLoop = Seq(("a", "a", 1L)).toDF("src", "dst", "w")
+    val r = Graphs.pageRank(selfLoop, "src", "dst", "w", iters = 3)
+      .as[(String, Long)].head()
+    assert(r._1 == "a" && r._2 > 990000000L && r._2 <= 1000000000L)
+  }
+
   test("shortest hops: 1k-node chain advances exactly one frontier per round") {
     import org.apache.spark.sql.functions._
     val chain = spark.range(0, 999).toDF("src")

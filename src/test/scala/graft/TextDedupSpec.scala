@@ -63,6 +63,17 @@ class TextDedupSpec extends SparkSpec {
     assert(missing._2 == 0L)
   }
 
+  test("sketches: empty input yields empty cells and zero estimates, no throw") {
+    val none = Seq.empty[String].toDF("tok")
+    assert(Sketch.cmsBuild(none, "tok", 4, 256).isEmpty)
+    assert(Sketch.amsF2(none, "tok", 4, 256).as[Option[Long]].head().isEmpty)
+    // probing an empty sketch: everything estimates 0
+    val est = Sketch.cmsEstimate(Sketch.cmsBuild(none, "tok", 4, 256),
+                                 Seq("x").toDF("tok"), "tok", 4, 256)
+      .as[(String, Long)].head()
+    assert(est._2 == 0L)
+  }
+
   test("AMS F2: exact on a collision-free multiset") {
     // keys [a,a,a,b]: F2 = 3^2 + 1^2 = 10. Two keys in 256 buckets are
     // collision-free in at least 3 of 4 rows (deterministic md5 layout),
