@@ -339,4 +339,56 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
+
+  /** Cross-document duplicated-substring spans — position-level exact
+    * dedup (the ExactSubstr recipe of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, done
+    * Spark-shaped): a token position is duplicated when its k-gram
+    * occurs in ≥ `minDocs` DISTINCT documents; runs of overlapping
+    * duplicated k-grams merge into maximal spans `[span_start,
+    * span_end]` (token-index grain, 0-based; two k-grams merge when
+    * their start gap ≤ k, i.e. the token ranges overlap or touch).
+    * Within-doc-only repetition is deliberately out of scope (the
+    * `text_repetition` query covers that axis).
+    *
+    * Scale shape: instead of the paper's monolithic suffix array
+    * (super-linear memory, single machine), this is two bounded
+    * shuffles on a 60-bit k-gram hash — (1) distinct-doc counts per
+    * hash (map-side-combined), (2) a semi join marking duplicated
+    * positions — plus per-document windows (bounded by document
+    * length) for the island merge. Hot k-grams (boilerplate) fan out
+    * only their own posting list, and only to a count — the positions
+    * table never expands. Hash family is the oracle-replayable md5-60
+    * idiom; a 60-bit collision needs ~2³⁰ distinct k-grams per false
+    * mark at corpus scale (and only ever OVER-marks a span). */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, minDocs: Int = 2): DataFrame = {
+    // positions matter here — duplicates are KEPT (posexplode), unlike
+    // the set-semantics shingleSet the jaccard family shares
+    val ph = reused(graft.sources.Tables.spread(df).select(
+      col(idCol),
+      posexplode(TextOps.wordShingles(col(textCol), k)).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos"),
+              conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+                .cast("long").as("h")))
+    val dup = ph.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    // semi join, not inner: a position appears once no matter how many
+    // other documents share its k-gram
+    val dupPos = ph.join(dup, Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // islands: running count of breaks (gap > k) splits span groups;
+    // first row's lag is NULL → NULL > k is NULL → no break
+    val marked = dupPos
+      .withColumn("brk", when(col("pos") - lag(col("pos"), 1).over(w) > k, 1)
+                           .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+    marked.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+              (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

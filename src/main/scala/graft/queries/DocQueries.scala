@@ -120,6 +120,24 @@ object DocQueries {
     Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
                                    minJaccard = 0.6)
 
+  /** Per-document duplicated-substring exposure: maximal cross-document
+    * duplicated 5-gram spans ([[graft.operators.Dedup.substringSpans]])
+    * rolled up to (span count, duplicated tokens, permille of the
+    * document) — the position-level dedup report a training pipeline
+    * cuts or down-weights documents by. Integer-only compared columns
+    * (`DIV` permille), so the hash compare is arithmetic-free. */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 5)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    val tok = docs.select(col("doc_id"),
+                          size(split(col("text"), " ")).as("n_tokens"))
+    perDoc.join(tok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+              expr("dup_tokens * 1000 DIV n_tokens").as("dup_permille"))
+  }
+
   /** Composed cleaning pipeline — the operators chained the way a
     * training-data job would: docs ⋈ embeddings (broadcast), quality +
     * language + token features, exact-dup flag via a hash-window, then
@@ -574,6 +592,7 @@ object DocQueries {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -948,6 +967,33 @@ object DocQueries {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
          |  >= 0.6""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH base AS (SELECT doc_id, ${sqlShingles(5)} AS sh FROM documents),
+         |pos1 AS (SELECT doc_id, unnest(range(1, len(sh) + 1)) AS i, sh
+         |         FROM base),
+         |ph AS (SELECT doc_id, i - 1 AS pos,
+         |         CAST('0x' || substr(md5(sh[i]), 1, 15) AS BIGINT) AS h
+         |       FROM pos1),
+         |dup AS (SELECT h FROM ph GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT doc_id, pos FROM ph
+         |       WHERE h IN (SELECT h FROM dup)),
+         |mk AS (SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER
+         |           (PARTITION BY doc_id ORDER BY pos) > 5
+         |         THEN 1 ELSE 0 END AS brk FROM dp),
+         |isl AS (SELECT doc_id, pos, SUM(brk) OVER
+         |          (PARTITION BY doc_id ORDER BY pos) AS island FROM mk),
+         |sp AS (SELECT doc_id, island, MIN(pos) AS span_start,
+         |         MAX(pos) + 4 AS span_end FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |          CAST(SUM(span_end - span_start + 1) AS BIGINT)
+         |            AS dup_tokens
+         |        FROM sp GROUP BY 1),
+         |tok AS (SELECT doc_id, len($wordsSql) AS n_tokens FROM documents)
+         |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
+         |  dup_tokens * 1000 // n_tokens AS dup_permille
+         |FROM agg a JOIN tok USING (doc_id)""".stripMargin,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)

@@ -74,6 +74,27 @@ class TextDedupSpec extends SparkSpec {
     assert(est._2 == 0L)
   }
 
+  test("substring spans: exact boundaries, island merge, within-doc repeats excluded") {
+    val docs = Seq(
+      "A" -> "a b c d e f g h i j",            // shares a..g with B
+      "B" -> "x y a b c d e f g z",
+      "C" -> "p q r s t",                      // no cross-doc overlap
+      "D" -> "m n o u v w m n o",              // within-doc repeat ONLY
+      "E" -> "q1 q2 q3 e1 e2 e3 e4 e5 q4 q5 q6", // two shared regions,
+      "F" -> "q1 q2 q3 f1 f2 f3 f4 f5 q4 q5 q6"  // gap > k → two spans
+    ).toDF("id", "text")
+    val got = Dedup.substringSpans(docs, "id", "text", k = 3)
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(got === Set(
+      // A/B: shared 3-grams at A pos 0..4 / B pos 2..6 merge into one
+      // maximal 7-token span each
+      ("A", 0, 6, 7), ("B", 2, 8, 7),
+      // E/F: two regions 3 tokens each, split by a gap > k
+      ("E", 0, 2, 3), ("E", 8, 10, 3),
+      ("F", 0, 2, 3), ("F", 8, 10, 3)))
+    // C (nothing shared) and D (repeats only within itself) are absent
+  }
+
   test("AMS F2: exact on a collision-free multiset") {
     // keys [a,a,a,b]: F2 = 3^2 + 1^2 = 10. Two keys in 256 buckets are
     // collision-free in at least 3 of 4 rows (deterministic md5 layout),
