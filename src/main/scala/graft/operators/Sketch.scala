@@ -37,13 +37,6 @@ object Sketch {
       .groupBy(col("r"), cmsBucket(col("r"), col(keyCol), width).as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
 
-  /** Row-r ±1 sign for a key (first md5 hex digit's parity) — the AMS
-    * tug-of-war hash, seeded distinctly from [[cmsBucket]]. */
-  def amsSign(row: Column, key: Column): Column =
-    when(conv(substring(md5(concat(row.cast("string"), lit("#"), key)),
-                        1, 1), 16, 10).cast("int") % 2 === 0, 1L)
-      .otherwise(-1L)
-
   /** Second-moment (F2 = Σ_key count²) estimate by the AMS tug-of-war
     * sketch: per row, bucket cells accumulate signed counts and
     * Σ cell² estimates F2 unbiasedly; the lower median over rows
@@ -51,12 +44,22 @@ object Sketch {
     * key-skew signal — the quantity behind the salt-or-not decision —
     * computed in one bounded-exchange pass (≤ depth×width cells)
     * where the exact form shuffles every distinct key. All integer,
-    * deterministic hash family → oracle-exact. */
+    * deterministic hash family → oracle-exact.
+    *
+    * Bucket and sign both come from ONE md5 per (row, key) — hex
+    * digits 1-8 route the bucket (identical layout to [[cmsBucket]]),
+    * digit 9's parity is the tug-of-war sign. Halves the hash work of
+    * the earlier two-digest family; the digest's bits are independent
+    * across digit positions, which is all the sign needs. */
   def amsF2(keys: DataFrame, keyCol: String,
             depth: Int, width: Int): DataFrame =
     keys.select(col(keyCol).as("k"), rowIds(depth).as("r"))
-      .groupBy(col("r"), cmsBucket(col("r"), col("k"), width).as("bucket"))
-      .agg(sum(amsSign(col("r"), col("k"))).as("cell"))
+      .withColumn("m", md5(concat(col("r").cast("string"), lit("|"), col("k"))))
+      .groupBy(col("r"),
+               (conv(substring(col("m"), 1, 8), 16, 10).cast("long") % width)
+                 .as("bucket"))
+      .agg(sum(when(conv(substring(col("m"), 9, 1), 16, 10)
+                      .cast("int") % 2 === 0, 1L).otherwise(-1L)).as("cell"))
       .groupBy(col("r")).agg(sum(col("cell") * col("cell")).as("est_r"))
       // get(), not getItem(): ANSI mode throws INVALID_ARRAY_INDEX on
       // the empty collected array (degenerate empty input) where get()

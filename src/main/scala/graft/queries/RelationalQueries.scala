@@ -361,7 +361,11 @@ object RelationalQueries {
     val keys = Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("string").as("k"))
     val est = Sketch.amsF2(keys, "k", depth = 4, width = 4096)
-    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    // exact side groups on the RAW long key — the string cast exists
+    // only for the md5 hash family; shuffling interpreted strings for a
+    // plain count would be pure overhead
+    val exact = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).as("exact_f2"))
     exact.crossJoin(est)
       .select(col("exact_f2"), col("est_f2"),
@@ -1116,13 +1120,15 @@ object RelationalQueries {
     "rel_skew_f2_est" ->
       s"""WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
          |keys AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |hashed AS (
+         |  SELECT r, md5(CAST(r AS VARCHAR) || '|' || k) AS m
+         |  FROM keys CROSS JOIN rs),
          |cells AS (
-         |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' ||
-         |    k), 1, 8) AS BIGINT) % 4096 AS bucket,
-         |    CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(r AS VARCHAR)
-         |      || '#' || k), 1, 1) AS INTEGER) % 2 = 0
-         |      THEN 1 ELSE -1 END) AS BIGINT) AS cell
-         |  FROM keys CROSS JOIN rs GROUP BY 1, 2),
+         |  SELECT r, CAST('0x' || substr(m, 1, 8) AS BIGINT) % 4096
+         |      AS bucket,
+         |    CAST(SUM(CASE WHEN CAST('0x' || substr(m, 9, 1) AS INTEGER)
+         |      % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cell
+         |  FROM hashed GROUP BY 1, 2),
          |ests AS (SELECT r, CAST(SUM(cell * cell) AS BIGINT) AS est_r
          |         FROM cells GROUP BY 1),
          |est AS (SELECT list(est_r ORDER BY est_r)[2] AS est_f2 FROM ests),
