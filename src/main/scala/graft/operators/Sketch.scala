@@ -77,6 +77,79 @@ object Sketch {
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cell_n")).as("cell_n"))
 
+  /** k-minimum-values (KMV) distinct sketch per set: the k smallest
+    * md5-60 hashes of the key column's DISTINCT values (Beyer et al.,
+    * "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations", SIGMOD 2007). The one sketch family here that
+    * supports SET INTERSECTION estimates — HLL unions but cannot
+    * intersect without inclusion-exclusion error blow-up.
+    *
+    * Scale shape: one distinct shuffle on (set, key), then the
+    * `row_number ≤ k` rank filter — Spark 4 plans that as
+    * WindowGroupLimit, which keeps only k rows per set on the MAP side
+    * before the exchange, so the sort never sees the full distinct
+    * table. Sketch size is k longs per set regardless of cardinality.
+    * Deterministic md5 → both the sketch and every estimate derived
+    * from it replay bit-exactly in the oracle. */
+  def kmvSketch(df: DataFrame, setCol: String, keyCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(setCol)).orderBy(col("h"))
+    df.select(col(setCol), col(keyCol)).distinct()
+      .select(col(setCol),
+              conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+                .cast("long").as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(setCol), col("h"))
+  }
+
+  /** Pairwise distinct-intersection estimates from a [[kmvSketch]]
+    * table, for every unordered pair of sets: merge the two sketches,
+    * re-take the k smallest (= the KMV sketch of A ∪ B, KMV's closure
+    * property), count survivors present in BOTH input sketches (ρ, a
+    * Jaccard estimator on the union sketch), and scale:
+    * `D̂(A∩B) = ρ · D̂(A∪B) / k` with `D̂ = (k−1)·2⁶⁰ / h_k`.
+    * All arithmetic is integral (DECIMAL(38,0) product, integral
+    * division — same truncation as DuckDB HUGEINT `//` on positives),
+    * so estimates are cross-engine bit-exact, not bound-checked.
+    * When the union sketch is unsaturated (< k values) it IS the exact
+    * union and ρ the exact intersection, so ρ is returned directly.
+    *
+    * Everything here is sketch-sized (k rows per pair): only sketches
+    * shuffle, never base data — the point of the synopsis. */
+  def kmvIntersectEstimates(kmv: DataFrame, setCol: String,
+                            k: Int): DataFrame = {
+    val M = 1152921504606846976L // 2^60: md5-60 hash space
+    val flags = kmv.select(col(setCol).as("f")).distinct()
+    val pairs = flags.select(col("f").as("fa"))
+      .crossJoin(flags.select(col("f").as("fb")))
+      .filter(col("fa") < col("fb"))
+    val ka = kmv.select(col(setCol).as("fa"), col("h"))
+    val kb = kmv.select(col(setCol).as("fb"), col("h"))
+    val merged = pairs.join(ka, Seq("fa"))
+      .select(col("fa"), col("fb"), col("h"))
+      .unionByName(pairs.join(kb, Seq("fb"))
+        .select(col("fa"), col("fb"), col("h")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fa"), col("fb")).orderBy(col("h"))
+    val un = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("fa"), col("fb"), col("h"))
+    val unk = un.groupBy(col("fa"), col("fb"))
+      .agg(max(col("h")).as("uk"), count(lit(1)).as("n_un"))
+    val rho = un.join(ka, Seq("fa", "h"), "left_semi")
+      .join(kb, Seq("fb", "h"), "left_semi")
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("rho"))
+    unk.join(rho, Seq("fa", "fb"), "left")
+      .select(col("fa"), col("fb"),
+        when(col("n_un") < k, coalesce(col("rho"), lit(0L)))
+          .otherwise(expr(
+            s"coalesce(rho, 0) * ((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            s"CAST($M AS DECIMAL(38,0))) DIV uk) DIV $k"))
+          .as("est_inter"))
+  }
+
   /** Point estimates for every row of `probes`: min over the sketch's
     * depth rows of the probed cell, appended as `cms_n`. The sketch is
     * tiny by construction → broadcast; missing cells (key never counted)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.operators.{Relational, Sketch}
+import graft.operators.{PlanCache, Relational, Sketch}
 import graft.sources.Tables
 import Canon._
 
@@ -373,6 +373,37 @@ object RelationalQueries {
                 col("exact_f2")).as("within_20pct"))
   }
 
+  /** Distinct-intersection estimation across customer-activity years by
+    * KMV sketch ([[graft.operators.Sketch.kmvSketch]]) — "how many
+    * customers were active in BOTH year X and year Y" from k-long
+    * synopses instead of a base-table self-join; the exact self-join
+    * runs alongside as ground truth (per-key fan-out ≤ #years). The
+    * fixture overlap is partial (~78%), so the estimate is doing real
+    * work. KMV arithmetic is integral and md5-deterministic, so
+    * `est_inter` itself hash-matches the oracle bit-exactly; the 40%
+    * bound (≥5σ at k=256 for this Jaccard) is quality documentation,
+    * not slack in the compare. */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val dk = PlanCache.reuse(Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("f"), col("o_custkey").as("p"))
+      .distinct())
+    val kmv = Sketch.kmvSketch(dk, "f", "p", k)
+    val est = Sketch.kmvIntersectEstimates(kmv, "f", k)
+    val ex1 = dk.groupBy(col("f")).agg(count(lit(1)).as("n"))
+    val exi = dk.select(col("f").as("fa"), col("p"))
+      .join(dk.select(col("f").as("fb"), col("p")), Seq("p"))
+      .filter(col("fa") < col("fb"))
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("exact_inter"))
+    exi.join(ex1.select(col("f").as("fa"), col("n").as("exact_a")), Seq("fa"))
+      .join(ex1.select(col("f").as("fb"), col("n").as("exact_b")), Seq("fb"))
+      .join(est, Seq("fa", "fb"))
+      .select(col("fa"), col("fb"), col("exact_a"), col("exact_b"),
+              col("exact_inter"), col("est_inter"),
+              (abs(col("est_inter") - col("exact_inter")) * 5 <=
+                col("exact_inter") * 2).as("within_40pct"))
+  }
+
   /** Triangle census of the supplier co-shipping graph — suppliers are
     * adjacent when they ship the SAME PART on the SAME DAY (per-order
     * co-occurrence is complete at any fixture scale; the (part, day)
@@ -715,6 +746,7 @@ object RelationalQueries {
     "rel_approx_distinct"   -> (approxDistinct _),
     "rel_join_size_est"     -> (joinSizeEst _),
     "rel_skew_f2_est"       -> (skewF2Est _),
+    "rel_kmv_intersect"     -> (kmvIntersect _),
     "rel_cube_sales"        -> (cubeSales _),
     "rel_above_avg_orders"  -> (aboveAvgOrders _),
     "rel_moment_stats"      -> (momentStats _),
@@ -1137,6 +1169,44 @@ object RelationalQueries {
          |SELECT exact_f2, est_f2,
          |  abs(est_f2 - exact_f2) * 5 <= exact_f2 AS within_20pct
          |FROM exact CROSS JOIN est""".stripMargin,
+    "rel_kmv_intersect" ->
+      s"""WITH dk AS (SELECT DISTINCT year(o_orderdate) AS f,
+         |                            o_custkey AS p FROM orders),
+         |h AS (SELECT f, CAST('0x' || substr(md5(CAST(p AS VARCHAR)),
+         |        1, 15) AS BIGINT) AS h FROM dk),
+         |kmv AS (SELECT f, h FROM (
+         |  SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h)
+         |    AS rn FROM h) WHERE rn <= 256),
+         |flags AS (SELECT DISTINCT f FROM dk),
+         |pairs AS (SELECT a.f AS fa, b.f AS fb
+         |          FROM flags a JOIN flags b ON a.f < b.f),
+         |merged AS (SELECT DISTINCT fa, fb, h FROM (
+         |  SELECT p2.fa, p2.fb, k.h FROM pairs p2 JOIN kmv k
+         |  ON k.f = p2.fa OR k.f = p2.fb)),
+         |un AS (SELECT fa, fb, h, row_number() OVER
+         |         (PARTITION BY fa, fb ORDER BY h) AS rn FROM merged),
+         |unk AS (SELECT fa, fb, MAX(h) AS uk, COUNT(*) AS n_un
+         |        FROM un WHERE rn <= 256 GROUP BY 1, 2),
+         |rho AS (SELECT u.fa, u.fb, COUNT(*) AS rho FROM un u
+         |        JOIN kmv ka ON ka.f = u.fa AND ka.h = u.h
+         |        JOIN kmv kb ON kb.f = u.fb AND kb.h = u.h
+         |        WHERE u.rn <= 256 GROUP BY 1, 2),
+         |est AS (SELECT fa, fb,
+         |  CASE WHEN n_un < 256 THEN COALESCE(rho, 0)
+         |  ELSE CAST(COALESCE(rho, 0) *
+         |    ((255 * CAST(1152921504606846976 AS HUGEINT)) // uk) // 256
+         |    AS BIGINT) END AS est_inter
+         |  FROM unk LEFT JOIN rho USING (fa, fb)),
+         |ex1 AS (SELECT f, COUNT(*) AS n FROM dk GROUP BY 1),
+         |exi AS (SELECT a.f AS fa, b.f AS fb, COUNT(*) AS exact_inter
+         |        FROM dk a JOIN dk b ON a.p = b.p AND a.f < b.f
+         |        GROUP BY 1, 2)
+         |SELECT fa, fb, ea.n AS exact_a, eb.n AS exact_b,
+         |  exact_inter, est_inter,
+         |  abs(est_inter - exact_inter) * 5 <= exact_inter * 2
+         |    AS within_40pct
+         |FROM exi JOIN ex1 ea ON ea.f = fa JOIN ex1 eb ON eb.f = fb
+         |JOIN est USING (fa, fb)""".stripMargin,
     "rel_distinct_agg" ->
       s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
          |COUNT(*) AS n_customers, ${sqlAvg("c_acctbal")} AS avg_acctbal

@@ -95,6 +95,39 @@ class TextDedupSpec extends SparkSpec {
     // C (nothing shared) and D (repeats only within itself) are absent
   }
 
+  test("KMV: k smallest per set, exact when unsaturated, sane when saturated") {
+    import org.apache.spark.sql.functions.col
+    // two sets with known overlap: A = 0..999, B = 500..1499 (∩ = 500)
+    val rows = (0 until 1000).map(("A", _)) ++ (500 until 1500).map(("B", _))
+    val df = rows.toDF("f", "p")
+    val k = 64
+    val kmv = Sketch.kmvSketch(df, "f", "p", k)
+    // sketch is exactly the k smallest distinct hashes per set
+    assert(kmv.groupBy(col("f")).count().as[(String, Long)].collect().toSet
+      === Set(("A", k.toLong), ("B", k.toLong)))
+    val est = Sketch.kmvIntersectEstimates(kmv, "f", k)
+      .as[(String, String, Long)].head()
+    // deterministic saturated-path estimate: rsd ≈ 1/√64 · √(U/I) ≈ 21%,
+    // asserted at a loose 50% (the estimate is fixed, not re-rolled)
+    assert(est._1 == "A" && est._2 == "B" &&
+           math.abs(est._3 - 500L) <= 250L,
+           s"saturated KMV estimate ${est._3} vs exact 500")
+    // unsaturated path: sketches hold the whole sets → estimate is exact
+    val tiny = ((0 until 30).map(("A", _)) ++ (10 until 40).map(("B", _)))
+      .toDF("f", "p")
+    val tinyEst = Sketch.kmvIntersectEstimates(
+      Sketch.kmvSketch(tiny, "f", "p", k), "f", k)
+      .as[(String, String, Long)].head()
+    assert(tinyEst._3 == 20L, s"unsaturated KMV must be exact: $tinyEst")
+    // disjoint sets: rho is null on the left join → estimate 0
+    val disj = ((0 until 30).map(("A", _)) ++ (100 until 130).map(("B", _)))
+      .toDF("f", "p")
+    val disjEst = Sketch.kmvIntersectEstimates(
+      Sketch.kmvSketch(disj, "f", "p", k), "f", k)
+      .as[(String, String, Long)].head()
+    assert(disjEst._3 == 0L, s"disjoint KMV must be 0: $disjEst")
+  }
+
   test("AMS F2: exact on a collision-free multiset") {
     // keys [a,a,a,b]: F2 = 3^2 + 1^2 = 10. Two keys in 256 buckets are
     // collision-free in at least 3 of 4 rows (deterministic md5 layout),
