@@ -138,6 +138,46 @@ object DocQueries {
               expr("dup_tokens * 1000 DIV n_tokens").as("dup_permille"))
   }
 
+  /** Incremental dedup: a NEW batch (doc_id % 5 = 0, ~20%) deduped
+    * against the STANDING corpus without rescanning it — the production
+    * shape where the corpus side contributes only precomputed artifacts
+    * (content-hash set, LSH band buckets) and only the small batch is
+    * sketched fresh. Exact dups via content-hash semi join; near-dup
+    * candidates via shared MinHash band buckets (same 12/3 layout as
+    * `dedup_minhash_pairs`); decision = drop on either hit. At 100 TB
+    * the corpus artifacts are written once by the previous run and the
+    * batch side is broadcast-sized — nothing here rescans corpus text.
+    * Sub-shingle batch docs have no signature and default to keep
+    * (left join + coalesce), mirroring the LSH family's contract. */
+  def pipeIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val exactHit = batch
+      .select(col("doc_id"), TextOps.contentHash(col("text")).as("ch"))
+      .join(corpus.select(TextOps.contentHash(col("text")).as("ch")).distinct(),
+            Seq("ch"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    val batchBands = Dedup.lshBands(
+      Dedup.minHashSignatures(batch, "doc_id", "text", 3, 12), "doc_id", 12, 3)
+    val corpusBands = Dedup.lshBands(
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 12), "doc_id", 12, 3)
+      .select(col("band"), col("bucket")).distinct()
+    val nearHit = batchBands
+      .join(corpusBands, Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("near_cand"))
+    batch.select(col("doc_id"))
+      .join(exactHit, Seq("doc_id"), "left")
+      .join(nearHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+              coalesce(col("near_cand"), lit(false)).as("near_cand"),
+              when(coalesce(col("exact_dup"), lit(false)) ||
+                   coalesce(col("near_cand"), lit(false)), lit("drop"))
+                .otherwise(lit("keep")).as("decision"))
+  }
+
   /** Composed cleaning pipeline — the operators chained the way a
     * training-data job would: docs ⋈ embeddings (broadcast), quality +
     * language + token features, exact-dup flag via a hash-window, then
@@ -593,6 +633,7 @@ object DocQueries {
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "pipe_incr_dedup"     -> (pipeIncrDedup _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -607,15 +648,16 @@ object DocQueries {
   private val RowsPerBand = 3
   private val ShingleN = 3
 
-  private val sigsSql: String = {
+  private def sigsSqlWhere(pred: String): String = {
     val mins = (1 to MinHashK).map(i =>
       s"min(CAST('0x' || substr(md5('$i|' || shingle), 1, 15) AS BIGINT)) AS h$i")
       .mkString(",\n")
     s"""SELECT doc_id, $mins
        |FROM (SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
-       |      FROM documents)
+       |      FROM documents WHERE $pred)
        |GROUP BY doc_id""".stripMargin
   }
+  private val sigsSql: String = sigsSqlWhere("TRUE")
 
   /** Shared by dedup_jaccard_pairs and dedup_clusters (edge source). */
   private val jaccardPairsSql: String =
@@ -638,13 +680,14 @@ object DocQueries {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""".stripMargin
 
-  private val bandsSql: String =
+  private def bandsSqlFrom(src: String): String =
     (0 until MinHashK / RowsPerBand).map { b =>
       val cols = (1 to RowsPerBand)
         .map(r => s"CAST(h${b * RowsPerBand + r} AS VARCHAR)")
         .mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bucket FROM sigs"
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bucket FROM $src"
     }.mkString("\nUNION ALL\n")
+  private val bandsSql: String = bandsSqlFrom("sigs")
 
   /** Shared mixture-plan CTE prefix (weights → counts → cap → plan) —
     * single source for pipe_mixture_plan and pipe_mixture_apply. */
@@ -994,6 +1037,27 @@ object DocQueries {
          |SELECT a.doc_id, n_spans, dup_tokens, n_tokens,
          |  dup_tokens * 1000 // n_tokens AS dup_permille
          |FROM agg a JOIN tok USING (doc_id)""".stripMargin,
+    "pipe_incr_dedup" ->
+      s"""WITH bsigs AS (${sigsSqlWhere("doc_id % 5 = 0")}),
+         |csigs AS (${sigsSqlWhere("doc_id % 5 <> 0")}),
+         |bbands AS (${bandsSqlFrom("bsigs")}),
+         |cbands AS (SELECT DISTINCT band, bucket
+         |           FROM (${bandsSqlFrom("csigs")})),
+         |exacth AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+         |  AND md5(text) IN
+         |    (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0)),
+         |nearh AS (SELECT DISTINCT b.doc_id FROM bbands b
+         |          JOIN cbands c USING (band, bucket)),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    d.doc_id IN (SELECT doc_id FROM exacth) AS exact_dup,
+         |    d.doc_id IN (SELECT doc_id FROM nearh) AS near_cand
+         |  FROM documents d WHERE d.doc_id % 5 = 0)
+         |SELECT doc_id, exact_dup, near_cand,
+         |  CASE WHEN exact_dup OR near_cand THEN 'drop' ELSE 'keep' END
+         |    AS decision
+         |FROM flags""".stripMargin,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
