@@ -586,6 +586,56 @@ object DocQueries {
     * twin is [[pipeStratifiedSample]]). The per-stratum rank filter is
     * WindowGroupLimit-optimized: each partition keeps only its top-k
     * before the stratum shuffle, so heavy strata never materialize. */
+  /** Weighted systematic (PPS) sampling: exactly m = 100 picks with
+    * inclusion probability proportional to document token count — the
+    * token-budget-proportional selection a mixture builder wants (long
+    * documents carry more training signal per pick). A document is
+    * picked once per multiple of W/m inside its cumulative-weight
+    * interval `[ws, we)`; all threshold arithmetic is integer
+    * (`(we·m−1) DIV W` differences), so the draw is reproducible on
+    * any engine, run, or cluster size, and Σ n_picks = m exactly.
+    *
+    * The prefix sum is TWO-LEVEL — per-shard windows (32 deterministic
+    * md5 shards) plus a 32-row offset ladder — because a global
+    * `SUM OVER (ORDER BY …)` is a single-partition sort (round-1's
+    * forbidden pattern). The oracle's global window over (shard, rk)
+    * reproduces the identical total order. Caveat at extreme scale:
+    * `we·m` must fit a long — move the product to DECIMAL(38,0) past
+    * ~10¹⁸/m total weight. */
+  def pipeWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val m = 100
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).cast("long").as("w"))
+    val rk = conv(substring(
+      md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val base = docs.withColumn("rk", rk)
+      .withColumn("shard", (col("rk") % 32).cast("int"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    val local = base.withColumn("cum_in", sum(col("w")).over(win) - col("w"))
+    val shardTot = base.groupBy(col("shard")).agg(sum(col("w")).as("st"))
+    // 32-row ladder: the unpartitioned window is over #shards rows,
+    // constant in corpus size
+    val offWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = shardTot
+      .withColumn("off", coalesce(sum(col("st")).over(offWin), lit(0L)))
+      .select(col("shard"), col("off"))
+    val total = shardTot.agg(sum(col("st")).as("tw"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .withColumn("ws", col("cum_in") + col("off"))
+      .withColumn("we", col("ws") + col("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("w"),
+        expr(s"(we * $m - 1) DIV tw - " +
+             s"(CASE WHEN ws = 0 THEN -1 ELSE (ws * $m - 1) DIV tw END)")
+          .as("n_picks"))
+      .filter(col("n_picks") >= 1)
+  }
+
   def pipeSampleExactK(s: SparkSession, dir: String): DataFrame = {
     val k = 10
     val h = conv(substring(
@@ -601,6 +651,7 @@ object DocQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_exact_k" -> (pipeSampleExactK _),
+    "pipe_weighted_sample" -> (pipeWeightedSample _),
     "doc_assoc_pairs"     -> (docAssocPairs _),
     "text_heavy_hitters"  -> (textHeavyHitters _),
     "pipe_quality_gates"  -> (pipeQualityGates _),
@@ -710,6 +761,27 @@ object DocQueries {
          |      doc_id ASC) AS rk
          |  FROM documents)
          |WHERE rk <= 10""".stripMargin,
+    "pipe_weighted_sample" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    CAST($nTok AS BIGINT) AS w FROM documents),
+         |b2 AS (SELECT doc_id, w,
+         |  CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+         |    1, 15) AS BIGINT) AS rk FROM docs),
+         |b3 AS (SELECT doc_id, w, rk, rk % 32 AS shard FROM b2),
+         |cum AS (SELECT doc_id, w,
+         |  CAST(SUM(w) OVER (ORDER BY shard, rk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w
+         |    AS BIGINT) AS ws FROM b3),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM docs),
+         |sel AS (SELECT doc_id, w, ws, ws + w AS we FROM cum)
+         |SELECT doc_id, w,
+         |  CAST((we * 100 - 1) // tw -
+         |    (CASE WHEN ws = 0 THEN -1 ELSE (ws * 100 - 1) // tw END)
+         |    AS BIGINT) AS n_picks
+         |FROM sel CROSS JOIN tot
+         |WHERE (we * 100 - 1) // tw -
+         |  (CASE WHEN ws = 0 THEN -1 ELSE (ws * 100 - 1) // tw END)
+         |  >= 1""".stripMargin,
     "doc_assoc_pairs" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, tok

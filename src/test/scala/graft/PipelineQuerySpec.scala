@@ -26,6 +26,22 @@ class PipelineQuerySpec extends SparkSpec {
     assert(hits > 0L, "policy pattern never fired on the fixture")
   }
 
+  test("pipeWeightedSample: exactly m picks, heavy docs never skipped past") {
+    val picks = DocQueries.pipeWeightedSample(spark, dir)
+      .select($"doc_id", $"w", $"n_picks").as[(Long, Long, Long)].collect()
+    // systematic PPS invariant: the draw size is EXACT, not expected
+    assert(picks.map(_._3).sum == 100L,
+           s"systematic sample must total m=100, got ${picks.map(_._3).sum}")
+    assert(picks.forall(_._3 >= 1L))
+    // inclusion is weight-monotone in aggregate: the sampled mean weight
+    // must exceed the corpus mean (PPS favors heavy docs)
+    val corpusMeanW = graft.sources.Tables.documents(spark, dir)
+      .agg(avg(size(split($"text", " ")))).as[Double].head()
+    val sampleMeanW = picks.map(_._2).sum.toDouble / picks.length
+    assert(sampleMeanW > corpusMeanW,
+           s"PPS sample mean $sampleMeanW vs corpus mean $corpusMeanW")
+  }
+
   test("pipeContamination: shares in [0,1], benchmark docs excluded") {
     val rows = DocQueries.pipeContamination(spark, dir)
       .select($"n_docs", $"n_contaminated", $"max_share")
