@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.operators.{PlanCache, Relational, Sketch}
+import graft.operators.{Graphs, PlanCache, Relational, Sketch}
 import graft.sources.Tables
 import Canon._
 
@@ -404,6 +404,32 @@ object RelationalQueries {
                 col("exact_inter") * 2).as("within_40pct"))
   }
 
+  /** Connected components over the per-customer order chains via
+    * large-star/small-star contraction ([[graft.operators.Graphs
+    * .ccStar]]). Chains (consecutive orders of one customer linked) are
+    * the ADVERSARIAL shape for min-label CC — diameter up to the
+    * per-customer order count, one shuffle round per hop — while the
+    * star algorithm contracts them in O(log n) rounds; running the
+    * general operator here exercises exactly that path. The fixture's
+    * chain structure is known, so the oracle is closed-form (component
+    * = customer, label = min orderkey, no recursive SQL): the general
+    * algorithm is hash-checked against the independent ground truth.
+    * Singleton customers enter as self-loop nodes and label
+    * themselves. */
+  def ccChain(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val edges = o.withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_orderkey").as("a"), col("nxt").as("b"))
+      // self-pairs keep single-order customers in the node set
+      .unionAll(o.select(col("o_orderkey").as("a"),
+                         col("o_orderkey").as("b")))
+    Graphs.ccStar(edges, "a", "b")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Triangle census of the supplier co-shipping graph — suppliers are
     * adjacent when they ship the SAME PART on the SAME DAY (per-order
     * co-occurrence is complete at any fixture scale; the (part, day)
@@ -747,6 +773,7 @@ object RelationalQueries {
     "rel_join_size_est"     -> (joinSizeEst _),
     "rel_skew_f2_est"       -> (skewF2Est _),
     "rel_kmv_intersect"     -> (kmvIntersect _),
+    "rel_cc_chain"          -> (ccChain _),
     "rel_cube_sales"        -> (cubeSales _),
     "rel_above_avg_orders"  -> (aboveAvgOrders _),
     "rel_moment_stats"      -> (momentStats _),
@@ -1207,6 +1234,9 @@ object RelationalQueries {
          |    AS within_40pct
          |FROM exi JOIN ex1 ea ON ea.f = fa JOIN ex1 eb ON eb.f = fb
          |JOIN est USING (fa, fb)""".stripMargin,
+    "rel_cc_chain" ->
+      s"""SELECT MIN(o_orderkey) AS cluster_id, COUNT(*) AS n_orders
+         |FROM orders GROUP BY o_custkey""".stripMargin,
     "rel_distinct_agg" ->
       s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
          |COUNT(*) AS n_customers, ${sqlAvg("c_acctbal")} AS avg_acctbal

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Graphs
+import graft.operators.{Dedup, Graphs}
 
 /** Degree-oriented triangle census laws on known graphs. */
 class GraphsSpec extends SparkSpec {
@@ -105,6 +105,28 @@ class GraphsSpec extends SparkSpec {
     assert(r._2 > 9900L, "nearly all nodes appear in the edge list")
     assert(r._1 > 999000000L && r._1 <= 1000000000L,
            s"rank mass ${r._1} outside conservation window")
+  }
+
+  test("ccStar: logarithmic convergence on a 999-diameter chain; equals min-label CC") {
+    import org.apache.spark.sql.functions.col
+    // a 1000-node chain has diameter 999: min-label propagation needs
+    // ~999 rounds; star contraction MUST land in ~log2(1000) ≈ 10 —
+    // maxIter = 15 is the convergence-rate assertion, not headroom
+    val chain = spark.range(0, 999).toDF("a")
+      .select(col("a"), (col("a") + 1).as("b"))
+    val labels = Graphs.ccStar(chain, "a", "b", maxIter = 15)
+    assert(labels.count() == 1000)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0,
+           "every chain node must label to the component minimum 0")
+    // agreement with the min-label CC on a multi-component graph with
+    // a cycle, a path, an isolated self-loop node
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L),
+                    (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val star = Graphs.ccStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val minLabel = Dedup.dupClusters(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(star === minLabel)
   }
 
   test("degenerate inputs: empty edge lists yield empty results, no throw") {
