@@ -246,4 +246,55 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  /** Reference implementation of [[Dedup.substringSpans]] semantics:
+    * duplicated k-gram positions (≥2 distinct docs), islands merged at
+    * gap ≤ k, spans as inclusive token ranges. */
+  private def bruteSpans(docs: List[Vector[String]],
+                         k: Int): Set[(Long, Int, Int, Int)] = {
+    val grams = docs.zipWithIndex.flatMap { case (toks, d) =>
+      toks.sliding(k).zipWithIndex.collect {
+        case (g, p) if g.size == k => (d, p, g.mkString(" "))
+      }
+    }
+    val dup = grams.groupBy(_._3)
+      .filter { case (_, occ) => occ.map(_._1).distinct.size >= 2 }
+      .values.flatten
+    dup.groupBy(_._1).flatMap { case (d, occ) =>
+      val ps = occ.map(_._2).toList.distinct.sorted
+      val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p - e <= k => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        (d.toLong, s, e + k - 1, e + k - 1 - s + 1) }
+    }.toSet
+  }
+
+  test("substring spans match the brute-force reference on random corpora") {
+    val docGen = Gen.choose(4, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.toVector))
+    val corpusGen = Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, docGen))
+    check("spans", Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("id", "text")
+      val got = Dedup.substringSpans(df, "id", "text", k = 3)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      got == bruteSpans(docs, 3)
+    })
+  }
+
+  test("ccStar agrees with min-label CC on random graphs") {
+    val edgeGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L)
+    } yield (a, b)))
+    check("ccstar", Prop.forAll(edgeGen) { es =>
+      val df = es.toDF("a", "b")
+      graft.operators.Graphs.ccStar(df, "a", "b")
+        .as[(Long, Long)].collect().toSet ==
+        Dedup.dupClusters(df, "a", "b")
+          .as[(Long, Long)].collect().toSet
+    })
+  }
 }
