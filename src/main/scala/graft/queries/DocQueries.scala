@@ -211,6 +211,32 @@ object DocQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n")),
       Seq(col("n").desc, col("bigram").asc), 20)
 
+  /** Bigram coverage score: per document, the permille of its bigram
+    * occurrences that fall in the corpus's top-500 bigrams — an
+    * LM-free fluency proxy (natural prose re-uses frequent
+    * collocations; gibberish and boilerplate sit in the tail).
+    * Deterministic top-K tie-break (count desc, bigram asc); broadcast
+    * top set, map-side-combined per-doc counts, integer `DIV`
+    * permille. Docs with < 2 tokens have no bigrams and no row
+    * (explode drops them), avoiding the 0-division corner. At 100 TB
+    * the top set is fixed-size (500 rows) however large the corpus —
+    * the coverage join never shuffles the bigram stream. */
+  def textBigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val bg = PlanCache.reuse(Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+              explode(TextOps.wordShingles(col("text"), 2)).as("bigram")))
+    val top = graft.operators.Relational.globalTopK(
+        bg.groupBy(col("bigram")).agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("bigram").asc), 500)
+      .select(col("bigram"), lit(1L).as("hit"))
+    bg.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_covered"),
+              expr("n_covered * 1000 DIV n_bigrams").as("coverage_permille"))
+  }
+
   /** Regex scanning per language: total pattern occurrences + matching-
     * document counts. Patterns stay in the ASCII subset where Java
     * regex and RE2 agree (char classes, word boundaries, alternation —
@@ -685,6 +711,7 @@ object DocQueries {
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
+    "text_bigram_coverage" -> (textBigramCoverage _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1130,6 +1157,19 @@ object DocQueries {
          |  CASE WHEN exact_dup OR near_cand THEN 'drop' ELSE 'keep' END
          |    AS decision
          |FROM flags""".stripMargin,
+    "text_bigram_coverage" ->
+      s"""WITH bg AS (SELECT doc_id, unnest(${sqlShingles(2)}) AS bigram
+         |            FROM documents),
+         |top AS (SELECT bigram FROM (
+         |  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+         |  ORDER BY n DESC, bigram ASC LIMIT 500)),
+         |cov AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN bigram IN (SELECT bigram FROM top)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |  FROM bg GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_covered,
+         |  n_covered * 1000 // n_bigrams AS coverage_permille
+         |FROM cov""".stripMargin,
     "doc_word_counts" ->
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
