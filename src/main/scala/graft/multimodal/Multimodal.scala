@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * of batches in, iterator of batches out; nothing driver-side, state
   * amortized per partition).
   *
-  * The actual media decode is STUBBED: no image/audio libraries exist in
-  * this container, so [[MediaCodec.decode]] is implemented only by the
-  * deterministic [[FakeCodec]]. Everything Spark-side — schema, encoder,
-  * partition iteration, batch shape, frame sampling — is real and
-  * tested; swapping in a JNI/javax.imageio codec changes one `val`.
+  * Two codecs implement the decode stage:
+  *  - [[FakeCodec]]: identity decode — features over the wire bytes
+  *    directly (the byte-arithmetic shape the text-blob oracles replay);
+  *  - [[ImageIoCodec]]: a REAL image decode through the JDK's bundled
+  *    javax.imageio TIFF reader (the same public-API path as
+  *    [[graft.sources.Raster.TiffCodec]] — no native libs), features over
+  *    the decoded band-major samples. No ffmpeg/audio libraries exist in
+  *    this container, so video/audio stay byte-shaped; the image path is
+  *    end-to-end real (`mm_decode_features`).
   */
 object Multimodal {
 
@@ -27,15 +31,16 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int)
 
   trait MediaCodec extends Serializable {
-    /** Real media decode — deliberately unimplemented in this container
-      * (would be imageio/ffmpeg behind JNI). */
-    def decode(bytes: Array[Byte]): Array[Byte] = ???
+    /** Media decode: wire bytes → decoded sample bytes. Identity by
+      * default (content already byte-addressable — text, PCM audio);
+      * [[ImageIoCodec]] overrides with a real image decode. */
+    def decode(bytes: Array[Byte]): Array[Byte] = bytes
     /** Cheap deterministic feature extraction over (possibly decoded)
       * bytes. */
     def features(id: Long, bytes: Array[Byte], frameSize: Int): MediaFeatures
   }
 
-  /** Deterministic stand-in codec: features computed directly over the
+  /** Deterministic identity codec: features computed directly over the
     * raw bytes (sum/mean of unsigned values, ceil-division frame count).
     * Identical arithmetic is replayable in SQL for the oracle. */
   object FakeCodec extends MediaCodec {
@@ -47,6 +52,37 @@ object Multimodal {
       MediaFeatures(id, n, s, if (n == 0) 0.0 else s.toDouble / n,
                     ((n + frameSize - 1) / frameSize).toInt)
     }
+  }
+
+  /** Real image decode via javax.imageio (magic-dispatched through
+    * [[graft.sources.Raster.decodeAny]] — TIFF via the JDK reader, the
+    * toy float layout otherwise). Decoded samples land band-major,
+    * clamped to unsigned bytes; features then run over the DECODED
+    * pixels, not the wire bytes — so a TIFF's header/IFD/strip framing
+    * never leaks into the feature values, which is what makes the
+    * decode oracle-checkable (the SQL twin replays the pixel formula,
+    * not the container format). An undecodable blob yields zero samples
+    * (explicit, like [[graft.sources.Raster.GraftRasterCodec.decode]]'s
+    * None). */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte]): Array[Byte] =
+      graft.sources.Raster.decodeAny(bytes) match {
+        case Some((w, h, bands)) =>
+          val out = new Array[Byte](w * h * bands.length)
+          var o = 0
+          bands.foreach { band =>
+            var i = 0
+            while (i < band.length) {
+              val v = math.max(0f, math.min(255f, band(i))).toInt
+              out(o) = v.toByte
+              o += 1; i += 1
+            }
+          }
+          out
+        case None => Array.emptyByteArray
+      }
+    override def features(id: Long, bytes: Array[Byte], frameSize: Int): MediaFeatures =
+      FakeCodec.features(id, decode(bytes), frameSize)
   }
 
   val DefaultFrameSize = 256

@@ -90,9 +90,10 @@ object Similarity {
 
   /** LSH-blocked approximate top-k: candidates share the query's bucket.
     * Recall is governed by nPlanes (fewer bits → bigger buckets → higher
-    * recall & cost); multi-probe or repeated tables are the standard
-    * extensions. `dims` must match the corpus embedding width (pass it
-    * when known; ≤ 0 infers via [[embeddingDims]]). */
+    * recall & cost); [[lshMultiProbeTopK]] is the multi-probe extension
+    * (more recall at query time, same index). `dims` must match the
+    * corpus embedding width (pass it when known; ≤ 0 infers via
+    * [[embeddingDims]]). */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nPlanes: Int = 8,
               dims: Int = -1): DataFrame = {
@@ -104,6 +105,49 @@ object Similarity {
                                  col(vecCol).as("cvec"), col("bucket"))
     val queries = bucketed.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
+  }
+
+  /** Probe-mask set for multi-probe LSH: every nBits-wide mask with at
+    * most `maxFlips` bits set, ascending — bucket ⊕ mask enumerates the
+    * Hamming ball around the query's signature. */
+  def probeMasks(nBits: Int, maxFlips: Int): Seq[Int] =
+    (0 until (1 << nBits)).filter(Integer.bitCount(_) <= maxFlips)
+
+  /** Multi-probe LSH top-k: the standard recall extension of [[lshTopK]]
+    * — each query probes its own bucket PLUS every bucket within Hamming
+    * distance `maxFlips` of its signature (sign-LSH's near-miss buckets:
+    * a plane whose dot product is near zero flips its bit under small
+    * perturbations, so adjacent buckets hold the closest misses).
+    * Candidates grow ~C(nPlanes, ≤maxFlips)× at UNCHANGED index cost —
+    * same one-pass bucketing, same build — which is the knob's whole
+    * point: recall is bought at query time, not index time.
+    *
+    * Scale shape: identical to [[lshTopK]] — the probe expansion
+    * multiplies only the broadcast query side (|Q| × masks rows); the
+    * corpus still partitions by its single bucket id and never
+    * replicates. Each corpus row joins at most once per query (buckets
+    * are disjoint), so no candidate dedup pass is needed. */
+  def lshMultiProbeTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int, nPlanes: Int = 8,
+                        maxFlips: Int = 2, dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else embeddingDims(emb, vecCol)
+    val planes = planeSigns(nPlanes, d)
+    val masks = probeMasks(nPlanes, maxFlips)
+    val bucketed = emb.select(col(idCol), col(vecCol),
+                              lshBucket(col(vecCol), planes).as("bucket"))
+    val corpus = bucketed.select(col(idCol).as("neighbor_id"),
+                                 col(vecCol).as("cvec"), col("bucket"))
+    val queries = bucketed.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("bucket"))
+      .withColumn("mask", explode(lit(masks.toArray)))
+      .select(col("query_id"), col("qvec"),
+              col("bucket").bitwiseXOR(col("mask")).as("bucket"))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

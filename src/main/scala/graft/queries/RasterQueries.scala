@@ -34,8 +34,8 @@ import Canon._
   */
 object RasterQueries {
 
-  private val W = 8
-  private val H = 6
+  private[queries] val W = 8
+  private[queries] val H = 6
 
   /** Deterministic raster corpus: one blob per selected doc_id, band b ∈
     * [1, nBands], pixel (y, x) value `(id·7 + b·13 + y·3 + x·5) mod m`.
@@ -59,10 +59,17 @@ object RasterQueries {
         val bytes =
           if (tiff) Raster.TiffCodec.encodeRgb(w, h, bands)
           else Raster.GraftRasterCodec.encode(w, h, bands)
-        (s"dataset/doc_$id.tif", bytes)
+        (id, s"dataset/doc_$id.tif", bytes)
       }
-      .toDF("path", "content")
+      .toDF("doc_id", "path", "content")
   }
+
+  /** The real-TIFF blob corpus as (doc_id, path, content) — shared with
+    * MediaQueries' `mm_decode_features` row so the multimodal decode runs
+    * over the SAME manufactured TIFFs this module's oracles prove
+    * lossless. */
+  private[queries] def tiffBlobCorpus(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir, nBands = 3, m = 256, tiff = true)
 
   /** Shared oracle scaffolding: the SQL twin of [[blobs]]+decode — pixel
     * rows (file, band, y, x, v) for nBands bands mod m. */

@@ -38,11 +38,10 @@ object VectorQueries {
         s"(CAST($vec[$sub * $PqSubDims + $i] AS DOUBLE) - cent[$i]))"
     }.mkString(" + ")
 
-  private def sqlCos(a: String, b: String): String = {
-    val na = sqlDot(a, a); val nb = sqlDot(b, b)
-    s"""CASE WHEN ($na) = 0.0 OR ($nb) = 0.0 THEN 0.0
-       | ELSE (${sqlDot(a, b)}) / (sqrt($na) * sqrt($nb)) END""".stripMargin
-  }
+  // (no inline-norm cosine helper on purpose: every oracle cosine reads
+  // hoisted nrm columns via sqlCosN — an inline form would re-expand the
+  // 64-term self-dots 5× per call site, the shape that OOM'd the
+  // driver's shared DuckDB connection in rounds 4-5)
 
   /** Mirror of Similarity.lshBucket with the same build-time ±1 planes. */
   private def sqlBucket(e: String, nPlanes: Int): String = {
@@ -240,9 +239,15 @@ object VectorQueries {
   }
 
   /** Trained-quantizer constants — single source for the Spark call and
-    * the oracle's replayed k-means (cells, Lloyd iterations). */
+    * the oracle's replayed k-means (cells, Lloyd iterations). One Lloyd
+    * round, not two: each replayed round costs the oracle an assignment
+    * window + a 32k-row percentile pass, and the 2-round chain was the
+    * heaviest SQL in the driver's shared-connection DuckDB harness (its
+    * residual footprint OOM'd whichever sim oracle ran next, two rounds
+    * running). Seeding + one update already exercises the full
+    * train/assign/probe path; the recall row keeps measuring quality. */
   private val KmC = 8
-  private val KmIters = 2
+  private val KmIters = 1
 
   /** IVF top-3 over TRAINED coarse cells: deterministic spherical
     * k-means (md5-seeded init, cosine argmax assignment, median-centroid
@@ -288,34 +293,56 @@ object VectorQueries {
 
   // ------------------------------------------------------------- oracles
 
+  /** Norm'd base-table CTE `embn(vec_id, label, embedding, nrm)`: the
+    * squared self-dot is computed ONCE per vector here and every
+    * downstream cosine reads it by name ([[sqlCosN]]). The naive
+    * [[sqlCos]] inlines FIVE 64-term expansions per call site (na and nb
+    * twice each in the CASE, plus the dot) — at several call sites per
+    * oracle that expression volume was the main DuckDB working-set cost
+    * in the driver's shared-connection harness (CLAUDE.md round-5
+    * gotcha; `sim_*` rows OOM'd two rounds running). Same arithmetic,
+    * same left association, bit-identical doubles. */
+  private val embnCte: String =
+    s"""embn AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${sqlDot("embedding", "embedding")} AS nrm
+       |  FROM embeddings)""".stripMargin
+
   /** Shared CTE body for the IVF oracles: median centroids → probe →
     * within-cell scoring, ending in a `scored(query_id, neighbor_id,
-    * cosine)` relation. */
+    * cosine)` relation. All cosines read hoisted norms (embn / centroid
+    * nrm columns). */
   private val ivfScoredCte: String =
-    s"""cents AS (
+    s"""$embnCte,
+       |cents AS (
        |  SELECT label, d,
        |    CAST(percentile_cont(0.5) WITHIN GROUP (
        |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
        |  FROM embeddings
        |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS d)
        |  GROUP BY label, d),
-       |centroids AS (
+       |centroids0 AS (
        |  SELECT label AS cell, list(cv ORDER BY d) AS centroid
        |  FROM cents GROUP BY label),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv
-       |      FROM embeddings WHERE $QueryPredSql),
+       |centroids AS (
+       |  SELECT cell, centroid, ${sqlDot("centroid", "centroid")} AS nrm
+       |  FROM centroids0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |      FROM embn WHERE $QueryPredSql),
        |probe AS (
-       |  SELECT query_id, qv, cell FROM (
-       |    SELECT q.query_id, q.qv, c.cell,
+       |  SELECT query_id, qv, qnrm, cell FROM (
+       |    SELECT q.query_id, q.qv, q.qnrm, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+       |        ORDER BY ${sqlCosN(sqlDot("q.qv", "c.centroid"),
+                                   "q.qnrm", "c.nrm")} DESC, c.cell ASC)
        |        AS cell_rank
        |    FROM q CROSS JOIN centroids c)
        |  WHERE cell_rank <= 2),
        |scored AS (
        |  SELECT probe.query_id, e.vec_id AS neighbor_id,
-       |    ${sqlCos("probe.qv", "e.embedding")} AS cosine
-       |  FROM embeddings e JOIN probe ON e.label = probe.cell
+       |    ${sqlCosN(sqlDot("probe.qv", "e.embedding"),
+                      "probe.qnrm", "e.nrm")} AS cosine
+       |  FROM embn e JOIN probe ON e.label = probe.cell
        |  WHERE e.vec_id <> probe.query_id)""".stripMargin
 
   /** PQ codebook-training CTEs (pq_cents + cent_arr) — single source
@@ -375,6 +402,15 @@ object VectorQueries {
        |  SELECT cell, centroid, ${sqlDot("centroid", "centroid")} AS nrm
        |  FROM ${cents}0)""".stripMargin
 
+  /** KmIters × (assign, median update) round CTEs, generated from the
+    * shared constant so the replay can never drift from the Spark call. */
+  private def kmRoundCtes: String =
+    (1 to KmIters).map { i =>
+      val prev = if (i == 1) "kseeds" else s"kcent${i - 1}"
+      s"""${kmAssignCte(s"kasg${i - 1}", prev)},
+         |${kmCentroidCtes(s"kasg${i - 1}", s"kc$i", s"kcent$i")}""".stripMargin
+    }.mkString(",\n")
+
   /** Replayed k-means training + trained-cell IVF, ending in
     * `scored(query_id, neighbor_id, cosine)` — single source for
     * sim_topk_ivf_trained and sim_ivf_trained_recall. Chain: md5-ranked
@@ -390,11 +426,8 @@ object VectorQueries {
        |    SELECT embedding, nrm, ROW_NUMBER() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |    FROM kme) WHERE cell <= $KmC),
-       |${kmAssignCte("kasg0", "kseeds")},
-       |${kmCentroidCtes("kasg0", "kc1", "kcent1")},
-       |${kmAssignCte("kasg1", "kcent1")},
-       |${kmCentroidCtes("kasg1", "kc2", "kcent2")},
-       |${kmAssignCte("kfinal", "kcent2")},
+       |$kmRoundCtes,
+       |${kmAssignCte("kfinal", s"kcent$KmIters")},
        |${kmCentroidCtes("kfinal", "tkc", "tcent")},
        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
        |      FROM kme WHERE $QueryPredSql),
@@ -415,17 +448,20 @@ object VectorQueries {
        |  WHERE f.vec_id <> probe.query_id)""".stripMargin
 
   /** Brute-force ground-truth CTE (top-3 per query) — single source for
-    * the three recall oracles. */
-  private val bruteTruthCte: String =
+    * the recall oracles. `src` names an in-scope CTE exposing
+    * (vec_id, embedding, nrm), so the 500×16 scoring window reads
+    * hoisted norms instead of re-expanding them per comparison. */
+  private def bruteTruthCte(src: String): String =
     s"""truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT bt_q.query_id, bt_e.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY bt_q.query_id
-       |        ORDER BY ${sqlCos("bt_q.qv", "bt_e.embedding")} DESC,
+       |        ORDER BY ${sqlCosN(sqlDot("bt_q.qv", "bt_e.embedding"),
+                                   "bt_q.qnrm", "bt_e.nrm")} DESC,
        |                 bt_e.vec_id ASC) AS rank
-       |    FROM embeddings bt_e,
-       |      (SELECT vec_id AS query_id, embedding AS qv
-       |       FROM embeddings WHERE $QueryPredSql) bt_q
+       |    FROM $src bt_e,
+       |      (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |       FROM $src WHERE $QueryPredSql) bt_q
        |    WHERE bt_e.vec_id <> bt_q.query_id)
        |  WHERE rank <= 3)""".stripMargin
 
@@ -433,17 +469,22 @@ object VectorQueries {
     * `pq_top(query_id, neighbor_id, adc, rank)` — single source for
     * sim_topk_ivfpq and sim_ivfpq_recall. */
   private val ivfPqCteBody: String =
-    s"""$pqCentArrCte,
-       |fcentroids AS (
+    s"""$embnCte,
+       |$pqCentArrCte,
+       |fcentroids0 AS (
        |  SELECT code AS cell, list(CAST(cv AS REAL) ORDER BY d) AS centroid
        |  FROM pq_cents GROUP BY code),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv
-       |      FROM embeddings WHERE $QueryPredSql),
+       |fcentroids AS (
+       |  SELECT cell, centroid, ${sqlDot("centroid", "centroid")} AS nrm
+       |  FROM fcentroids0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |      FROM embn WHERE $QueryPredSql),
        |probe AS (
        |  SELECT query_id, qv, cell FROM (
        |    SELECT q.query_id, q.qv, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${sqlCos("q.qv", "c.centroid")} DESC, c.cell ASC)
+       |        ORDER BY ${sqlCosN(sqlDot("q.qv", "c.centroid"),
+                                   "q.qnrm", "c.nrm")} DESC, c.cell ASC)
        |        AS cell_rank
        |    FROM q CROSS JOIN fcentroids c)
        |  WHERE cell_rank <= 2),
@@ -485,7 +526,7 @@ object VectorQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |  WHERE rank <= 3),
-         |$bruteTruthCte
+         |${bruteTruthCte("embn")}
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -496,15 +537,19 @@ object VectorQueries {
          |GROUP BY t.query_id""".stripMargin,
     "sim_recall_eval" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
-         |$bruteTruthCte,
+         |             ${sqlBucket("embedding", 8)} AS bucket,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |${bruteTruthCte("b")},
          |approx AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.query_id, e.vec_id AS neighbor_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${sqlCos("q.qv", "e.embedding")} DESC,
+         |        ORDER BY ${sqlCosN(sqlDot("q.qv", "e.embedding"),
+                                     "q.qnrm", "e.nrm")} DESC,
          |                 e.vec_id ASC) AS rank
-         |    FROM b e JOIN (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |    FROM b e JOIN (SELECT vec_id AS query_id, embedding AS qv,
+         |                          bucket, nrm AS qnrm
          |                   FROM b WHERE $QueryPredSql) q
          |      ON e.bucket = q.bucket
          |    WHERE e.vec_id <> q.query_id)
@@ -536,7 +581,7 @@ object VectorQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |  WHERE rank <= 3),
-         |$bruteTruthCte
+         |${bruteTruthCte("kme")}
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -556,7 +601,7 @@ object VectorQueries {
     },
     "sim_ivfpq_recall" ->
       s"""WITH $ivfPqCteBody,
-         |$bruteTruthCte
+         |${bruteTruthCte("embn")}
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,
@@ -628,24 +673,30 @@ object VectorQueries {
          |FROM embeddings""".stripMargin
     },
     "sim_topk_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |           FROM embeddings WHERE $QueryPredSql),
+      s"""WITH $embnCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+         |      FROM embn WHERE $QueryPredSql),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |         ${sqlCos("q.qv", "e.embedding")} AS cosine
-         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         |         ${sqlCosN(sqlDot("q.qv", "e.embedding"),
+                             "q.qnrm", "e.nrm")} AS cosine
+         |  FROM embn e, q WHERE e.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cosine, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-         |             ${sqlBucket("embedding", 8)} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |             ${sqlBucket("embedding", 8)} AS bucket,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket,
+         |             nrm AS qnrm
          |      FROM b WHERE $QueryPredSql),
          |scored AS (
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |         ${sqlCos("q.qv", "e.embedding")} AS cosine
+         |         ${sqlCosN(sqlDot("q.qv", "e.embedding"),
+                             "q.qnrm", "e.nrm")} AS cosine
          |  FROM b e JOIN q ON e.bucket = q.bucket
          |  WHERE e.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cosine, rank FROM (

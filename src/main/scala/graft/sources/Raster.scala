@@ -166,4 +166,52 @@ object Raster {
     * writer (S3 in SURVEY §2.1) — the oracle-checked representation. */
   def writeComposite(rgb: DataFrame, outDir: String): Unit =
     rgb.write.mode("overwrite").partitionBy("file").parquet(outDir)
+
+  /** Scala-side twin of [[graft.operators.Composite.colorOutputPath]]:
+    * `dataset/foo.tif → <subdir>/foo_color.tif` (the reference's naming,
+    * color_image_composite.cpp:15-19,173). */
+  def colorOutputName(path: String, subdir: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    subdir + "/" + base.replaceAll("\\.tif$", "_color.tif")
+  }
+
+  /** REAL `.tif` composite sink — the reference's actual output format
+    * (`color_image_composite.cpp:11-57,173`: one GTiff per input, output
+    * band order R,G,B = input bands 4,3,2, `<stem>_color.tif` under
+    * `colorimage/`). Input: long-format pixel rows (file, band, y, x,
+    * value). One shuffle on the file key groups each image's pixels into
+    * a single task; the task assembles the band planes, encodes a
+    * baseline RGB TIFF via the JDK imageio writer ([[TiffCodec
+    * .encodeRgb]]), and writes its own output file — the per-task file
+    * emit of any distributed image sink, no driver collect, TIFF bytes
+    * never shuffled. Eager (localCheckpoint) like the other sinks;
+    * returns the audit frame (file, out_path, w, h, n_bytes). */
+  def writeCompositeTiff(pixels: DataFrame, outDir: String,
+                         subdir: String = "colorimage"): DataFrame = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    val written = graft.operators.Composite.rgbComposite(pixels)
+      .select(col("file"), col("y").cast("int"), col("x").cast("int"),
+              col("r").cast("float"), col("g").cast("float"),
+              col("b").cast("float"))
+      .as[(String, Int, Int, Float, Float, Float)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val rows = it.toArray
+        val w = rows.iterator.map(_._3).max + 1
+        val h = rows.iterator.map(_._2).max + 1
+        val bands = Array.fill(3)(new Array[Float](w * h))
+        rows.foreach { case (_, y, x, r, g, b) =>
+          val i = y * w + x
+          bands(0)(i) = r; bands(1)(i) = g; bands(2)(i) = b
+        }
+        val bytes = TiffCodec.encodeRgb(w, h, bands)
+        val dest = java.nio.file.Paths.get(outDir, colorOutputName(file, subdir))
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.write(dest, bytes)
+        (file, dest.toString, w, h, bytes.length.toLong)
+      }
+      .toDF("file", "out_path", "w", "h", "n_bytes")
+    written.localCheckpoint() // eager: the writes happen exactly once here
+  }
 }

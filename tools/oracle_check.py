@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare (dev tooling only,
 not part of the Spark library). Usage:
-    python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+    python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--stress LIMIT]
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs
 <verifyOutDir>/oracle_sql.json[name] in DuckDB with views over
 <sfDir>/*.parquet, sorts columns by name and rows by all columns, and
 compares values EXACTLY — floats bit-for-bit (the queries' exact-DECIMAL
 canonicalization makes both engines produce identical doubles; there is
-no tolerance)."""
+no tolerance).
+
+--stress LIMIT (e.g. --stress 512MB): run the WHOLE registry sequentially
+on ONE DuckDB connection pinned to `SET memory_limit = LIMIT`, with no
+OOM retry and no reconnect. This models the driver's shared-connection
+harness under host memory pressure: an oracle whose residual footprint
+pushes the connection to its ceiling fails HERE, deterministically,
+instead of OOM-ing a neighbor in the driver's run (r4/r5 failure mode).
+Every oracle must pass this gate at a small limit before a round ships."""
 import json, sys, math
 import duckdb
 
@@ -20,43 +28,58 @@ def norm(v):
         return v  # exact: the engine-side canonicalization must be bit-identical
     return v
 
-def main(sf_dir, out_dir):
+def connect(sf_dir, memory_limit=None):
     con = duckdb.connect()
+    if memory_limit:
+        con.sql(f"SET memory_limit = '{memory_limit}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+def main(sf_dir, out_dir, stress_limit=None):
+    con = connect(sf_dir, stress_limit)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = fail = 0
+    ok = fail = infra = 0
     for name, sql in sorted(oracle.items()):
         for attempt in (1, 2):
-            r = check_one(con, out_dir, name, sql, attempt)
+            r = check_one(con, out_dir, name, sql, attempt,
+                          retry_oom=stress_limit is None)
             # DuckDB OOM is transient host memory pressure (e.g. a JVM
             # still unwinding next door), not a correctness signal —
-            # retry once with a fresh connection before counting a fail
+            # retry once with a fresh connection before counting a fail.
+            # (In --stress mode retry_oom is off: an OOM under the pinned
+            # limit is exactly the signal the mode exists to surface.)
             if r == "oom" and attempt == 1:
                 import time, gc
                 # the reconnect itself can OOM under the same transient
                 # pressure — keep backing off until the host frees memory
+                reconnected = False
                 for backoff in (5, 15, 30):
                     gc.collect(); time.sleep(backoff)
                     try:
-                        con = duckdb.connect()
-                        for t in TABLES:
-                            con.sql(f"CREATE VIEW {t} AS SELECT * "
-                                    f"FROM '{sf_dir}/{t}.parquet'")
+                        con = connect(sf_dir)
+                        reconnected = True
                         break
                     except Exception:
                         continue
+                if not reconnected:
+                    # never retry on the stale post-OOM connection: record
+                    # as an infra failure, distinct from a real mismatch
+                    print(f"INFRA {name}: reconnect failed after backoff; "
+                          "host memory pressure, not an oracle mismatch")
+                    infra += 1
+                    break
                 continue
-            if r:
+            if r is True:
                 ok += 1
             else:
                 fail += 1
             break
-    print(f"\n{ok} ok, {fail} fail")
-    return 1 if fail else 0
+    print(f"\n{ok} ok, {fail} fail" + (f", {infra} infra" if infra else ""))
+    return 1 if (fail or infra) else 0
 
 
-def check_one(con, out_dir, name, sql, attempt):
+def check_one(con, out_dir, name, sql, attempt, retry_oom=True):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = sorted(spark_rel.columns)
@@ -98,11 +121,16 @@ def check_one(con, out_dir, name, sql, attempt):
             return True
         except Exception as e:
             if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e):
-                if attempt == 1:
+                if retry_oom and attempt == 1:
                     print(f"RETRY {name}: transient duckdb OOM")
                     return "oom"
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             return False
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    stress = None
+    if "--stress" in sys.argv:
+        stress = sys.argv[sys.argv.index("--stress") + 1]
+        args = [a for a in args if a != stress]
+    sys.exit(main(args[0], args[1], stress))
