@@ -27,22 +27,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it
-    * as raw nanos (`legacy.parquet.nanosAsLong`) and rebuild a
-    * microsecond TIMESTAMP_NTZ with integer division — `DIV`, not `/`:
-    * double division of int64 nanos (~1.7e18) would lose precision past
-    * 2^53. Truncation toward zero matches DuckDB's TIMESTAMP_NS →
-    * TIMESTAMP cast, which the oracle SQL relies on.
+  /** Schema-adaptive events load. The fixture's `ts` encoding has varied
+    * across driver regenerations — parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects, [PARQUET_TYPE_ILLEGAL]) and plain
+    * timestamp[us] — so adapt to whatever is on disk and emit ONE stable
+    * contract downstream: `ts` TIMESTAMP_NTZ (µs) + `ts_ns` BIGINT
+    * epoch-nanos.
+    *
+    *  - Nanos fixture: read raw int64 via `legacy.parquet.nanosAsLong`,
+    *    rebuild µs with `DIV` (not `/`: double division of ~1.7e18 loses
+    *    precision past 2^53; truncation matches DuckDB's TIMESTAMP_NS →
+    *    TIMESTAMP cast).
+    *  - µs fixture: pass `ts` through as TIMESTAMP_NTZ and derive
+    *    `ts_ns = unix_micros(CAST(ts AS TIMESTAMP)) * 1000` — session TZ
+    *    is UTC so the NTZ→TZ cast is exact, and µs×1000 (~1.7e18) stays
+    *    inside BIGINT. Downstream `ts_ns DIV 1000` then reproduces the
+    *    exact same µs DuckDB reads natively from the parquet.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    load(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts_ns DIV 1000"))
-        .cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts",
+            timestamp_micros(expr("ts_ns DIV 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts_ns", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 

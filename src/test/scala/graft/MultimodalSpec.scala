@@ -45,9 +45,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!ff.keySet.exists(_._1 == 3L))         // empty blob → no frames
   }
 
-  test("real decode is an explicit stub (documented ???)") {
-    intercept[NotImplementedError] {
-      Multimodal.FakeCodec.decode(Array[Byte](1))
-    }
+  test("ImageIoCodec: real TIFF encode→decode roundtrip matches the pixel formula") {
+    // Known 8×6×3 image, integer samples in [0,256) so the unsigned-byte
+    // clamp is the identity and the expected features are exact.
+    val (w, h, nb) = (8, 6, 3)
+    val bands = Array.tabulate(nb)(b =>
+      Array.tabulate(w * h)(i => ((b * 97 + i * 31) % 256).toFloat))
+    val tiff = graft.sources.Raster.TiffCodec.encodeRgb(w, h, bands)
+    assert(graft.sources.Raster.TiffCodec.isTiff(tiff))
+
+    val decoded = Multimodal.ImageIoCodec.decode(tiff)
+    val expected = bands.flatMap(_.map(_.toInt.toByte))   // band-major
+    assert(decoded.toSeq == expected.toSeq)
+
+    val feats = Multimodal.ImageIoCodec.features(7L, tiff, frameSize = 64)
+    val pixSum = bands.map(_.map(_.toLong).sum).sum
+    assert(feats == Multimodal.MediaFeatures(
+      7L, (w * h * nb).toLong, pixSum, pixSum.toDouble / (w * h * nb),
+      ((w * h * nb + 63) / 64)))    // features over DECODED pixels, not wire bytes
+  }
+
+  test("FakeCodec decode is the identity (byte-addressable media pass through)") {
+    val bytes = Array[Byte](1, 2, 3, -1)
+    assert(Multimodal.FakeCodec.decode(bytes).toSeq == bytes.toSeq)
   }
 }
