@@ -24,6 +24,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail LOUDLY, not by omission: a query whose plan fails to build must
+    // leave a durable per-query error artifact, or a systemic regression
+    // (e.g. a fixture-schema drift breaking a shared loader) masquerades
+    // as a smaller, fully-green registry in the driver's compare.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       // clear any PREVIOUS run's output first: a failing query must leave
       // an absent directory (loud checker error), not stale parquet that
@@ -35,11 +40,16 @@ object Verify {
       }
       try {
         if (dest.exists()) rm(dest)
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.ERROR"))
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(dest.getPath)
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
         try { if (dest.exists()) rm(dest) } catch { case _: Throwable => () }
+        try Files.writeString(Paths.get(s"$outDir/$name.ERROR"), msg + "\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +67,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roster (empty object when all green) —
+    // oracle_check.py reads this and counts every entry as a FAIL, even
+    // for rows-only queries that have no oracle SQL to trip over.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} of ${selected.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     graft.operators.PlanCache.releaseAll() // explicit persist lifecycle
     spark.stop()
   }

@@ -70,6 +70,39 @@ object VectorQueries {
                        queryPred, 3, dims = Dims)
   }
 
+  /** Multi-probe constants — ONE source for the Spark call and the
+    * oracle's replayed mask set. maxFlips=1 (9 probes over 8 planes)
+    * keeps the oracle's expression volume small (CLAUDE.md shared-
+    * connection gotcha); the spec exercises deeper Hamming balls. */
+  private val MpPlanes = 8
+  private val MpFlips = 1
+  private def mpMaskList: String =
+    Similarity.probeMasks(MpPlanes, MpFlips).mkString("[", ", ", "]")
+
+  /** Multi-probe LSH top-3: same 8-plane index as [[simTopKLsh]], but
+    * each query also probes every bucket within Hamming distance 1 of
+    * its signature — recall bought at query time, zero index change
+    * (Similarity.lshMultiProbeTopK). */
+  def simTopKLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.lshMultiProbeTopK(Tables.embeddings(s, dir), "vec_id",
+                                 "embedding", queryPred, 3,
+                                 nPlanes = MpPlanes, maxFlips = MpFlips,
+                                 dims = Dims)
+  }
+
+  /** Recall@3 of multi-probe LSH vs brute-force ground truth — the
+    * measured claim behind the multi-probe knob (compare row-for-row
+    * with [[simRecallEval]], the single-probe eval at equal planes). */
+  def simMultiprobeRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    recallAgainstTruth(s, dir,
+      Similarity.lshMultiProbeTopK(Tables.embeddings(s, dir), "vec_id",
+                                   "embedding", queryPred, 3,
+                                   nPlanes = MpPlanes, maxFlips = MpFlips,
+                                   dims = Dims), 3)
+  }
+
   /** Exact all-pairs cosine ≥ 0.4 — embedding near-dup detection. */
   def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -284,6 +317,8 @@ object VectorQueries {
     "sim_ivfpq_recall"  -> (simIvfPqRecall _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_topk_lsh"      -> (simTopKLsh _),
+    "sim_topk_lsh_multiprobe" -> (simTopKLshMultiprobe _),
+    "sim_multiprobe_recall"   -> (simMultiprobeRecall _),
     "sim_topk_ivf"      -> (simTopKIvf _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_neardup_lsh"   -> (simNearDupLsh _),
@@ -703,6 +738,58 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+    // Multi-probe twin of sim_topk_lsh: the probe set is the query's
+    // bucket XOR each mask in the deterministic Hamming-≤1 mask list
+    // (replayed verbatim from Similarity.probeMasks). Buckets are
+    // disjoint so each corpus row matches a query at most once — no
+    // dedup stage on either side.
+    "sim_topk_lsh_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlBucket("embedding", MpPlanes)} AS bucket,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |qp AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+         |              xor(bucket, mask) AS bucket
+         |       FROM b CROSS JOIN (SELECT unnest($mpMaskList) AS mask)
+         |       WHERE $QueryPredSql),
+         |scored AS (
+         |  SELECT qp.query_id, e.vec_id AS neighbor_id,
+         |         ${sqlCosN(sqlDot("qp.qv", "e.embedding"),
+                             "qp.qnrm", "e.nrm")} AS cosine
+         |  FROM b e JOIN qp ON e.bucket = qp.bucket
+         |  WHERE e.vec_id <> qp.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin,
+    "sim_multiprobe_recall" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${sqlBucket("embedding", MpPlanes)} AS bucket,
+         |             ${sqlDot("embedding", "embedding")} AS nrm
+         |           FROM embeddings),
+         |${bruteTruthCte("b")},
+         |qp AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+         |              xor(bucket, mask) AS bucket
+         |       FROM b CROSS JOIN (SELECT unnest($mpMaskList) AS mask)
+         |       WHERE $QueryPredSql),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qp.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qp.query_id
+         |        ORDER BY ${sqlCosN(sqlDot("qp.qv", "e.embedding"),
+                                     "qp.qnrm", "e.nrm")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM b e JOIN qp ON e.bucket = qp.bucket
+         |    WHERE e.vec_id <> qp.query_id)
+         |  WHERE rank <= 3)
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
     // Same norms-in-CTE shrink as sim_neardup_lsh (the all-pairs twin).
     "sim_neardup_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding,

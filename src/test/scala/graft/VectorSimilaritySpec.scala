@@ -120,4 +120,47 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(toy(0L) == toy(2L), "cos=1 pair must share a trained cell")
     graft.operators.PlanCache.releaseAll()
   }
+
+  test("probeMasks: exact Hamming-ball enumeration") {
+    val m0 = Similarity.probeMasks(8, 0)
+    assert(m0 == Seq(0), "flips=0 is just the identity probe")
+    val m1 = Similarity.probeMasks(8, 1)
+    assert(m1.size == 1 + 8 && m1.head == 0)
+    assert(m1.forall(m => m >= 0 && m < 256 && Integer.bitCount(m) <= 1))
+    val m2 = Similarity.probeMasks(8, 2)
+    assert(m2.size == 1 + 8 + 28, "C(8,0)+C(8,1)+C(8,2)")
+    assert(m2 == m2.sorted && m2.distinct == m2)
+  }
+
+  test("multi-probe LSH: flips=0 ≡ single-probe; recall ≥ single-probe per query") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") < 16
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", pred, 3,
+                                    nPlanes = 8, dims = 64)
+    val mp0 = Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding", pred, 3,
+                                           nPlanes = 8, maxFlips = 0, dims = 64)
+    assert(rows(mp0) == rows(single),
+      "probing only mask 0 must reproduce the single-probe result exactly")
+
+    // Recall vs brute-force ground truth: the single-probe candidate set
+    // is a subset of every multi-probe candidate set (mask 0 is always
+    // probed), so per-query recall must be monotone in maxFlips.
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallByQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .filter(truth.contains).groupBy(_._1).view.mapValues(_.length).toMap
+        .withDefaultValue(0)
+    val rSingle = recallByQuery(single)
+    val rMp2 = recallByQuery(Similarity.lshMultiProbeTopK(
+      emb, "vec_id", "embedding", pred, 3, nPlanes = 8, maxFlips = 2, dims = 64))
+    val qids = truth.map(_._1)
+    assert(qids.forall(q => rMp2(q) >= rSingle(q)),
+      s"multi-probe recall dropped below single-probe: " +
+      qids.map(q => s"$q:${rSingle(q)}->${rMp2(q)}").mkString(", "))
+    assert(qids.toSeq.map(rMp2).sum >= qids.toSeq.map(rSingle).sum)
+  }
 }

@@ -16,7 +16,7 @@ harness under host memory pressure: an oracle whose residual footprint
 pushes the connection to its ceiling fails HERE, deterministically,
 instead of OOM-ing a neighbor in the driver's run (r4/r5 failure mode).
 Every oracle must pass this gate at a small limit before a round ships."""
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -40,7 +40,26 @@ def main(sf_dir, out_dir, stress_limit=None):
     con = connect(sf_dir, stress_limit)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = infra = 0
+    # Verify-side failure roster: every entry is a FAIL here, including
+    # rows-only queries with no oracle SQL (they'd otherwise vanish
+    # silently — the r6 regression mode where 37 broken queries made the
+    # registry look smaller instead of red).
+    verify_errors = {}
+    try:
+        verify_errors = json.load(open(f"{out_dir}/_errors.json"))
+    except FileNotFoundError:
+        pass
+    for name, msg in sorted(verify_errors.items()):
+        print(f"FAIL {name}: verify-side error (no Spark output): {msg}")
+        fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in verify_errors:
+            continue  # already counted above; no output to compare
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: oracle entry has NO Spark output directory "
+                  f"(query unregistered in Verify, or output deleted)")
+            fail += 1
+            continue
         for attempt in (1, 2):
             r = check_one(con, out_dir, name, sql, attempt,
                           retry_oom=stress_limit is None)
