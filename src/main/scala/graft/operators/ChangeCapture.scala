@@ -31,6 +31,11 @@ object ChangeCapture {
     * columns as `cur_*` / `new_*` plus the key and [[ActionCol]]. */
   def mergeActions(current: DataFrame, staged: DataFrame, keyCol: String,
                    compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "mergeActions needs ≥ 1 compare column")
+    for ((df, side) <- Seq(current -> "current", staged -> "staged");
+         c <- keyCol +: compareCols)
+      require(df.columns.contains(c), s"$side side is missing column '$c' " +
+        s"(has: ${df.columns.mkString(", ")})")
     val cur = current.select(
       col(keyCol) +: lit(true).as("cur_present") +:
         compareCols.map(c => col(c).as(s"cur_$c")): _*)
@@ -104,6 +109,16 @@ object ChangeCapture {
                           groupCol: String, valueCol: String,
                           nCol: String = "n_rows",
                           sumCol: String = "sum_dec"): DataFrame = {
+    // Loud contract checks: `actions` must be mergeActions output carrying
+    // both sides of the group/value columns; `base` must be the maintained
+    // aggregate. A missing column would otherwise surface as a Catalyst
+    // UNRESOLVED_COLUMN naming an internal cur_/new_ alias.
+    for (c <- Seq(ActionCol, s"cur_$groupCol", s"new_$groupCol",
+                  s"cur_$valueCol", s"new_$valueCol"))
+      require(actions.columns.contains(c),
+        s"actions is not mergeActions output: missing '$c'")
+    for (c <- Seq(groupCol, nCol, sumCol))
+      require(base.columns.contains(c), s"base aggregate is missing '$c'")
     val a = col(ActionCol)
     val dec = graft.queries.Canon.dec _
     val retract = actions.filter(a === "DELETE" || a === "UPDATE")

@@ -181,12 +181,21 @@ object Graphs {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // TWO star rounds per convergence probe: the signature aggregate
+      // is the round's only driver-synchronized job, and per-job driver
+      // latency — not executor work — dominates iterative small-data
+      // rounds. A fixpoint is invariant under extra rounds, so a
+      // convergence reached on an odd round costs one idempotent extra
+      // round instead of one extra probe job — halving job count for
+      // the same O(log n) total.
+      e = smallStar(largeStar(e).localCheckpoint(eager = false))
+        .localCheckpoint(eager = false)
       e = smallStar(largeStar(e).localCheckpoint(eager = false))
         .localCheckpoint(eager = false)
       val now = sig(e)
       converged = now == prev
       prev = now
-      iter += 1
+      iter += 2
     }
     require(converged,
       s"ccStar did not converge within $maxIter rounds (needs ~log2(n))")

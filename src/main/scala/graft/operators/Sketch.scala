@@ -52,7 +52,8 @@ object Sketch {
     * the earlier two-digest family; the digest's bits are independent
     * across digit positions, which is all the sign needs. */
   def amsF2(keys: DataFrame, keyCol: String,
-            depth: Int, width: Int): DataFrame =
+            depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"amsF2 needs depth/width ≥ 1, got $depth×$width")
     keys.select(col(keyCol).as("k"), rowIds(depth).as("r"))
       .withColumn("m", md5(concat(col("r").cast("string"), lit("|"), col("k"))))
       .groupBy(col("r"),
@@ -63,9 +64,12 @@ object Sketch {
       .groupBy(col("r")).agg(sum(col("cell") * col("cell")).as("est_r"))
       // get(), not getItem(): ANSI mode throws INVALID_ARRAY_INDEX on
       // the empty collected array (degenerate empty input) where get()
-      // returns NULL
-      .agg(get(sort_array(collect_list(col("est_r"))), lit(depth / 2 - 1))
+      // returns NULL. Median index (d-1)/2 (0-based): lower-middle for
+      // even depth (unchanged vs the registered even-depth oracles),
+      // TRUE median for odd depth (depth/2 - 1 undershot it by one).
+      .agg(get(sort_array(collect_list(col("est_r"))), lit((depth - 1) / 2))
              .as("est_f2"))
+  }
 
   /** Union of independently-built sketches by cell-wise sum — CMS is a
     * linear sketch, so `merge(build(A), build(B)) == build(A ∪ B)`

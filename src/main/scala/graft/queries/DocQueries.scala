@@ -630,9 +630,14 @@ object DocQueries {
     * ~10¹⁸/m total weight. */
   def pipeWeightedSample(s: SparkSession, dir: String): DataFrame = {
     val m = 100
+    // w > 0: a zero-weight doc is a zero-width [ws, ws) interval, but the
+    // ws = 0 branch of the threshold CASE would still award the corpus's
+    // very first doc a pick if its weight were 0 — drop weightless docs
+    // before the prefix sum (PPS semantics: p ∝ w, so w = 0 ⇒ p = 0).
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
               TextOps.tokenCount(col("text")).cast("long").as("w"))
+      .filter(col("w") > 0)
     val rk = conv(substring(
       md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 15),
       16, 10).cast("long")
@@ -789,8 +794,8 @@ object DocQueries {
          |  FROM documents)
          |WHERE rk <= 10""".stripMargin,
     "pipe_weighted_sample" ->
-      s"""WITH docs AS (SELECT doc_id,
-         |    CAST($nTok AS BIGINT) AS w FROM documents),
+      s"""WITH docs AS (SELECT * FROM (SELECT doc_id,
+         |    CAST($nTok AS BIGINT) AS w FROM documents) WHERE w > 0),
          |b2 AS (SELECT doc_id, w,
          |  CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
          |    1, 15) AS BIGINT) AS rk FROM docs),

@@ -185,7 +185,14 @@ object Raster {
     * .encodeRgb]]), and writes its own output file — the per-task file
     * emit of any distributed image sink, no driver collect, TIFF bytes
     * never shuffled. Eager (localCheckpoint) like the other sinks;
-    * returns the audit frame (file, out_path, w, h, n_bytes). */
+    * returns the audit frame (file, out_path, w, h, n_bytes).
+    *
+    * Storage caveat: files are emitted via `java.nio.file` — executor-
+    * LOCAL paths. Correct in local[*] (this box) where driver and
+    * executors share one filesystem; a multi-node deployment must write
+    * through the Hadoop `FileSystem` API (or mount shared storage at the
+    * same path on every executor) for outputs to land somewhere the
+    * driver can see. */
   def writeCompositeTiff(pixels: DataFrame, outDir: String,
                          subdir: String = "colorimage"): DataFrame = {
     val spark = pixels.sparkSession

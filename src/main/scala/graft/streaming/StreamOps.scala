@@ -156,11 +156,18 @@ object StreamOps {
     * replay safe. */
   def mergeSnapshot(prev: DataFrame, batch: DataFrame, keyCols: Seq[String],
                     orderCol: String): DataFrame = {
+    val u = prev.unionByName(batch)
+    // Deterministic total order: equal-orderCol ties break on a content
+    // hash over every column (name-sorted), so replayed merges produce
+    // the SAME surviving row regardless of union/partition order — the
+    // idempotent-replay contract needs a total order, not just orderCol.
+    // (Fully identical duplicate rows hash equal; either survivor is the
+    // same row, so the snapshot is still deterministic.)
+    val tieBreak = xxhash64(u.columns.sorted.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc)
-    prev.unionByName(batch)
-      .withColumn("__rn", row_number().over(w))
+      .orderBy(col(orderCol).desc, tieBreak.asc)
+    u.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 

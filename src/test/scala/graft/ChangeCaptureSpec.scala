@@ -94,4 +94,23 @@ class ChangeCaptureSpec extends SparkSpec {
     val acts = ChangeCapture.mergeActions(cur, cur, "k", Seq("status", "price"))
     assert(acts.filter(col(ChangeCapture.ActionCol) =!= "NOOP").count() == 0)
   }
+
+  test("contract violations fail loudly at call time, not as Catalyst aliases") {
+    val df = Seq((1L, "a")).toDF("k", "status")
+    intercept[IllegalArgumentException] {       // no compare columns
+      ChangeCapture.mergeActions(df, df, "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {       // missing compare column
+      ChangeCapture.mergeActions(df, df, "k", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {       // actions ≠ mergeActions output
+      ChangeCapture.incrementalSumCount(df, df, "grp", "v")
+    }
+    val acts = ChangeCapture.mergeActions(
+      Seq((1L, "a", 1.0)).toDF("k", "grp", "v"),
+      Seq((1L, "b", 2.0)).toDF("k", "grp", "v"), "k", Seq("grp", "v"))
+    intercept[IllegalArgumentException] {       // base missing the aggregate cols
+      ChangeCapture.incrementalSumCount(acts, df, "grp", "v")
+    }
+  }
 }

@@ -87,4 +87,58 @@ class CompositeRasterSpec extends SparkSpec {
     val band2sum = px.filter($"band" === 2).agg(sum($"value")).head().getDouble(0)
     assert(band2sum == rgb(1).sum.toDouble)
   }
+
+  /** Golden roundtrip for the REAL `.tif` composite sink
+    * (color_image_composite.cpp:34-53,173-181): write a fixed synthetic
+    * corpus, read the emitted files back through the library's own
+    * decoder, and byte-compare every band plane. Values stay in [0,256)
+    * so the writer's unsigned-byte clamp is the identity.
+    *
+    * NOTE (cluster storage): writeCompositeTiff emits via java.nio.file —
+    * executor-LOCAL paths, correct in local[*]; a multi-node deployment
+    * must target shared storage through the Hadoop FileSystem API (the
+    * sink's scaladoc carries the same caveat). */
+  test("writeCompositeTiff golden roundtrip: R,G,B = bands 4,3,2, _color.tif naming") {
+    val inDir = Files.createTempDirectory("graft_tifin").toFile
+    val outDir = Files.createTempDirectory("graft_tifout").toFile
+    // band b (1..6), pixel p → (37·b + 5·y + x) mod 256 — unique per
+    // (file shift), integer, clamp-free
+    def vals(shift: Int, b: Int): Array[Float] =
+      Array.tabulate(W * H)(p =>
+        ((shift + 37 * b + 5 * (p / W) + (p % W)) % 256).toFloat)
+    for ((name, shift) <- Seq("scene1.tif" -> 0, "scene2.tif" -> 11)) {
+      val blob = GraftRasterCodec.encode(W, H, Array.tabulate(6)(i => vals(shift, i + 1)))
+      Files.write(new java.io.File(inDir, name).toPath, blob)
+    }
+
+    val px = Raster.pixels(spark, inDir.getAbsolutePath, "*.tif")
+    val audit = Raster.writeCompositeTiff(px, outDir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+                           r.getInt(3), r.getLong(4))).sortBy(_._1)
+    assert(audit.length == 2)
+    assert(audit.forall { case (_, _, w, h, n) => w == W && h == H && n > 0 })
+    // naming contract: <outDir>/colorimage/<stem>_color.tif
+    assert(audit.map(_._2.split('/').takeRight(2).mkString("/")).toSeq ==
+      Seq("colorimage/scene1_color.tif", "colorimage/scene2_color.tif"))
+
+    // roundtrip 1: direct decode of the written bytes, byte-exact planes
+    for ((file, outPath, _, _, _) <- audit) {
+      val shift = if (file.endsWith("scene1.tif")) 0 else 11
+      val Some((w, h, bands)) = Raster.TiffCodec.decode(
+        Files.readAllBytes(java.nio.file.Paths.get(outPath)))
+      assert(w == W && h == H && bands.length == 3)
+      // output band order R,G,B = input bands 4,3,2 (cpp:34-53)
+      assert(bands(0).sameElements(vals(shift, 4)), "R plane must be input band 4")
+      assert(bands(1).sameElements(vals(shift, 3)), "G plane must be input band 3")
+      assert(bands(2).sameElements(vals(shift, 2)), "B plane must be input band 2")
+    }
+
+    // roundtrip 2: the emitted files re-enter the DISTRIBUTED scan path
+    val back = Raster.pixels(spark, outDir.getAbsolutePath + "/colorimage",
+                             "*_color.tif")
+    assert(back.count() == 2L * 3 * W * H)
+    val b1 = back.filter($"file".endsWith("scene1_color.tif") && $"band" === 1)
+      .agg(sum($"value")).head().getDouble(0)
+    assert(b1 == vals(0, 4).sum.toDouble, "re-scanned R plane ≡ band 4 of scene1")
+  }
 }

@@ -419,6 +419,21 @@ class StreamingSpec extends SparkSpec {
     assert(twice.count() == once.count())
   }
 
+  test("upsert merge breaks equal-seq ties deterministically (partition-invariant)") {
+    // two DIFFERENT rows for key 1 at the same seq: without a total
+    // order the survivor depends on union/partition order
+    val prev = Seq(UpsertRow(1, "a", 5), UpsertRow(2, "x", 1)).toDF()
+    val batch = Seq(UpsertRow(1, "b", 5)).toDF()
+    val r1 = StreamOps.mergeSnapshot(prev, batch, Seq("k"), "seq")
+      .as[UpsertRow].collect().map(r => r.k -> r.v).toMap
+    val r2 = StreamOps.mergeSnapshot(prev.repartition(7), batch.repartition(3),
+                                     Seq("k"), "seq")
+      .as[UpsertRow].collect().map(r => r.k -> r.v).toMap
+    val r3 = StreamOps.mergeSnapshot(batch, prev, Seq("k"), "seq") // sides swapped
+      .as[UpsertRow].collect().map(r => r.k -> r.v).toMap
+    assert(r1 == r2 && r1 == r3, s"tie survivor must not depend on order: $r1 $r2 $r3")
+  }
+
   test("Trigger.AvailableNow drains the backlog, stops, and resumes from offsets") {
     val base = java.nio.file.Files.createTempDirectory("graft_availnow").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")

@@ -136,6 +136,10 @@ class TextDedupSpec extends SparkSpec {
     val f2 = Sketch.amsF2(keys, "k", depth = 4, width = 256)
       .as[Long].head()
     assert(f2 == 10L)
+    // odd depth reads the TRUE median row ((d-1)/2, 0-based), exact on
+    // the same collision-free multiset
+    assert(Sketch.amsF2(keys, "k", depth = 3, width = 256).as[Long].head() == 10L)
+    intercept[IllegalArgumentException] { Sketch.amsF2(keys, "k", 0, 256) }
   }
 
   test("count-min sketch: merge of shard sketches equals the whole-corpus sketch") {
