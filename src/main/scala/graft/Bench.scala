@@ -22,7 +22,11 @@ object Bench {
             val k = seen.updateWith(n)(c => Some(c.getOrElse(0) + 1)).get
             (if (k == 1) n else s"$n#$k") -> SparkEntry.queries(n)
           }
-        case None => SparkEntry.queries.toSeq
+        // name-sorted: Map iteration order reshuffles whenever the
+        // registry grows, silently re-assigning which family member
+        // pays a shared sketch's build — a fixed order keeps per-query
+        // history comparable across rounds
+        case None => SparkEntry.queries.toSeq.sortBy(_._1)
       }
     val spark = GraftSession.tuned(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
@@ -57,6 +61,24 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared-sketch prewarm, explicitly timed as its own line: the
+    // text-dedup family's bottom-level sketches are CacheManager-shared
+    // across ~8 queries, so after the warm-up cache clear their build
+    // cost used to land on whichever family member ran first (measured
+    // 10× per-query history jumps while family totals stayed flat).
+    // Pinning them here makes every family timing steady-state; the
+    // build cost still counts — in this labeled entry.
+    def prewarm(): Unit =
+      try graft.operators.Dedup.prewarmSharedSketches(
+          graft.sources.Tables.documents(spark, sfDir), "doc_id", "text")
+        .foreach(_._2.queryExecution.toRdd.count())
+      catch { case _: Throwable => () }
+    val sharedEntry: Seq[(String, Double)] =
+      if (only.isEmpty) {
+        val t0 = System.nanoTime()
+        prewarm()
+        Seq("_shared_sketches" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
     val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
     // Host CPU-steal bursts spike individual queries 5-10× over their
     // steady state (measured: same query 1.5s and 12.4s within one JVM,
@@ -68,12 +90,19 @@ object Bench {
     // FIRST-PASS timings of re-timed queries (the min of the two runs
     // is what lands in `queries`).
     val RetryOverSec = 5.0
-    val results = firstPass.map { case (name, t) =>
+    val results = (sharedEntry ++ firstPass.map { case (name, t) =>
       if (t > RetryOverSec) {
+        // clearCache keeps the retry honest (its OWN intermediates must
+        // rebuild from the scans) — but it also drops the pinned shared
+        // sketches, which are already accounted in _shared_sketches. Re-
+        // prewarm them UNTIMED before re-timing, or a family query's
+        // retry pays a sketch rebuild its steady state never sees and
+        // min(first, retry) can never beat a contended first pass.
         spark.catalog.clearCache()
+        if (only.isEmpty) prewarm()
         name -> math.min(t, timeOne(SparkEntry.queries(name.takeWhile(_ != '#'))))
       } else name -> t
-    }.toMap
+    }).toMap
     val retried = firstPass.filter(_._2 > RetryOverSec).map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmt(m: Iterable[(String, Double)]): String =
@@ -95,6 +124,7 @@ object Bench {
     // the total plus a fixed headline subset and stays well under the
     // buffer. Full timings live in the detail line / bench_detail.json.
     val headline = Seq(
+      "_shared_sketches",
       "rel_pricing_summary", "rel_nation_volume", "rel_top_lineitems",
       "rel_cube_sales", "rel_salted_join", "rel_window_rank",
       "band_file_means", "band_stats", "composite_pivot",

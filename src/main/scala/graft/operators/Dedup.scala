@@ -118,6 +118,20 @@ object Dedup {
       explode(array_distinct(TextOps.wordShingles(col(textCol), shingleN)))
         .as("shingle")))
 
+  /** The text-dedup family's bottom-level shared sketches (shingle set,
+    * MinHash signatures, SimHash sketch) at the registry-default
+    * parameters, PINNED against PlanCache eviction. Benchmarks
+    * materialize these as one explicitly-timed line so the build cost
+    * stops landing on whichever family query happens to run first —
+    * per-query timings then measure each operator's own work.
+    * CacheManager's sameResult dedup makes every later same-plan build
+    * hit the pinned cache; [[PlanCache.releaseAll]] releases the pins. */
+  def prewarmSharedSketches(df: DataFrame, idCol: String,
+                            textCol: String): Seq[(String, DataFrame)] = Seq(
+    "shingle_set"  -> PlanCache.pin(shingleSet(df, idCol, textCol, 3)),
+    "minhash_sigs" -> PlanCache.pin(minHashSignatures(df, idCol, textCol, 3, 12)),
+    "simhash"      -> PlanCache.pin(simHashSketch(df, idCol, textCol)))
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = 1000): DataFrame = {
@@ -228,10 +242,16 @@ object Dedup {
     * each value, while value-level banding is bounded by the space size.
     * Doc pairs are recovered by joining the value-pair table back to the
     * (small) doc→value map on each side. */
+  /** The (id, simhash) sketch — [[simHashPairs]]' shared base, built
+    * through ONE helper so prewarm and query produce the same plan. */
+  private def simHashSketch(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    reused(graft.sources.Tables.spread(df)
+      .select(col(idCol), TextOps.simHash(col(textCol)).as("sh")))
+
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sketched = reused(graft.sources.Tables.spread(df)
-      .select(col(idCol), TextOps.simHash(col(textCol)).as("sh")))
+    val sketched = simHashSketch(df, idCol, textCol)
     val values = sketched.select(col("sh")).distinct()
     val banded = values.select(col("sh"),
       explode(array((0 until 4).map(b =>

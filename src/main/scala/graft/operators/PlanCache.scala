@@ -41,9 +41,28 @@ private[graft] object PlanCache {
     }
   }
 
+  private val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Exempt a [[reuse]]d frame from LRU eviction until [[releaseAll]]:
+    * a prewarmed shared sketch must outlive the ~10 reuse() calls of
+    * every intervening query, or the family member that needs it later
+    * silently rebuilds it inside its own timing (the bench-attribution
+    * noise this exists to pin). Pin the EXACT instance reuse() returned
+    * — a same-plan copy is recognized via its CacheManager storage level
+    * and left untracked. */
+  def pin(df: DataFrame): DataFrame = synchronized {
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.dequeueFirst(_ eq df)
+    if (!pinned.exists(_ eq df)) pinned += df
+    df
+  }
+
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
   }
 
   /** Tracked-entry count (spec observability). */
