@@ -49,6 +49,7 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_weighted_sample",   // total-weight 1-row broadcast
     "text_lang_confusion",    // total-count scalar share
     "sim_recall_eval", "sim_ivf_recall", "sim_ivfpq_recall", // k scalars
+    "sim_multiprobe_recall",  // same brute-force ground-truth side
     "sim_topk_ivf", "sim_topk_ivfpq", // nprobe centroid few-row sides
     "sim_topk_ivf_trained",   // k-means centroid broadcasts (c=8 rows)
     "sim_ivf_trained_recall", // same chain + 1-row truth scalars
