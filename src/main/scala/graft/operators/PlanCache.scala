@@ -28,7 +28,13 @@ import org.apache.spark.storage.StorageLevel
   * holds already-unpersisted frames, for which `unpersist` is a no-op.
   */
 private[graft] object PlanCache {
-  private val MaxLive = 16
+  // 48: large enough that a family's shared frames survive the ~40
+  // alphabetically-interleaved queries between builders and reusers in
+  // a full-registry run (measured: pipe_dedup_keep re-paying the whole
+  // jaccard chain its sibling built 40 queries earlier at MaxLive=16).
+  // MEMORY_AND_DISK spills under pressure, so the cap guards tracking
+  // overhead, not correctness.
+  private[graft] val MaxLive = 48
   private val live = scala.collection.mutable.Queue.empty[DataFrame]
 
   def reuse(df: DataFrame): DataFrame = synchronized {

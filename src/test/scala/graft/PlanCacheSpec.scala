@@ -10,14 +10,28 @@ class PlanCacheSpec extends SparkSpec {
 
   test("live persists are bounded: oldest unpersists past the cap") {
     PlanCache.releaseAll()
-    val frames = (0 until 20).map(i => spark.range(i, i + 100).toDF())
+    val frames = (0 until PlanCache.MaxLive + 4)
+      .map(i => spark.range(i, i + 100).toDF())
     frames.foreach(PlanCache.reuse)
-    assert(PlanCache.liveCount <= 16, s"cap breached: ${PlanCache.liveCount}")
+    assert(PlanCache.liveCount <= PlanCache.MaxLive,
+      s"cap breached: ${PlanCache.liveCount}")
     // the first-inserted frames were evicted, the newest are still live
     assert(frames.head.storageLevel == StorageLevel.NONE,
       "oldest entry must have been unpersisted (FIFO)")
     assert(frames.last.storageLevel != StorageLevel.NONE,
       "newest entry must still be persisted")
+  }
+
+  test("pinned frames are exempt from eviction until releaseAll") {
+    PlanCache.releaseAll()
+    val pinned = PlanCache.pin(PlanCache.reuse(spark.range(9000, 9100).toDF()))
+    (0 until PlanCache.MaxLive + 4)
+      .foreach(i => PlanCache.reuse(spark.range(i, i + 100).toDF()))
+    assert(pinned.storageLevel != StorageLevel.NONE,
+      "pin must survive a full LRU churn")
+    PlanCache.releaseAll()
+    assert(pinned.storageLevel == StorageLevel.NONE,
+      "releaseAll must release pins too")
   }
 
   test("reuse is idempotent on already-cached plans") {
