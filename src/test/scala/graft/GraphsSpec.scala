@@ -129,6 +129,26 @@ class GraphsSpec extends SparkSpec {
     assert(star === minLabel)
   }
 
+  test("ccStar SQL fallback (non-integral ids) matches the RDD fast path") {
+    import org.apache.spark.sql.functions.{col, format_string}
+    // string ids route to the join-based SQL loop (the giant-component-
+    // safe fallback) — same contraction, same labels. Zero-padded so the
+    // string MIN coincides with the numeric component minimum.
+    val longPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L),
+                        (20L, 21L), (21L, 22L), (22L, 20L),
+                        (5L, 3L), (30L, 31L)).toDF("a", "b")
+    val viaRdd = Graphs.ccStar(longPairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+      .map { p: (Long, Long) => (f"${p._1}%04d", f"${p._2}%04d") }
+    val strPairs = longPairs.select(
+      format_string("%04d", col("a")).as("a"),
+      format_string("%04d", col("b")).as("b"))
+    val viaSql = Graphs.ccStar(strPairs, "a", "b")
+      .as[(String, String)].collect().toSet
+    assert(viaSql === viaRdd)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("degenerate inputs: empty edge lists yield empty results, no throw") {
     import org.apache.spark.sql.functions.col
     val none = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
