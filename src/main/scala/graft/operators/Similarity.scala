@@ -252,6 +252,40 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public): cluster embeddings
+    * with a coarse quantizer, call two documents semantic duplicates
+    * when they share a cell AND their cosine exceeds `minCosine`, and
+    * keep per near-dup group the representative with the smallest id.
+    * "Smallest id" here is the LOCAL-MINIMUM rule — a vector is dropped
+    * iff SOME smaller-id in-cell neighbor is a near-dup — which is the
+    * standard greedy SemDeDup selection, deterministic, and (unlike a
+    * full transitive closure) closed-form replayable in one SQL EXISTS.
+    *
+    * Scale shape: the pair join is cell-blocked (the whole point of the
+    * clustering step — within-cell pairs only, never all-pairs), one
+    * shuffle on the cell key; the discard set is a distinct id list
+    * joined back in one more shuffle. `cells` is a (id, vec, cellCol)
+    * frame — [[kmeansCells]] output for unlabeled corpora (its training
+    * is PlanCache-shared with the trained-IVF serving path, so dedup
+    * and ANN pay for ONE quantizer). */
+  def semanticDedup(cells: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, minCosine: Double): DataFrame = {
+    val base = PlanCache.reuse(
+      cells.select(col(idCol), col(vecCol), col(cellCol).as("cell")))
+    val dups = base.select(col("cell"), col(idCol).as("vec_a"),
+                           col(vecCol).as("va"))
+      .join(base.select(col("cell"), col(idCol).as("vec_b"),
+                        col(vecCol).as("vb")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= minCosine)
+      .select(col("vec_b").as(idCol)).distinct()
+    base.join(dups.withColumn("dup", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+              when(col("dup").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
   /** LSH-blocked near-dup pairs: same deterministic bucketing as
     * [[lshTopK]], pairs within a bucket above the cosine threshold.
     * The 100 TB form of [[cosineNearDupPairs]] (blocking instead of the

@@ -305,6 +305,19 @@ object VectorQueries {
     recallAgainstTruth(s, dir, simTopKIvfTrained(s, dir), 3)
   }
 
+  /** Semantic dedup over the TRAINED cells (SemDeDup: cell-blocked
+    * cosine near-dups, keep the local-minimum representative). Reuses
+    * the exact kmeansCells training of [[simTopKIvfTrained]] — the
+    * quantizer is paid once for serving AND dedup (PlanCache sameResult
+    * sharing); threshold matches the other near-dup rows (0.4). */
+  def simSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Similarity.semanticDedup(
+      Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id", "embedding",
+                             KmC, KmIters),
+      "vec_id", "embedding", "cell", 0.4)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_eval"   -> (simRecallEval _),
     "sim_ivf_recall"    -> (simIvfRecall _),
@@ -324,6 +337,7 @@ object VectorQueries {
     "sim_neardup_lsh"   -> (simNearDupLsh _),
     "sim_topk_ivf_trained"   -> (simTopKIvfTrained _),
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
+    "sim_semantic_dedup"     -> (simSemanticDedup _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -451,7 +465,10 @@ object VectorQueries {
     * sim_topk_ivf_trained and sim_ivf_trained_recall. Chain: md5-ranked
     * seed centroids → KmIters × (assign, median update) → final
     * assignment → probe/score exactly like the label-cell IVF oracle. */
-  private val kmScoredCte: String =
+  /** Replayed k-means training up to the FINAL assignment
+    * `kfinal(vec_id, embedding, nrm, cell)` — shared prefix of the
+    * trained-IVF chain and the semantic-dedup oracle. */
+  private val kmTrainedCte: String =
     s"""kme AS (
        |  SELECT vec_id, embedding,
        |    ${sqlDot("embedding", "embedding")} AS nrm
@@ -462,7 +479,10 @@ object VectorQueries {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell
        |    FROM kme) WHERE cell <= $KmC),
        |$kmRoundCtes,
-       |${kmAssignCte("kfinal", s"kcent$KmIters")},
+       |${kmAssignCte("kfinal", s"kcent$KmIters")}""".stripMargin
+
+  private val kmScoredCte: String =
+    s"""$kmTrainedCte,
        |${kmCentroidCtes("kfinal", "tkc", "tcent")},
        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
        |      FROM kme WHERE $QueryPredSql),
@@ -609,6 +629,24 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+    // Semantic dedup: replayed training → within-cell cosine pairs
+    // (a < b) ≥ 0.4 → drop any vector with a smaller near-dup neighbor
+    // (local-minimum keep rule — closed-form, no recursive closure).
+    // Cosines read hoisted kfinal norms; cell CAST matches Spark's
+    // row_number INT.
+    "sim_semantic_dedup" ->
+      s"""WITH $kmTrainedCte,
+         |sd_pairs AS (
+         |  SELECT b.vec_id AS dup_id
+         |  FROM kfinal a JOIN kfinal b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosN(sqlDot("a.embedding", "b.embedding"),
+                            "a.nrm", "b.nrm")} >= 0.4)
+         |SELECT k.vec_id, CAST(k.cell AS INTEGER) AS cell,
+         |  CAST(CASE WHEN EXISTS (
+         |    SELECT 1 FROM sd_pairs p WHERE p.dup_id = k.vec_id)
+         |    THEN 0 ELSE 1 END AS BIGINT) AS keep
+         |FROM kfinal k""".stripMargin,
     "sim_ivf_trained_recall" ->
       s"""WITH $kmScoredCte,
          |approx AS (

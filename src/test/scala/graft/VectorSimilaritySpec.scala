@@ -121,6 +121,27 @@ class VectorSimilaritySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("semanticDedup: cell-blocked near-dups, local-minimum keep rule") {
+    // cell 1 holds a near-dup chain a~b~c with a≁c (threshold 0.9):
+    // the greedy rule keeps ONLY a — b drops for a, c drops for b even
+    // though c is not a's near-dup. cell 2 is isolated (always kept).
+    val cells = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.924f, 0.383f, 0.0f), 1),   // cos(1,2)≈0.924
+      (3L, Array(0.707f, 0.707f, 0.0f), 1),   // cos(2,3)≈0.924, cos(1,3)≈0.707
+      (4L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "cell")
+    val keep = Similarity.semanticDedup(cells, "vec_id", "embedding", "cell", 0.9)
+      .select($"vec_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(keep == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // same vectors, separate cells → no pair crosses a cell boundary
+    val split = Similarity.semanticDedup(
+      cells.withColumn("cell", $"vec_id".cast("int")),
+      "vec_id", "embedding", "cell", 0.9)
+      .select($"vec_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(split.values.forall(_ == 1L), "cell blocking must gate the pair join")
+  }
+
   test("probeMasks: exact Hamming-ball enumeration") {
     val m0 = Similarity.probeMasks(8, 0)
     assert(m0 == Seq(0), "flips=0 is just the identity probe")
