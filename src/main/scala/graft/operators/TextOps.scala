@@ -162,4 +162,46 @@ object TextOps {
 
   /** Hamming distance between two SimHash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------------- unigram LM scoring
+
+  /** CCNet-style corpus-LM fluency score: per-document mean negative
+    * log-probability under a Laplace-smoothed unigram model trained on
+    * the corpus itself (p(w) = (c_w + 1) / (T + V)). Low NLL = built
+    * from common tokens; the classic head/middle/tail quality-filter
+    * signal for pretraining corpora.
+    *
+    * Scale shape (100 TB): the token explode + vocab count is ONE
+    * shuffle with map-side combine; the token→log-prob join broadcasts
+    * the vocab table (vocab is ~10⁵-10⁷ rows regardless of corpus
+    * size); the per-doc aggregate is one shuffle on the doc key. No
+    * driver-side state.
+    *
+    * Cross-engine determinism: a sum of per-token ln() doubles is
+    * ordering-dependent, so each vocab word's log-prob numerator is
+    * quantized ONCE to a 1e-6-grid integer (`round(ln(c+1)*1e6)` as
+    * BIGINT) and the per-doc sum runs over exact integers — invariant
+    * under partitioning and identical in DuckDB. The two remaining
+    * transcendental spots (per-word ln, corpus-constant ln(T+V)) follow
+    * the sanctioned round-6 quantization (CLAUDE.md).
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = PlanCache.reuse(
+      df.select(col(idCol), explode(tokenize(col(textCol))).as("w")))
+    val vc = PlanCache.reuse(
+      tok.groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val tot = vc.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val lp = vc.select(col("w"),
+      round(log((col("c") + lit(1)).cast("double")) * lit(1e6))
+        .cast("long").as("lp6"))
+    tok.join(lp, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s6"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_tokens"),
+        round(round(log((col("t") + col("v")).cast("double")), 6) -
+          (col("s6").cast("double") / lit(1e6)) / col("n_tokens"), 6)
+          .as("nll"))
+  }
 }

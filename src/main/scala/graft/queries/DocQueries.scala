@@ -60,6 +60,12 @@ object DocQueries {
       TextOps.qualityScore(t).as("quality_score"))
   }
 
+  /** Corpus-LM fluency scoring (see [[TextOps.unigramNll]]): per-doc
+    * mean NLL under a Laplace unigram model trained on the corpus. */
+  def textUnigramNll(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramNll(
+      Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
+
   /** Language ID vs the labeled `lang` column. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -717,6 +723,7 @@ object DocQueries {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
     "text_bigram_coverage" -> (textBigramCoverage _),
+    "text_unigram_nll"    -> (textUnigramNll _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1179,6 +1186,23 @@ object DocQueries {
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |GROUP BY word""".stripMargin,
+    "text_unigram_nll" ->
+      // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
+      // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only
+      // float reduction is over exact integers (order-independent); the
+      // two ln() call sites carry the sanctioned round-6 quantization
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM vc),
+         |lp AS (SELECT w, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp6
+         |       FROM vc),
+         |d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |        CAST(SUM(lp6) AS BIGINT) AS s6
+         |      FROM tok JOIN lp USING (w) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(round(ln(CAST(t + v AS DOUBLE)), 6)
+         |        - (CAST(s6 AS DOUBLE) / 1000000.0) / n_tokens, 6) AS nll
+         |FROM d, tot""".stripMargin,
     "doc_tfidf_top_terms" -> {
       // ROUND(...,6) mirrors the Spark quantization — ln() is 1-ulp
       // engine-dependent (see docTfIdfTopTerms scaladoc)

@@ -231,4 +231,24 @@ class TextDedupSpec extends SparkSpec {
       assert(fast == brute, s"prefix-filter result differs at t=$t")
     }
   }
+
+  test("unigram NLL: Laplace model values + partitioning invariance") {
+    // corpus: a:2, b:2, c:1 → T=5, V=3, T+V=8
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def lp6(c: Long): Long = math.round(math.log((c + 1).toDouble) * 1e6)
+    val lnTV = round6(math.log(8.0))
+    val expect = Map(
+      1L -> (3L, round6(lnTV - (lp6(2) + lp6(2) + lp6(2)).toDouble / 1e6 / 3)),
+      2L -> (2L, round6(lnTV - (lp6(2) + lp6(1)).toDouble / 1e6 / 2)))
+    val got = TextOps.unigramNll(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect)
+    // the per-word integer-grid quantization makes the per-doc reduction
+    // exact — the score must be bit-identical at any parallelism
+    val re = TextOps.unigramNll(corpus.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(re == expect)
+  }
 }
