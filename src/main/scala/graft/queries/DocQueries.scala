@@ -46,6 +46,39 @@ object DocQueries {
     s"CAST(${bits.mkString(" + ")} AS INTEGER)"
   }
 
+  /** DuckDB twin of [[TextOps.bpeMerges]], unrolled for a FIXED step
+    * count: each round k is three chained CTEs — adjacent-pair counts
+    * over w(k-1), a 1-row argmax m(k) (same count-desc/pair-asc
+    * tie-break as the Spark TakeOrdered), and w(k) applying the merge
+    * via scalar-subquery `replace`. DuckDB's `replace` shares Spark's
+    * single-pass non-overlapping left-to-right semantics, so the
+    * rewritten symbol strings are byte-identical across engines. All
+    * compared columns are integers/strings — no float canonicalization
+    * needed. */
+  private def bpeMergesSql(steps: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+         |    list_transform(range(1, len(word) + 1), i_ -> word[i_:i_]), ' ') || ' ' AS seq,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($wordsSql) AS word FROM documents) GROUP BY 1)""".stripMargin
+    val rounds = (1 to steps).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)), i_ -> s[i_])) AS a,
+         |           unnest(list_transform(range(1, len(s)), i_ -> s[i_ + 1])) AS b, cnt
+         |    FROM (SELECT string_split(trim(seq), ' ') AS s, cnt FROM w${k - 1}) t_)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, c FROM p$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(seq,
+         |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+         |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS seq, cnt FROM w${k - 1})""".stripMargin
+    }
+    val emit = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, c AS pair_count FROM m$k""".stripMargin
+    }
+    s"WITH $w0,\n${rounds.mkString(",\n")}\n${emit.mkString("\nUNION ALL\n")}"
+  }
+
   // ------------------------------------------------------------- queries
 
   /** Token counting + quality scoring per document. */
@@ -65,6 +98,17 @@ object DocQueries {
   def textUnigramNll(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramNll(
       Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** BPE merge-table training steps run by [[textBpeMerges]] — the same
+    * constant parameterizes the generated DuckDB oracle so the two
+    * sides cannot drift. */
+  val BpeSteps = 10
+
+  /** Iterative BPE tokenizer training (see [[TextOps.bpeMerges]]): the
+    * learned merge table after [[BpeSteps]] rounds. */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMerges(Tables.spread(Tables.documents(s, dir)), "text",
+                      BpeSteps)
 
   /** Language ID vs the labeled `lang` column. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -724,6 +768,7 @@ object DocQueries {
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
     "text_bigram_coverage" -> (textBigramCoverage _),
     "text_unigram_nll"    -> (textUnigramNll _),
+    "text_bpe_merges"     -> (textBpeMerges _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1186,6 +1231,7 @@ object DocQueries {
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |GROUP BY word""".stripMargin,
+    "text_bpe_merges" -> bpeMergesSql(BpeSteps),
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

@@ -60,6 +60,7 @@ class PlanGuardSpec extends SparkSpec {
     "evt_daily_gapfill",      // day-spine literal
     "evt_value_deciles",      // percentile-cutpoint 1-row broadcast
     "rel_idle_customers",     // Q22 avg-acctbal scalar subquery
+    "text_unigram_nll",       // 1-row (T, V) corpus-totals broadcast
     "rel_cross_matrix",       // DELIBERATE cross join (contingency table
                               //   with zero cells — the §2.3 cross-join row)
     "sim_topk_brute",         // labeled all-pairs correctness baseline

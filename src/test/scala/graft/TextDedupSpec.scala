@@ -251,4 +251,51 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(re == expect)
   }
+
+  test("BPE merges: match an independent in-JVM trainer; max count monotone") {
+    val corpus = Seq(
+      (1L, "low low lower lowest new newer"),
+      (2L, "wide wider widest new new lowest")).toDF("doc_id", "text")
+
+    // reference trainer sharing the engine's replace rule (single-pass
+    // non-overlapping literal replace = java.lang.String.replace)
+    def train(words: Seq[String], steps: Int): Seq[(Long, String, String, String, Long)] = {
+      var wf: Map[String, Long] = words.groupBy(identity).map { case (w, g) =>
+        (" " + w.toCharArray.map(_ + " ").mkString, g.size.toLong)
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var k = 1
+      var stop = false
+      while (k <= steps && !stop) {
+        val pairs = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        wf.foreach { case (seq, cnt) =>
+          val s = seq.trim.split(" ", -1)
+          if (s.length > 1)
+            for (i <- 0 until s.length - 1) pairs((s(i), s(i + 1))) += cnt
+        }
+        if (pairs.isEmpty) stop = true
+        else {
+          val ((a, b), c) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((k.toLong, a, b, a + b, c))
+          wf = wf.groupMapReduce(_._1.replace(s" $a $b ", s" $a$b "))(_._2)(_ + _)
+          k += 1
+        }
+      }
+      out.toSeq
+    }
+
+    val words = corpus.select(explode(split($"text", " ")).as("w"))
+      .as[String].collect().toSeq
+    val expect = train(words, 6)
+    val got = TextOps.bpeMerges(corpus, "text", 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expect)
+    // merging the argmax pair can only shrink existing pair counts, and a
+    // created pair inherits at most the merged pair's count — the selected
+    // count sequence is non-increasing
+    val counts = got.map(_._5)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
 }
