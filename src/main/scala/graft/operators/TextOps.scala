@@ -275,4 +275,38 @@ object TextOps {
     import session.implicits._
     out.toSeq.toDF("step", "left_sym", "right_sym", "merged", "pair_count")
   }
+
+  /** BPE ENCODE pass — the corpus-scale half of the tokenizer. Applies
+    * an already-learned merge list (ordered) and reports corpus-level
+    * token statistics: distinct words, word occurrences, chars (=
+    * char-level tokens before any merge), post-merge tokens, and the
+    * tokens-per-1000-chars compression ratio.
+    *
+    * Scale shape (100 TB): encoding dictionary-encodes first — the
+    * merge fold runs once per DISTINCT word (vocab-bound), weighted by
+    * the word count, never once per corpus token. The merge list rides
+    * into the plan as literals (a broadcast-free constant fold); the
+    * whole pass is the word-count shuffle plus a map-side fold. All
+    * output columns are integers — no float canonicalization.
+    */
+  def bpeEncodeStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val wf = df.select(explode(tokenize(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val seq0 = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    val seqK = merges.foldLeft(seq0) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val t = trim(seqK)
+    wf.select(col("cnt"),
+        size(split(t, " ")).cast("long").as("ntok"),
+        length(replace(t, lit(" "), lit(""))).cast("long").as("nch"))
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("cnt")).as("n_word_occurrences"),
+        sum(col("cnt") * col("nch")).as("n_chars"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"))
+      .withColumn("compression_permille",
+        expr("n_tokens * 1000 DIV n_chars"))
+  }
 }

@@ -55,7 +55,7 @@ object DocQueries {
     * rewritten symbol strings are byte-identical across engines. All
     * compared columns are integers/strings — no float canonicalization
     * needed. */
-  private def bpeMergesSql(steps: Int): String = {
+  private def bpeChainSql(steps: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
          |    list_transform(range(1, len(word) + 1), i_ -> word[i_:i_]), ' ') || ' ' AS seq,
@@ -72,12 +72,30 @@ object DocQueries {
          |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
          |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS seq, cnt FROM w${k - 1})""".stripMargin
     }
+    s"WITH $w0,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeMergesSql(steps: Int): String = {
     val emit = (1 to steps).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
          |  a || b AS merged, c AS pair_count FROM m$k""".stripMargin
     }
-    s"WITH $w0,\n${rounds.mkString(",\n")}\n${emit.mkString("\nUNION ALL\n")}"
+    s"${bpeChainSql(steps)}\n${emit.mkString("\nUNION ALL\n")}"
   }
+
+  /** Encode-side twin: the oracle re-derives the merge table through the
+    * same chain (no constants smuggled across), then measures the
+    * encoded corpus off the final w(steps) symbol strings. */
+  private def bpeEncodeSql(steps: Int): String =
+    s"""${bpeChainSql(steps)}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       |  CAST(SUM(cnt * len(replace(trim(seq), ' ', ''))) AS BIGINT) AS n_chars,
+       |  CAST(SUM(cnt * len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(cnt * len(string_split(trim(seq), ' '))) AS BIGINT) * 1000
+       |    // CAST(SUM(cnt * len(replace(trim(seq), ' ', ''))) AS BIGINT)
+       |    AS compression_permille
+       |FROM w$steps""".stripMargin
 
   // ------------------------------------------------------------- queries
 
@@ -109,6 +127,19 @@ object DocQueries {
   def textBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeMerges(Tables.spread(Tables.documents(s, dir)), "text",
                       BpeSteps)
+
+  /** Tokenizer train→apply: learn [[BpeSteps]] merges, then encode the
+    * corpus with them (see [[TextOps.bpeEncodeStats]]). The merge list
+    * crosses to the encode plan as driver literals — the same shape as
+    * shipping a trained tokenizer to a 1000-executor encode job. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
+      .orderBy(col("step"))
+      .select(col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextOps.bpeEncodeStats(docs, "text", merges)
+  }
 
   /** Language ID vs the labeled `lang` column. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -769,6 +800,7 @@ object DocQueries {
     "text_bigram_coverage" -> (textBigramCoverage _),
     "text_unigram_nll"    -> (textUnigramNll _),
     "text_bpe_merges"     -> (textBpeMerges _),
+    "text_bpe_encode"     -> (textBpeEncode _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1232,6 +1264,7 @@ object DocQueries {
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |GROUP BY word""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(BpeSteps),
+    "text_bpe_encode" -> bpeEncodeSql(BpeSteps),
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

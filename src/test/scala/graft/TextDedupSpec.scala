@@ -297,5 +297,25 @@ class TextDedupSpec extends SparkSpec {
     // count sequence is non-increasing
     val counts = got.map(_._5)
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+
+    // encode pass: zero merges → every char is a token (ratio exactly
+    // 1000‰); the trained merges strictly compress this corpus
+    val zero = TextOps.bpeEncodeStats(corpus, "text", Seq.empty)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(zero._3 == zero._4 && zero._5 == 1000L)
+    val enc = TextOps.bpeEncodeStats(corpus, "text",
+        expect.map(m => (m._2, m._3)))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(enc._1 == zero._1 && enc._2 == zero._2 && enc._3 == zero._3)
+    assert(enc._4 < enc._3 && enc._5 < 1000L)
+    // and the token total matches the reference trainer's final state:
+    // sum over words of cnt × post-merge symbol count
+    val refWf0: Map[String, Long] = words.groupBy(identity).map { case (w, g) =>
+      (" " + w.toCharArray.map(_ + " ").mkString, g.size.toLong) }
+    val refWfK = expect.foldLeft(refWf0) { case (m, (_, a, b, _, _)) =>
+      m.groupMapReduce(_._1.replace(s" $a $b ", s" $a$b "))(_._2)(_ + _) }
+    val refTokens = refWfK.map { case (seq, cnt) =>
+      cnt * seq.trim.split(" ", -1).length }.sum
+    assert(enc._4 == refTokens)
   }
 }
