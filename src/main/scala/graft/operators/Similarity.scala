@@ -438,4 +438,26 @@ object Similarity {
     Relational.topKPerGroup(adc, Seq("query_id"),
       Seq(col("adc").asc, col("neighbor_id").asc), k, "rank")
   }
+
+  // --------------------------------------------------------- mean pooling
+
+  /** Chunk→group mean pooling: per-dimension mean vector of each group —
+    * how a pipeline turns chunk/passage embeddings into document- or
+    * class-level vectors before ANN.
+    *
+    * A cross-row float mean is summation-order dependent, so each
+    * element is quantized ONCE to a 1e-7 integer grid (below float32's
+    * own resolution for |x| ≤ 1) and the group reduction sums exact
+    * integers — deterministic at any parallelism and replayable by the
+    * oracle. One (group, dim) shuffle with map-side combine.
+    *
+    * Output: (groupCol, dim [1-based], n_vecs, pooled). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(groupCol), (col("pos") + 1).as("dim"),
+        round(col("x").cast("double") * lit(1e7)).cast("long").as("q"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+      .select(col(groupCol), col("dim"), col("n_vecs"),
+        (col("sq").cast("double") / lit(1e7) / col("n_vecs")).as("pooled"))
 }

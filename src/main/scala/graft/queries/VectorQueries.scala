@@ -153,6 +153,12 @@ object VectorQueries {
            min(col("l2")).as("min_norm"), max(col("l2")).as("max_norm"))
   }
 
+  /** Chunk→group mean-pooled embeddings per label (see
+    * [[Similarity.meanPool]] for the quantized-grid determinism
+    * design). */
+  def simMeanPool(s: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -324,6 +330,7 @@ object VectorQueries {
     "sim_vector_stats"  -> (simVectorStats _),
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
+    "sim_mean_pool"     -> (simMeanPool _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -726,6 +733,13 @@ object VectorQueries {
          |CAST(MAX(code) AS INTEGER) AS max_code,
          |MAX(abs_err_bucket) AS max_err_millis
          |FROM recon GROUP BY dim""".stripMargin,
+    "sim_mean_pool" ->
+      s"""SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |CAST(CAST(SUM(CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000)
+         |  AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000000.0 / COUNT(*) AS pooled
+         |FROM embeddings
+         |CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim)
+         |GROUP BY label, dim""".stripMargin,
     "sim_dim_minmax" ->
       s"""SELECT dim, COUNT(*) AS n,
          |MIN(CAST(embedding[dim] AS DOUBLE)) AS min_x,

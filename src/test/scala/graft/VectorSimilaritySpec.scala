@@ -184,4 +184,20 @@ class VectorSimilaritySpec extends SparkSpec {
       qids.map(q => s"$q:${rSingle(q)}->${rMp2(q)}").mkString(", "))
     assert(qids.toSeq.map(rMp2).sum >= qids.toSeq.map(rSingle).sum)
   }
+
+  test("mean pooling: exact grid means, 1-based dims, partition invariance") {
+    val groups = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f)),
+      (2, Array(-1.5f, 0.5f))).toDF("label", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(df, "label", "embedding")
+        .as[(Int, Int, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val got = run(groups)
+    // exact grid values: all inputs are on the 1e-7 grid already
+    assert(got == Map(
+      (1, 1) -> ((2L, 2.0)), (1, 2) -> ((2L, 3.0)),
+      (2, 1) -> ((1L, -1.5)), (2, 2) -> ((1L, 0.5))))
+    assert(run(groups.repartition(5)) == got)
+  }
 }
