@@ -205,6 +205,25 @@ object TextOps {
           .as("nll"))
   }
 
+  /** The trained model behind [[unigramNll]], exportable to the online
+    * scorer (`streaming.StreamOps.scoreStream`): the vocab log-prob
+    * table `(w, lp6)` on the same 1e-6 integer grid, plus the 1-row
+    * `(t, v)` totals frame the scorer folds into its ln(T+V) constant.
+    * Train in batch, ship the table — the scorer never sees the
+    * training corpus. */
+  def unigramModel(df: org.apache.spark.sql.DataFrame,
+                   textCol: String): (org.apache.spark.sql.DataFrame,
+                                      org.apache.spark.sql.DataFrame) = {
+    val vc = PlanCache.reuse(
+      df.select(explode(tokenize(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val tot = vc.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val lp = vc.select(col("w"),
+      round(log((col("c") + lit(1)).cast("double")) * lit(1e6))
+        .cast("long").as("lp6"))
+    (lp, tot)
+  }
+
   // ------------------------------------------------------- BPE training
 
   /** Byte-pair-encoding merge training over the corpus — the real

@@ -100,6 +100,26 @@ object StreamOps {
                    keyCol: String): DataFrame =
     events.join(broadcast(dim), Seq(keyCol), "left_outer")
 
+  /** Online corpus-LM scoring: a batch-trained unigram model
+    * (`TextOps.unigramModel` vocab table + the pre-rounded ln(T+V)
+    * scalar) applied to a document stream. The stream side explodes
+    * tokens and joins the BROADCAST static vocab; the per-doc aggregate
+    * is unwindowed keyed state — one row per in-flight doc. Same
+    * integer-grid arithmetic as the batch scorer, so on a shared corpus
+    * the streamed scores are bit-identical to `TextOps.unigramNll`
+    * (spec-pinned). Tokens outside the training vocab are dropped by
+    * the inner join — the standard closed-vocab convention; widen with
+    * a left join + OOV smoothing constant if the stream drifts. */
+  def scoreStream(docs: DataFrame, lp: DataFrame, lnTV6: Double): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(lp), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(lnTV6) -
+          (col("s6").cast("double") / lit(1e6)) / col("n_tokens"), 6)
+          .as("nll"))
+
   /** Running per-key totals in update mode: an unwindowed streaming
     * aggregate whose state is one row per key — bounded by key
     * cardinality (event types here), not by stream length. Exposes the

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.Sketch
+import graft.operators.{Sketch, TextOps}
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{SessionOut, StreamEvent}
 
@@ -58,6 +58,25 @@ class StreamingSpec extends SparkSpec {
     val batch = Sketch.cmsBuild(
         rows.toDF().select($"event_type".as("tok")), "tok", 4, 64)
       .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("online unigram-LM scoring equals batch NLL (trained artifact shipped)") {
+    implicit val sq = spark.sqlContext
+    val docRows = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c c b"))
+    val static = docRows.toDF("doc_id", "text")
+    val (lp, tot) = TextOps.unigramModel(static, "text")
+    val (t, v) = tot.as[(Long, Long)].head()
+    val lnTV6 = BigDecimal(math.log((t + v).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docRows: _*)
+    val q = StreamOps.scoreStream(mem.toDF().toDF("doc_id", "text"), lp, lnTV6)
+      .writeStream.format("memory").queryName("lm_scores")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lm_scores").collect().toSet
+    val batch = TextOps.unigramNll(static, "doc_id", "text").collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
 
