@@ -460,4 +460,55 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
       .select(col(groupCol), col("dim"), col("n_vecs"),
         (col("sq").cast("double") / lit(1e7) / col("n_vecs")).as("pooled"))
+
+  /** Nearest-centroid assignment eval: every vector is assigned to the
+    * label whose mean embedding it is most cosine-similar to, and the
+    * result is the label × predicted-label confusion — the standard
+    * "are these clusters separable" probe of embedding quality.
+    *
+    * Exactness design: cosine is scale-invariant, so centroids are SUM
+    * vectors (never divided by the member count) — built from the same
+    * 1e-7 integer grid as [[meanPool]], every cross-row reduction is an
+    * exact integer/decimal sum, and the only doubles are the final
+    * dot/√(n·n) on bit-identical inputs. Dot terms reach qv·sc ≈ 1e18
+    * per element, so the dot/centroid-norm sums run in DECIMAL(38,0)
+    * (Spark) ≡ HUGEINT (DuckDB), exported through the VARCHAR-routed
+    * double cast (Canon.sqlToDouble parity).
+    *
+    * Scale shape: the centroid table is (labels × dims) — broadcast
+    * regardless of corpus size; the element×centroid join fans out
+    * ONLY by the label count, and the (vec, cand) partial sums combine
+    * map-side. Ties (incl. zero vectors, cos=0 everywhere) break to
+    * the smallest label on both engines. */
+  def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = PlanCache.reuse(
+      df.select(col(idCol), col(labelCol),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(col(idCol), col(labelCol), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double") * lit(1e7)).cast("long").as("qv")))
+    val cent = q.groupBy(col(labelCol).as("cand"), col("dim"))
+      .agg(sum(col("qv")).as("sc"))
+    val cnorm = cent.groupBy(col("cand"))
+      .agg(sum(col("sc").cast(dec38) * col("sc")).as("nc2d"))
+      .select(col("cand"), col("nc2d").cast("double").as("nc2"))
+    val vnorm = q.groupBy(col(idCol))
+      .agg(sum(col("qv") * col("qv")).as("nv2"))
+    val dots = q.join(broadcast(cent), Seq("dim"))
+      .groupBy(col(idCol), col(labelCol), col("cand"))
+      .agg(sum(col("qv").cast(dec38) * col("sc")).as("dotd"))
+      .select(col(idCol), col(labelCol), col("cand"),
+        col("dotd").cast("double").as("dot"))
+    val cos = dots.join(broadcast(cnorm), Seq("cand"))
+      .join(vnorm, Seq(idCol))
+      .withColumn("cos",
+        when(col("nv2") === 0 || col("nc2") === 0, lit(0.0))
+          .otherwise(col("dot") /
+            sqrt(col("nv2").cast("double") * col("nc2"))))
+    Relational.topKPerGroup(cos, Seq(idCol),
+        Seq(col("cos").desc, col("cand").asc), 1, "rn")
+      .groupBy(col(labelCol), col("cand").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }

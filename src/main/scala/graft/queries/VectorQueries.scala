@@ -159,6 +159,13 @@ object VectorQueries {
   def simMeanPool(s: SparkSession, dir: String): DataFrame =
     Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
 
+  /** Label × nearest-centroid confusion (see
+    * [[Similarity.centroidAssign]]): cluster-separability probe over
+    * the embedding fixture's labeled vectors. */
+  def simCentroidAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidAssign(Tables.embeddings(s, dir), "vec_id",
+                              "embedding", "label")
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -331,6 +338,7 @@ object VectorQueries {
     "sim_norm_buckets"  -> (simNormBuckets _),
     "sim_dim_minmax"    -> (simDimMinMax _),
     "sim_mean_pool"     -> (simMeanPool _),
+    "sim_centroid_assign" -> (simCentroidAssign _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -733,6 +741,30 @@ object VectorQueries {
          |CAST(MAX(code) AS INTEGER) AS max_code,
          |MAX(abs_err_bucket) AS max_err_millis
          |FROM recon GROUP BY dim""".stripMargin,
+    "sim_centroid_assign" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, label, dim,
+         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000) AS BIGINT) AS qv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim)),
+         |cent AS MATERIALIZED (
+         |  SELECT label AS cand, dim, SUM(qv) AS sc FROM q GROUP BY 1, 2),
+         |cn AS (SELECT cand, ${Canon.sqlToDouble("SUM(sc * sc)")} AS nc2
+         |       FROM cent GROUP BY 1),
+         |vn AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nv2
+         |       FROM q GROUP BY 1),
+         |d AS (SELECT q.vec_id, q.label, cent.cand,
+         |        ${Canon.sqlToDouble("SUM(q.qv * cent.sc)")} AS dot
+         |      FROM q JOIN cent USING (dim) GROUP BY 1, 2, 3),
+         |c AS (SELECT d.vec_id, d.label, d.cand,
+         |        CASE WHEN vn.nv2 = 0 OR cn.nc2 = 0 THEN 0.0
+         |             ELSE d.dot / sqrt(CAST(vn.nv2 AS DOUBLE) * cn.nc2) END AS cos
+         |      FROM d JOIN cn USING (cand) JOIN vn USING (vec_id)),
+         |b AS (SELECT vec_id, label, cand,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, cand ASC) AS rn FROM c)
+         |SELECT label, cand AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM b WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     "sim_mean_pool" ->
       s"""SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |CAST(CAST(SUM(CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000)

@@ -200,4 +200,23 @@ class VectorSimilaritySpec extends SparkSpec {
       (2, 1) -> ((1L, -1.5)), (2, 2) -> ((1L, 0.5))))
     assert(run(groups.repartition(5)) == got)
   }
+
+  test("centroid assignment: geometry, mislabel detection, zero-vector ties") {
+    val data = Seq(
+      (0L, 1, Array(1.0f, 0.0f)), (1L, 1, Array(0.9f, 0.1f)),
+      (2L, 2, Array(0.0f, 1.0f)), (3L, 2, Array(0.1f, 0.9f)),
+      (4L, 1, Array(0.0f, 0.8f)),  // mislabeled — lies on label 2's axis
+      (5L, 3, Array(0.0f, 0.0f))   // zero vector AND zero centroid
+    ).toDF("vec_id", "label", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidAssign(df, "vec_id", "embedding", "label")
+        .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val got = run(data)
+    // label-1 centroid (1.9, 0.9) still pulls vecs 0,1; the mislabeled
+    // vec 4 lands with label 2's centroid (0.1, 1.9); the zero vector
+    // scores cos=0 against every candidate and ties to the min label
+    assert(got == Map(
+      (1, 1) -> 2L, (1, 2) -> 1L, (2, 2) -> 2L, (3, 1) -> 1L))
+    assert(run(data.repartition(5)) == got)
+  }
 }
