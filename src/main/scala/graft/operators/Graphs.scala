@@ -85,7 +85,24 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               useRddCore: Boolean = true): DataFrame =
+    // mixed src/dst types would need the SQL union's type widening —
+    // route them to the Catalyst path rather than guessing a coercion
+    if (useRddCore &&
+        edges.schema(srcCol).dataType == edges.schema(dstCol).dataType)
+      pageRankRdd(edges, srcCol, dstCol, weightCol, iters, scale)
+    else pageRankSql(edges, srcCol, dstCol, weightCol, iters, scale)
+
+  /** DataFrame formulation of the [[pageRank]] recurrence — kept as the
+    * reference implementation the RDD core is spec-pinned against, and
+    * as the fallback for callers who want Catalyst to own the plan. Each
+    * round re-plans and materializes at every adaptive exchange
+    * (~0.3-1 s of driver barrier per exchange — the cost the RDD core
+    * exists to avoid; see [[ccStar]]'s rationale). */
+  private[graft] def pageRankSql(edges: DataFrame, srcCol: String,
+                                 dstCol: String, weightCol: String,
+                                 iters: Int, scale: Long): DataFrame = {
     val e = PlanCache.reuse(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                    col(weightCol).cast("long").as("w")))
@@ -114,6 +131,85 @@ object Graphs {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** The iterative core of [[pageRank]] on RDDs — same rationale as
+    * [[ccStarLong]]: a fixed-iteration integer recurrence re-plans
+    * nothing between rounds, so Catalyst/AQE buy zero and their
+    * per-exchange materialize-and-replan barriers dominate the loop
+    * (measured: the 3-round SQL loop reads ~3 s where its own steady
+    * state is <1 s). The RDD loop pins ONE hash partitioner across all
+    * rounds; the static (edge, out-weight) table is co-partitioned with
+    * the rank table once, so each round is exactly ONE shuffle (the
+    * contribution reduceByKey) plus narrow co-partitioned joins — zero
+    * driver-synchronized jobs inside the loop (everything folds into
+    * the single job that materializes the output).
+    *
+    * Node ids stay in their JVM form (`Row.get`) keyed by
+    * hashCode/equals — string or integral ids both work, and the output
+    * schema preserves the input's node type exactly. Arithmetic is the
+    * same fixed-point recurrence as the SQL path: all-positive BIGINT
+    * products with truncating division, so JVM `/` ≡ SQL `DIV` and the
+    * two paths are bit-identical (spec-pinned).
+    *
+    * Partitioner self-sizing: the rank/edge tables are |V|- and
+    * |E|-bound — tiny for a transition digraph, huge for a web graph —
+    * so partitions derive from the OBSERVED edge count (one cheap count
+    * job), capped at defaultParallelism (CLAUDE.md round-7 rule). */
+  private def pageRankRdd(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String, iters: Int,
+                          scale: Long): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val raw = edges
+      .select(col(srcCol), col(dstCol), col(weightCol).cast("long"))
+      .rdd.map(r => (r.get(0), (r.get(1), r.getLong(2))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    val part = new HashPartitioner(
+      math.min(sc.defaultParallelism.toLong, nEdges / 65536L + 1L)
+        .toInt.max(1))
+    // static across rounds: per-edge (dst, w, out_w) keyed+partitioned by
+    // src — contributions then need no per-round join against out-weights
+    val outw = raw.mapValues(_._2).reduceByKey(part, _ + _)
+    val ew = raw.join(outw, part)
+      .mapValues { case ((dst, w), ow) => (dst, w, ow) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = raw.flatMap { case (s, (d, _)) => Iterator(s, d) }
+      .distinct(part.numPartitions)
+      .map(n => (n, ()))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count()
+    val init = scale / math.max(nNodes, 1L)
+    val teleport = (scale * 15L) / (100L * math.max(nNodes, 1L))
+    var ranks = nodes.mapValues(_ => init)
+    for (_ <- 1 to iters) {
+      // ONE shuffle: per-edge contributions reduce onto dst; the join
+      // with the co-partitioned static edge table is narrow
+      val contrib = ew.join(ranks, part)
+        .map { case (_, ((dst, w, ow), r)) =>
+          (dst, r * 85L * w / (100L * ow)) }
+        .reduceByKey(part, _ + _)
+      // narrow: nodes and contrib share the pinned partitioner
+      ranks = nodes.leftOuterJoin(contrib, part)
+        .mapValues { case (_, c) => teleport + c.getOrElse(0L) }
+    }
+    val nodeType = edges.schema(srcCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    val rows = ranks.map { case (n, r) =>
+      org.apache.spark.sql.Row(n, r) }
+    // eager: materialize BEFORE releasing the loop's persisted RDDs
+    val out = spark.createDataFrame(rows, schema).localCheckpoint()
+    raw.unpersist(blocking = false)
+    ew.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components by alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014): each round hooks every node to the minimum of its
@@ -135,10 +231,14 @@ object Graphs {
     * SQL path below remains for non-integral ids and as the
     * giant-component-safe fallback (see the RDD core's caveat). */
   def ccStar(pairs: DataFrame, aCol: String, bCol: String,
-             maxIter: Int = 30): DataFrame = {
+             maxIter: Int = 30, useRddCore: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    if (integral(pairs.schema(aCol).dataType) &&
+    // useRddCore = false is the explicit giant-component escape hatch
+    // (the RDD core's groupByKey/toSet bounds task memory by a center's
+    // DISTINCT degree, which late contraction rounds concentrate on the
+    // component root) — callers no longer need the id-type-cast trick
+    if (useRddCore && integral(pairs.schema(aCol).dataType) &&
         integral(pairs.schema(bCol).dataType))
       return ccStarLong(pairs, aCol, bCol, maxIter)
     val p = PlanCache.reuse(pairs.select(col(aCol).as("a"), col(bCol).as("b")))

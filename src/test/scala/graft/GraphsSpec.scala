@@ -107,6 +107,29 @@ class GraphsSpec extends SparkSpec {
            s"rank mass ${r._1} outside conservation window")
   }
 
+  test("pagerank: RDD core is bit-identical to the DataFrame recurrence") {
+    import org.apache.spark.sql.functions._
+    // the pinned-partitioner RDD loop and the Catalyst loop must agree
+    // rank-for-rank on a graph with skewed weights, dangling mass, and
+    // teleport-only sources — the integer recurrence leaves no tolerance
+    val n = 2000
+    val edges = spark.range(0, n).toDF("src")
+      .select(col("src"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .select(col("src"),
+        (conv(substring(md5(concat(col("src"), lit("|"), col("j"))), 1, 8),
+              16, 10).cast("long") % n).as("dst"),
+        (col("src") % 7 + 1).as("w"))
+      // drop some sources entirely → teleport-only + dangling structure
+      .filter(col("src") % 13 =!= 0)
+    val viaRdd = Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaSql = Graphs.pageRank(edges, "src", "dst", "w", iters = 3,
+                                 useRddCore = false)
+      .as[(Long, Long)].collect().toMap
+    assert(viaRdd.size == viaSql.size && viaRdd == viaSql)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("ccStar: logarithmic convergence on a 999-diameter chain; equals min-label CC") {
     import org.apache.spark.sql.functions.col
     // a 1000-node chain has diameter 999: min-label propagation needs
