@@ -237,8 +237,20 @@ object TextOps {
     * VOCAB-bound (~10⁵-10⁷ rows) regardless of corpus bytes — the same
     * observation production BPE trainers (fastBPE et al.) build on. The
     * vocab frame is cached and self-sized from its observed count
-    * (CLAUDE.md round-7 partitioner rule); each step's argmax is a
-    * 1-row TakeOrdered collect (convergence-style scalar, no full sort).
+    * (CLAUDE.md round-7 partitioner rule).
+    *
+    * Training is BATCHED: pair counts are recomputed once per
+    * `batchK` merges, and each recount's top-`batchK` pairs (count
+    * desc, pair asc — a total order) are applied sequentially in rank
+    * order. This is the standard batched-trainer approximation (stale
+    * within-batch counts; a merge recorded with the count observed at
+    * its batch's recount, which later in-batch merges may have
+    * reduced) — it bounds the driver round-trips and the stacked
+    * `replace` depth at steps/batchK instead of steps, the difference
+    * between 6 jobs and 30 000 at a real vocab size. batchK = 1
+    * recovers exact greedy BPE. The vocab frame's lineage is truncated
+    * once per batch (lazy checkpoint — no extra job), so each recount
+    * reads materialized rows, never the replayed replace stack.
     *
     * Merge application deviates from canonical greedy BPE in one
     * mirrored way: a merge rewrites each word via single-pass
@@ -251,7 +263,8 @@ object TextOps {
     * same replace rule).
     */
   def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-                steps: Int): org.apache.spark.sql.DataFrame = {
+                steps: Int, batchK: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(batchK >= 1, "batchK must be positive")
     val session = df.sparkSession
     val base0 = df.select(explode(tokenize(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -271,6 +284,8 @@ object TextOps {
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
+      // one driver job per BATCH: top-k pairs in one TakeOrdered collect
+      val k = math.min(batchK, steps - step + 1)
       val top = wf
         .withColumn("s", split(trim(col("seq")), " "))
         .filter(size(col("s")) > 1)
@@ -280,15 +295,19 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+        .limit(k).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((step.toLong, a, b, a + b, c))
-        wf = wf.withColumn("seq",
-          replace(col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
-        step += 1
+        top.foreach { r =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          out += ((step.toLong, a, b, a + b, c))
+          wf = wf.withColumn("seq",
+            replace(col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
+          step += 1
+        }
+        // truncate the replace stack once per batch; lazy — materializes
+        // inside the NEXT batch's collect job, adding none of its own
+        wf = wf.localCheckpoint(eager = false)
       }
     }
     import session.implicits._

@@ -46,48 +46,70 @@ object DocQueries {
     s"CAST(${bits.mkString(" + ")} AS INTEGER)"
   }
 
-  /** DuckDB twin of [[TextOps.bpeMerges]], unrolled for a FIXED step
-    * count: each round k is three chained CTEs — adjacent-pair counts
-    * over w(k-1), a 1-row argmax m(k) (same count-desc/pair-asc
-    * tie-break as the Spark TakeOrdered), and w(k) applying the merge
-    * via scalar-subquery `replace`. DuckDB's `replace` shares Spark's
-    * single-pass non-overlapping left-to-right semantics, so the
-    * rewritten symbol strings are byte-identical across engines. All
-    * compared columns are integers/strings — no float canonicalization
-    * needed. */
-  private def bpeChainSql(steps: Int): String = {
+  /** DuckDB twin of [[TextOps.bpeMerges]], unrolled for a FIXED
+    * (steps, batchK) pair and mirroring its BATCHED training exactly:
+    * per batch b, one adjacent-pair count CTE p(b) over the current
+    * word frame, one top-batchK candidate CTE c(b) (row_number over
+    * the same count-desc/pair-asc total order as the Spark
+    * TakeOrdered), then one w(s) CTE per merge applying candidate
+    * rank j via scalar-subquery `replace` — sequential rank order,
+    * stale in-batch counts, exactly as the engine does. DuckDB's
+    * `replace` shares Spark's single-pass non-overlapping
+    * left-to-right semantics, so the rewritten symbol strings are
+    * byte-identical across engines. The COALESCE(chr(1)) guard makes
+    * a missing candidate row (fewer distinct pairs than batchK — not
+    * reachable at fixture scale) a no-op replace instead of a NULL
+    * wipe. All compared columns are integers/strings — no float
+    * canonicalization needed. Every multiply-referenced CTE is
+    * MATERIALIZED (CLAUDE.md: DuckDB inlines per reference, which
+    * goes exponential on a chained unroll). */
+  private def bpeChainSql(steps: Int, batchK: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
          |    list_transform(range(1, len(word) + 1), i_ -> word[i_:i_]), ' ') || ' ' AS seq,
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($wordsSql) AS word FROM documents) GROUP BY 1)""".stripMargin
-    val rounds = (1 to steps).map { k =>
-      s"""p$k AS MATERIALIZED (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
-         |    SELECT unnest(list_transform(range(1, len(s)), i_ -> s[i_])) AS a,
-         |           unnest(list_transform(range(1, len(s)), i_ -> s[i_ + 1])) AS b, cnt
-         |    FROM (SELECT string_split(trim(seq), ' ') AS s, cnt FROM w${k - 1}) t_)
-         |  GROUP BY 1, 2),
-         |m$k AS MATERIALIZED (SELECT a, b, c FROM p$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-         |w$k AS MATERIALIZED (SELECT replace(seq,
-         |    ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
-         |    ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ') AS seq, cnt FROM w${k - 1})""".stripMargin
+    val nBatches = (steps + batchK - 1) / batchK
+    val rounds = (1 to nBatches).map { bt =>
+      val off = (bt - 1) * batchK
+      val kb = math.min(batchK, steps - off)
+      val cand =
+        s"""p$bt AS MATERIALIZED (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+           |    SELECT unnest(list_transform(range(1, len(s)), i_ -> s[i_])) AS a,
+           |           unnest(list_transform(range(1, len(s)), i_ -> s[i_ + 1])) AS b, cnt
+           |    FROM (SELECT string_split(trim(seq), ' ') AS s, cnt FROM w$off) t_)
+           |  GROUP BY 1, 2),
+           |c$bt AS MATERIALIZED (SELECT a, b, c, rn FROM (
+           |    SELECT a, b, c,
+           |           row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS rn
+           |    FROM p$bt) WHERE rn <= $kb)""".stripMargin
+      val applies = (1 to kb).map { j =>
+        val s = off + j
+        s"""w$s AS MATERIALIZED (SELECT replace(seq,
+           |    COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM c$bt WHERE rn = $j), chr(1)),
+           |    COALESCE((SELECT ' ' || a || b || ' ' FROM c$bt WHERE rn = $j), chr(1))) AS seq,
+           |  cnt FROM w${s - 1})""".stripMargin
+      }
+      (cand +: applies).mkString(",\n")
     }
     s"WITH $w0,\n${rounds.mkString(",\n")}"
   }
 
-  private def bpeMergesSql(steps: Int): String = {
-    val emit = (1 to steps).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, a AS left_sym, b AS right_sym,
-         |  a || b AS merged, c AS pair_count FROM m$k""".stripMargin
+  private def bpeMergesSql(steps: Int, batchK: Int): String = {
+    val nBatches = (steps + batchK - 1) / batchK
+    val emit = (1 to nBatches).map { bt =>
+      val off = (bt - 1) * batchK
+      s"""SELECT CAST($off + rn AS BIGINT) AS step, a AS left_sym,
+         |  b AS right_sym, a || b AS merged, c AS pair_count FROM c$bt""".stripMargin
     }
-    s"${bpeChainSql(steps)}\n${emit.mkString("\nUNION ALL\n")}"
+    s"${bpeChainSql(steps, batchK)}\n${emit.mkString("\nUNION ALL\n")}"
   }
 
   /** Encode-side twin: the oracle re-derives the merge table through the
     * same chain (no constants smuggled across), then measures the
     * encoded corpus off the final w(steps) symbol strings. */
-  private def bpeEncodeSql(steps: Int): String =
-    s"""${bpeChainSql(steps)}
+  private def bpeEncodeSql(steps: Int, batchK: Int): String =
+    s"""${bpeChainSql(steps, batchK)}
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
        |  CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
        |  CAST(SUM(cnt * len(replace(trim(seq), ' ', ''))) AS BIGINT) AS n_chars,
@@ -117,16 +139,20 @@ object DocQueries {
     TextOps.unigramNll(
       Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
 
-  /** BPE merge-table training steps run by [[textBpeMerges]] — the same
-    * constant parameterizes the generated DuckDB oracle so the two
-    * sides cannot drift. */
-  val BpeSteps = 10
+  /** BPE merge-table training steps and per-recount batch size run by
+    * [[textBpeMerges]] — the same constants parameterize the generated
+    * DuckDB oracle so the two sides cannot drift. 40 merges at 8 per
+    * recount = 5 pair-count jobs: the registry exercises the batched
+    * trainer shape a real 30k-merge vocab needs, not the 1-job-per-
+    * merge demo form. */
+  val BpeSteps = 40
+  val BpeBatchK = 8
 
   /** Iterative BPE tokenizer training (see [[TextOps.bpeMerges]]): the
-    * learned merge table after [[BpeSteps]] rounds. */
+    * learned merge table after [[BpeSteps]] batched rounds. */
   def textBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeMerges(Tables.spread(Tables.documents(s, dir)), "text",
-                      BpeSteps)
+                      BpeSteps, BpeBatchK)
 
   /** Tokenizer train→apply: learn [[BpeSteps]] merges, then encode the
     * corpus with them (see [[TextOps.bpeEncodeStats]]). The merge list
@@ -134,7 +160,7 @@ object DocQueries {
     * shipping a trained tokenizer to a 1000-executor encode job. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
-    val merges = TextOps.bpeMerges(docs, "text", BpeSteps)
+    val merges = TextOps.bpeMerges(docs, "text", BpeSteps, BpeBatchK)
       .orderBy(col("step"))
       .select(col("left_sym"), col("right_sym"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -1263,8 +1289,8 @@ object DocQueries {
       s"""SELECT word, COUNT(*) AS n_occurrences
          |FROM (SELECT unnest($wordsSql) AS word FROM documents)
          |GROUP BY word""".stripMargin,
-    "text_bpe_merges" -> bpeMergesSql(BpeSteps),
-    "text_bpe_encode" -> bpeEncodeSql(BpeSteps),
+    "text_bpe_merges" -> bpeMergesSql(BpeSteps, BpeBatchK),
+    "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

@@ -258,8 +258,11 @@ class TextDedupSpec extends SparkSpec {
       (2L, "wide wider widest new new lowest")).toDF("doc_id", "text")
 
     // reference trainer sharing the engine's replace rule (single-pass
-    // non-overlapping literal replace = java.lang.String.replace)
-    def train(words: Seq[String], steps: Int): Seq[(Long, String, String, String, Long)] = {
+    // non-overlapping literal replace = java.lang.String.replace) AND
+    // its batched recount: per batch, count pairs once, apply the
+    // top-batchK in (count desc, pair asc) rank order with stale counts
+    def train(words: Seq[String], steps: Int,
+              batchK: Int): Seq[(Long, String, String, String, Long)] = {
       var wf: Map[String, Long] = words.groupBy(identity).map { case (w, g) =>
         (" " + w.toCharArray.map(_ + " ").mkString, g.size.toLong)
       }
@@ -277,10 +280,15 @@ class TextDedupSpec extends SparkSpec {
         }
         if (pairs.isEmpty) stop = true
         else {
-          val ((a, b), c) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-          out += ((k.toLong, a, b, a + b, c))
-          wf = wf.groupMapReduce(_._1.replace(s" $a $b ", s" $a$b "))(_._2)(_ + _)
-          k += 1
+          val top = pairs.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }
+            .take(math.min(batchK, steps - k + 1))
+          top.foreach { case ((a, b), c) =>
+            out += ((k.toLong, a, b, a + b, c))
+            wf = wf.groupMapReduce(
+              _._1.replace(s" $a $b ", s" $a$b "))(_._2)(_ + _)
+            k += 1
+          }
         }
       }
       out.toSeq
@@ -288,15 +296,27 @@ class TextDedupSpec extends SparkSpec {
 
     val words = corpus.select(explode(split($"text", " ")).as("w"))
       .as[String].collect().toSeq
-    val expect = train(words, 6)
-    val got = TextOps.bpeMerges(corpus, "text", 6)
+    // batchK = 1 is exact greedy BPE
+    val expect = train(words, 6, 1)
+    val got = TextOps.bpeMerges(corpus, "text", 6, batchK = 1)
       .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got == expect)
     // merging the argmax pair can only shrink existing pair counts, and a
-    // created pair inherits at most the merged pair's count — the selected
-    // count sequence is non-increasing
+    // created pair inherits at most the merged pair's count — the greedy
+    // selected count sequence is non-increasing
     val counts = got.map(_._5)
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+    // batched trainer (the registry's production shape): stale in-batch
+    // counts, recount per batch — must match the reference batch-for-batch
+    val expectB = train(words, 7, 3)
+    val gotB = TextOps.bpeMerges(corpus, "text", 7, batchK = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotB == expectB)
+    // within a batch the recorded (stale) counts are rank-ordered
+    gotB.grouped(3).foreach { batch =>
+      val cs = batch.map(_._5)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
 
     // encode pass: zero merges → every char is a token (ratio exactly
     // 1000‰); the trained merges strictly compress this corpus
