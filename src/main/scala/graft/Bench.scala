@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Steady-state certification (VERDICT r7 #6): time the registry
+    // SPARK_GRAFT_RUNS times (default 2) and report the per-query MIN —
+    // host CPU-steal spikes individual queries 5-10x over steady state
+    // (CLAUDE.md), and one contended reading in a single-pass run is
+    // indistinguishable from a plan regression. Each pass starts from a
+    // cleared cache + a re-timed prewarm, so no pass is cache-warm from
+    // the previous one.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     // dev-only: comma-separated subset of query names to bench in the
     // given order (cold-vs-warm profiling; repeats get a #n suffix so
     // the warm timing doesn't overwrite the cold one); unset = full
@@ -51,6 +59,7 @@ object Bench {
       System.gc()
       spark.range(50000000L).selectExpr("sum(id)").collect()
     }
+    graft.operators.PlanCache.resetStats()
     // execute the FULL physical plan: df.count() would let Catalyst prune
     // every column (a map-only query would be timed as a bare row count);
     // toRdd.count() materializes each query's actual output rows
@@ -61,58 +70,86 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // Shared-sketch prewarm, explicitly timed as its own line: the
-    // text-dedup family's bottom-level sketches are CacheManager-shared
-    // across ~8 queries, so after the warm-up cache clear their build
+    // Shared-frame prewarm, explicitly timed as its own line: the
+    // dedup/doc and sim families' bottom-level frames (sketches, pair
+    // tables, trained quantizer, brute-force truth) are CacheManager-
+    // shared across 2-8 queries each, so after a cache clear their build
     // cost used to land on whichever family member ran first (measured
-    // 10× per-query history jumps while family totals stayed flat).
+    // 10x per-query history jumps while family totals stayed flat).
     // Pinning them here makes every family timing steady-state; the
     // build cost still counts — in this labeled entry.
     def prewarm(): Unit =
-      try graft.operators.Dedup.prewarmSharedSketches(
-          graft.sources.Tables.documents(spark, sfDir), "doc_id", "text")
+      try (graft.queries.DocQueries.prewarmSharedFrames(spark, sfDir) ++
+           graft.queries.VectorQueries.prewarmSharedFrames(spark, sfDir))
         .foreach(_._2.queryExecution.toRdd.count())
       catch { case _: Throwable => () }
-    val sharedEntry: Seq[(String, Double)] =
-      if (only.isEmpty) {
-        val t0 = System.nanoTime()
-        prewarm()
-        Seq("_shared_sketches" -> (System.nanoTime() - t0) / 1e9)
-      } else Seq.empty
-    val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
-    // Host CPU-steal bursts spike individual queries 5-10× over their
-    // steady state (measured: same query 1.5s and 12.4s within one JVM,
-    // box otherwise idle). Re-time outliers once and keep the min.
-    // clearCache first: the first run may have persisted its own
-    // intermediates (Dedup.reused), and a cache-warm retry would
-    // understate real cost — forcing the retry to rebuild from the
-    // scans keeps a genuinely heavy query heavy. `retried` records the
-    // FIRST-PASS timings of re-timed queries (the min of the two runs
-    // is what lands in `queries`).
+    // One timing pass over the registry: timed prewarm + first pass +
+    // outlier retries. Host CPU-steal bursts spike individual queries
+    // 5-10x over their steady state (measured: same query 1.5s and 12.4s
+    // within one JVM, box otherwise idle); re-time >5s outliers once and
+    // keep the min. clearCache first on retry: the first run may have
+    // persisted its own intermediates, and a cache-warm retry would
+    // understate real cost — but re-prewarm the pinned shared frames
+    // UNTIMED afterwards, or the retry pays a rebuild its steady state
+    // never sees (CLAUDE.md).
     val RetryOverSec = 5.0
-    val results = (sharedEntry ++ firstPass.map { case (name, t) =>
-      if (t > RetryOverSec) {
-        // clearCache keeps the retry honest (its OWN intermediates must
-        // rebuild from the scans) — but it also drops the pinned shared
-        // sketches, which are already accounted in _shared_sketches. Re-
-        // prewarm them UNTIMED before re-timing, or a family query's
-        // retry pays a sketch rebuild its steady state never sees and
-        // min(first, retry) can never beat a contended first pass.
+    def onePass(): (Map[String, Double], Map[String, Double]) = {
+      val sharedEntry: Seq[(String, Double)] =
+        if (only.isEmpty) {
+          val t0 = System.nanoTime()
+          prewarm()
+          Seq("_shared_frames" -> (System.nanoTime() - t0) / 1e9)
+        } else Seq.empty
+      val firstPass = selected.map { case (name, fn) => name -> timeOne(fn) }
+      val pass = (sharedEntry ++ firstPass.map { case (name, t) =>
+        if (t > RetryOverSec) {
+          spark.catalog.clearCache()
+          graft.operators.PlanCache.pruneStale()
+          if (only.isEmpty) prewarm()
+          name -> math.min(t,
+            timeOne(SparkEntry.queries(name.takeWhile(_ != '#'))))
+        } else name -> t
+      }).toMap
+      (pass, firstPass.filter(_._2 > RetryOverSec).toMap)
+    }
+    val passes = (1 to nRuns).map { i =>
+      if (i > 1) {
         spark.catalog.clearCache()
-        if (only.isEmpty) prewarm()
-        name -> math.min(t, timeOne(SparkEntry.queries(name.takeWhile(_ != '#'))))
-      } else name -> t
-    }).toMap
-    val retried = firstPass.filter(_._2 > RetryOverSec).map { case (k, v) =>
+        graft.operators.PlanCache.pruneStale()
+        System.gc()
+      }
+      onePass()
+    }
+    // steady state = per-query min across passes; `median` = lower
+    // median (for 2 passes that coincides with the min) so no synthetic
+    // averaged value ever enters the file
+    def combine(f: Seq[Double] => Double): Map[String, Double] =
+      passes.flatMap(_._1.keys).distinct
+        .map(k => k -> f(passes.flatMap(_._1.get(k)))).toMap
+    val results = combine(_.min)
+    val medians = combine(vs => vs.sorted.apply((vs.size - 1) / 2))
+    val retriedAll = passes.zipWithIndex.flatMap { case ((_, r), i) =>
+      r.map { case (k, v) => s"$k@${i + 1}" -> v } }
+    val retried = retriedAll.map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cacheStats = graft.operators.PlanCache.stats
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def sortByName(m: Map[String, Double]): Seq[(String, Double)] =
+      m.toSeq.sortBy(_._1)
+    // the prewarm line is real spent time but NOT a registry query: it
+    // counts in the total, is reported in its own field, and is excluded
+    // from n_queries (ADVICE r7 — a phantom 178th query otherwise)
+    val sharedSec = results.getOrElse("_shared_frames", 0.0)
+    val qResults = results - "_shared_frames"
+    val total = results.values.sum
     // Full per-query detail: printed first (may scroll out of the
     // harness's bounded tail capture) and persisted next to the build.
+    val perPass = passes.map(p => fmt(sortByName(p._1))).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(results)},"retried":$retried,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":$total,"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(sortByName(qResults))},"median":${fmt(sortByName(medians - "_shared_frames"))},"runs":$perPass,"retried":$retried,"plan_cache":$cacheStats,"sf":"$sfDir"}"""
     println(detail)
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
@@ -124,7 +161,6 @@ object Bench {
     // the total plus a fixed headline subset and stays well under the
     // buffer. Full timings live in the detail line / bench_detail.json.
     val headline = Seq(
-      "_shared_sketches",
       "rel_pricing_summary", "rel_nation_volume", "rel_top_lineitems",
       "rel_cube_sales", "rel_salted_join", "rel_window_rank",
       "band_file_means", "band_stats", "composite_pivot",
@@ -133,10 +169,10 @@ object Bench {
       "text_stats", "doc_tfidf_top_terms", "pipe_dedup_keep",
       "evt_asof_attribution", "evt_tumbling_hourly", "mm_byte_stats")
     val head = only match {
-      case Some(_) => results.toSeq.sortBy(_._1)
-      case None    => headline.flatMap(n => results.get(n).map(n -> _))
+      case Some(_) => sortByName(qResults)
+      case None    => headline.flatMap(n => qResults.get(n).map(n -> _))
     }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,12 +37,25 @@ private[graft] object PlanCache {
   private[graft] val MaxLive = 48
   private val live = scala.collection.mutable.Queue.empty[DataFrame]
 
+  // Telemetry (VERDICT r7 #4: the rel_kmv_intersect 21.7s first pass
+  // could not be attributed because reuse had no occupancy/eviction
+  // counters). `hits` = reuse() found the plan already cached (CacheManager
+  // sameResult, which includes pinned same-plan copies); `misses` = a new
+  // persist was issued; `evictions` = FIFO dequeues past MaxLive. Bench
+  // snapshots these into bench_detail.json so a mid-run eviction storm is
+  // visible, not hypothesized.
+  private var nHits, nMisses, nEvictions, nPins = 0L
+
   def reuse(df: DataFrame): DataFrame = synchronized {
-    if (df.storageLevel != StorageLevel.NONE) df
+    if (df.storageLevel != StorageLevel.NONE) { nHits += 1; df }
     else {
+      nMisses += 1
       df.persist(StorageLevel.MEMORY_AND_DISK)
       live.enqueue(df)
-      while (live.size > MaxLive) live.dequeue().unpersist(blocking = false)
+      while (live.size > MaxLive) {
+        nEvictions += 1
+        live.dequeue().unpersist(blocking = false)
+      }
       df
     }
   }
@@ -53,14 +66,26 @@ private[graft] object PlanCache {
     * a prewarmed shared sketch must outlive the ~10 reuse() calls of
     * every intervening query, or the family member that needs it later
     * silently rebuilds it inside its own timing (the bench-attribution
-    * noise this exists to pin). Pin the EXACT instance reuse() returned
-    * — a same-plan copy is recognized via its CacheManager storage level
-    * and left untracked. */
+    * noise this exists to pin).
+    *
+    * Idempotent by PLAN, not instance: Bench re-runs prewarm after every
+    * clearCache-retry, constructing fresh same-plan DataFrame instances —
+    * tracking each would grow `pinned` without bound in retry-heavy runs
+    * (ADVICE r7). A call whose plan is already cached AND already pinned
+    * is a no-op; entries externally unpersisted (clearCache) are pruned
+    * on the next pin so re-prewarming replaces rather than accumulates. */
   def pin(df: DataFrame): DataFrame = synchronized {
-    if (df.storageLevel == StorageLevel.NONE)
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.dequeueFirst(_ eq df)
-    if (!pinned.exists(_ eq df)) pinned += df
+    pinned.filterInPlace(_.storageLevel != StorageLevel.NONE)
+    val analyzed = df.queryExecution.analyzed
+    val alreadyPinned = df.storageLevel != StorageLevel.NONE &&
+      pinned.exists(p => (p eq df) || p.queryExecution.analyzed.sameResult(analyzed))
+    if (!alreadyPinned) {
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      live.dequeueFirst(_ eq df)
+      pinned += df
+      nPins += 1
+    }
     df
   }
 
@@ -71,6 +96,31 @@ private[graft] object PlanCache {
     pinned.clear()
   }
 
+  /** Drop tracking for entries externally unpersisted (a
+    * `spark.catalog.clearCache()` between bench passes): the queue would
+    * otherwise still hold them, and new inserts past MaxLive would count
+    * no-op "evictions" of already-cleared frames — inflating the
+    * eviction telemetry that exists to spot REAL mid-pass evictions.
+    * Call right after any external cache clear. */
+  def pruneStale(): Unit = synchronized {
+    live.filterInPlace(_.storageLevel != StorageLevel.NONE)
+    pinned.filterInPlace(_.storageLevel != StorageLevel.NONE)
+  }
+
   /** Tracked-entry count (spec observability). */
   def liveCount: Int = synchronized(live.size)
+
+  /** Pinned-entry count (spec observability). */
+  def pinnedCount: Int = synchronized(pinned.size)
+
+  /** Counter snapshot for bench telemetry; see field comment. */
+  def stats: Map[String, Long] = synchronized(Map(
+    "hits" -> nHits, "misses" -> nMisses, "evictions" -> nEvictions,
+    "pins" -> nPins, "live" -> live.size.toLong,
+    "pinned" -> pinned.size.toLong))
+
+  /** Zero the counters (between bench passes; occupancy is untouched). */
+  def resetStats(): Unit = synchronized {
+    nHits = 0; nMisses = 0; nEvictions = 0; nPins = 0
+  }
 }

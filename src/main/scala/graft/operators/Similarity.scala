@@ -197,15 +197,30 @@ object Similarity {
     * consumers reference it from centroid/corpus/query subtrees.
     */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
-                  c: Int, iters: Int): DataFrame = {
-    def assign(cents: DataFrame): DataFrame =
-      Relational.topKPerGroup(
-        emb.select(col(idCol), col(vecCol)).crossJoin(broadcast(cents))
-          .select(col(idCol), col(vecCol), col("cell"),
-                  VectorFunctions.cosineSim(col(vecCol), col("centroid"))
-                    .as("cs")),
-        Seq(idCol), Seq(col("cs").desc, col("cell").asc), 1, "rn")
-        .select(col(idCol), col(vecCol), col("cell"))
+                  c: Int, iters: Int): DataFrame =
+    PlanCache.reuse(assignCells(emb, idCol, vecCol,
+                                kmeansCentroids(emb, idCol, vecCol, c, iters)))
+
+  /** Nearest-centroid assignment: argmax cosine against the broadcast
+    * centroid table (ties to the smaller cell) — the serving half of
+    * [[kmeansCells]], exposed separately so a FROZEN trained quantizer
+    * can assign a new batch (incremental SemDeDup, online ingest)
+    * without retraining. */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame =
+    Relational.topKPerGroup(
+      emb.select(col(idCol), col(vecCol)).crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol), col("cell"),
+                VectorFunctions.cosineSim(col(vecCol), col("centroid"))
+                  .as("cs")),
+      Seq(idCol), Seq(col("cs").desc, col("cell").asc), 1, "rn")
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** The trained centroid table `(cell, centroid)` of [[kmeansCells]] —
+    * the persistable quantizer artifact. Same training loop; exposed so
+    * incremental consumers can freeze it. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      c: Int, iters: Int): DataFrame = {
     val seeds = emb
       .select(col(idCol), col(vecCol),
               md5(col(idCol).cast("string")).as("sk"))
@@ -218,8 +233,9 @@ object Similarity {
     var cents = seeds.select(row_number().over(seedW).as("cell"),
                              col(vecCol).as("centroid"))
     for (_ <- 1 to iters)
-      cents = cellCentroids(assign(cents), vecCol, "cell")
-    PlanCache.reuse(assign(cents))
+      cents = cellCentroids(assignCells(emb, idCol, vecCol, cents),
+                            vecCol, "cell")
+    cents
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN
@@ -282,6 +298,42 @@ object Similarity {
       .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= minCosine)
       .select(col("vec_b").as(idCol)).distinct()
     base.join(dups.withColumn("dup", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+              when(col("dup").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
+  /** INCREMENTAL SemDeDup: keep/drop decisions for a new batch against
+    * an already-deduplicated corpus, from persisted artifacts — the
+    * trained quantizer stays frozen and the corpus is represented by its
+    * (id, vec, cell) assignment table, never re-trained or re-scanned as
+    * raw data. A batch vector is dropped iff SOME smaller-id same-cell
+    * near-dup exists in corpus ∪ batch — exactly [[semanticDedup]]'s
+    * local-minimum rule restricted to batch rows, so incremental ≡ full
+    * recompute over the union under the same frozen centroids
+    * (spec-pinned; the streaming twin feeds ascending-id micro-batches
+    * through this per batch and the union of decisions matches one big
+    * recompute).
+    *
+    * Scale shape: one shuffle on the cell key joins the (small) batch
+    * against in-cell corpus rows; the EXISTS never fans out past the
+    * batch's own cells. Corpus cells are what a production pipeline
+    * persists between runs (mirror of `pipe_incr_dedup`'s
+    * signature-artifact contract, `Dedup.scala`). */
+  def semanticDedupIncrement(corpusCells: DataFrame, batchCells: DataFrame,
+                             idCol: String, vecCol: String, cellCol: String,
+                             minCosine: Double): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col(cellCol).as("cell"), col(idCol), col(vecCol))
+    val batch = PlanCache.reuse(norm(batchCells))
+    val pool = norm(corpusCells).unionByName(batch)
+    val dups = batch.select(col("cell"), col(idCol).as("vec_b"),
+                            col(vecCol).as("vb"))
+      .join(pool.select(col("cell"), col(idCol).as("vec_a"),
+                        col(vecCol).as("va")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= minCosine)
+      .select(col("vec_b").as(idCol)).distinct()
+    batch.join(dups.withColumn("dup", lit(1L)), Seq(idCol), "left")
       .select(col(idCol), col("cell"),
               when(col("dup").isNotNull, 0L).otherwise(1L).as("keep"))
   }

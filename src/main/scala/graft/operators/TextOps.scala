@@ -262,16 +262,24 @@ object TextOps {
     * spec pins the loop against an independent in-JVM trainer with the
     * same replace rule).
     */
-  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-                steps: Int, batchK: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(batchK >= 1, "batchK must be positive")
-    val session = df.sparkSession
-    val base0 = df.select(explode(tokenize(col(textCol))).as("word"))
+  /** The corpus-scale half of BPE training: the word-frequency table
+    * with each word pre-split into space-joined symbols. ONE shuffle
+    * over the corpus; everything after is vocab-bound. Exposed so the
+    * bench prewarm can pin it — `text_bpe_merges` and `text_bpe_encode`
+    * both train from this exact frame (CacheManager sameResult). */
+  def bpeWordFreq(df: org.apache.spark.sql.DataFrame,
+                  textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokenize(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("seq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
       .select(col("seq"), col("cnt"))
-    val cached = PlanCache.reuse(base0)
+
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                steps: Int, batchK: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(batchK >= 1, "batchK must be positive")
+    val session = df.sparkSession
+    val cached = PlanCache.reuse(bpeWordFreq(df, textCol))
     // vocab-bound loop: size the frame from its observed count, not the
     // session default — 32 near-empty tasks per step would otherwise
     // dominate the loop wall (CLAUDE.md round-7 gotcha)

@@ -787,6 +787,28 @@ object DocQueries {
       .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
   }
 
+  /** The doc/dedup family's cross-query shared frames, PINNED for the
+    * bench's explicitly-timed `_shared_frames` line: the three
+    * bottom-level sketches ([[Dedup.prewarmSharedSketches]]), the
+    * Jaccard pair table (consumed by `dedup_jaccard_pairs`,
+    * `dedup_clusters`, `pipe_dedup_keep`), the MinHash candidate pairs
+    * (`dedup_minhash_pairs`, `dedup_minhash_est`), and the BPE
+    * word-frequency frame (`text_bpe_merges`, `text_bpe_encode`).
+    * Without the pin, whichever family member runs first after a cache
+    * clear absorbs the whole shared build into its own timing
+    * (VERDICT r7 #1 — per-query bench attribution). */
+  def prewarmSharedFrames(s: SparkSession,
+                          dir: String): Seq[(String, DataFrame)] = {
+    val docs = Tables.documents(s, dir)
+    Dedup.prewarmSharedSketches(docs, "doc_id", "text") ++ Seq(
+      "jaccard_pairs" -> PlanCache.pin(
+        Dedup.jaccardPairs(docs, "doc_id", "text")),
+      "minhash_pairs" -> PlanCache.pin(Dedup.minHashCandidatePairs(
+        docs, "doc_id", "text", ShingleN, MinHashK, RowsPerBand)),
+      "bpe_word_freq" -> PlanCache.pin(
+        TextOps.bpeWordFreq(Tables.spread(docs), "text")))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_exact_k" -> (pipeSampleExactK _),
     "pipe_weighted_sample" -> (pipeWeightedSample _),

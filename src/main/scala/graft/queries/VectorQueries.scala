@@ -331,6 +331,49 @@ object VectorQueries {
       "vec_id", "embedding", "cell", 0.4)
   }
 
+  /** INCREMENTAL semantic dedup (the streaming-ingest shape of
+    * [[simSemanticDedup]], mirror of `pipe_incr_dedup`): the corpus
+    * (vec_id % 5 ≠ 0) trains the quantizer ONCE; the batch (vec_id % 5
+    * = 0) is assigned to the frozen cells and each batch vector is
+    * dropped iff a smaller-id same-cell near-dup exists in corpus ∪
+    * batch — decisions identical to a full recompute under the same
+    * centroids ([[Similarity.semanticDedupIncrement]]; the streamed
+    * foreachBatch twin is spec-pinned in StreamingSpec). */
+  def simSemanticDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val cents = graft.operators.PlanCache.reuse(
+      Similarity.kmeansCentroids(corpus, "vec_id", "embedding", KmC, KmIters))
+    Similarity.semanticDedupIncrement(
+      Similarity.assignCells(corpus, "vec_id", "embedding", cents),
+      Similarity.assignCells(batch, "vec_id", "embedding", cents),
+      "vec_id", "embedding", "cell", 0.4)
+  }
+
+  /** The sim family's cross-query shared frames, PINNED for the bench's
+    * explicitly-timed `_shared_frames` line: the brute-force truth@3
+    * (left side of all five recall rows), the trained k-means quantizer
+    * (`sim_topk_ivf_trained`, `sim_ivf_trained_recall`,
+    * `sim_semantic_dedup`), and the PQ codebook (`sim_topk_ivfpq`,
+    * `sim_ivfpq_recall`). Same rationale as
+    * [[DocQueries.prewarmSharedFrames]] — attribution, not speed: the
+    * shared build cost lands in one labeled line instead of whichever
+    * family member runs first. */
+  def prewarmSharedFrames(s: SparkSession,
+                          dir: String): Seq[(String, DataFrame)] = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    Seq(
+      "sim_brute_truth3" -> graft.operators.PlanCache.pin(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryPred, 3)),
+      "sim_kmeans_cells" -> graft.operators.PlanCache.pin(
+        Similarity.kmeansCells(emb, "vec_id", "embedding", KmC, KmIters)),
+      "sim_pq_codebook" -> graft.operators.PlanCache.pin(
+        Similarity.pqCodebook(emb, "embedding", "label", PqM, Dims)))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_eval"   -> (simRecallEval _),
     "sim_ivf_recall"    -> (simIvfRecall _),
@@ -353,6 +396,7 @@ object VectorQueries {
     "sim_topk_ivf_trained"   -> (simTopKIvfTrained _),
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
+    "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -438,15 +482,16 @@ object VectorQueries {
     * (ties to the smaller cell), mirroring Similarity.kmeansCells; reads
     * vectors+norms from `kme`, centroids+norms from `cents`, and carries
     * (vec_id, embedding, nrm, cell) forward. */
-  private def kmAssignCte(name: String, cents: String): String =
-    s"""$name AS (
+  private def kmAssignCte(name: String, cents: String, src: String = "kme",
+                          materialized: Boolean = false): String =
+    s"""$name AS ${if (materialized) "MATERIALIZED " else ""}(
        |  SELECT vec_id, embedding, nrm, cell FROM (
        |    SELECT e.vec_id, e.embedding, e.nrm, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqlCosN(sqlDot("e.embedding", "c.centroid"),
                                    "e.nrm", "c.nrm")} DESC,
        |                 c.cell ASC) AS rn
-       |    FROM kme e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+       |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
 
   /** Median-centroid update CTEs over an assignment CTE (same
     * percentile_cont→REAL shape as the label-cell centroids), with the
@@ -483,11 +528,11 @@ object VectorQueries {
   /** Replayed k-means training up to the FINAL assignment
     * `kfinal(vec_id, embedding, nrm, cell)` — shared prefix of the
     * trained-IVF chain and the semantic-dedup oracle. */
-  private val kmTrainedCte: String =
+  private def kmTrainedCteFor(pred: String): String =
     s"""kme AS (
        |  SELECT vec_id, embedding,
        |    ${sqlDot("embedding", "embedding")} AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $pred),
        |kseeds AS (
        |  SELECT cell, embedding AS centroid, nrm FROM (
        |    SELECT embedding, nrm, ROW_NUMBER() OVER (
@@ -495,6 +540,8 @@ object VectorQueries {
        |    FROM kme) WHERE cell <= $KmC),
        |$kmRoundCtes,
        |${kmAssignCte("kfinal", s"kcent$KmIters")}""".stripMargin
+
+  private val kmTrainedCte: String = kmTrainedCteFor("TRUE")
 
   private val kmScoredCte: String =
     s"""$kmTrainedCte,
@@ -662,6 +709,34 @@ object VectorQueries {
          |    SELECT 1 FROM sd_pairs p WHERE p.dup_id = k.vec_id)
          |    THEN 0 ELSE 1 END AS BIGINT) AS keep
          |FROM kfinal k""".stripMargin,
+    // Incremental semantic dedup: train on the corpus split only, assign
+    // the batch against the FROZEN kcent centroids (basg MATERIALIZED —
+    // referenced 3x, and DuckDB 1.0 inlines every multi-referenced CTE,
+    // which would replay the whole k-means chain per reference), then
+    // the same local-minimum EXISTS restricted to batch rows over
+    // corpus ∪ batch.
+    "sim_semantic_dedup_incr" ->
+      s"""WITH ${kmTrainedCteFor("vec_id % 5 <> 0")},
+         |kmb AS (
+         |  SELECT vec_id, embedding,
+         |    ${sqlDot("embedding", "embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |${kmAssignCte("basg", s"kcent$KmIters", "kmb", materialized = true)},
+         |sd_pool AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM kfinal
+         |  UNION ALL
+         |  SELECT vec_id, embedding, nrm, cell FROM basg),
+         |sd_dups AS (
+         |  SELECT DISTINCT b.vec_id AS dup_id
+         |  FROM basg b JOIN sd_pool a
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosN(sqlDot("a.embedding", "b.embedding"),
+                            "a.nrm", "b.nrm")} >= 0.4)
+         |SELECT b.vec_id, CAST(b.cell AS INTEGER) AS cell,
+         |  CAST(CASE WHEN EXISTS (
+         |    SELECT 1 FROM sd_dups p WHERE p.dup_id = b.vec_id)
+         |    THEN 0 ELSE 1 END AS BIGINT) AS keep
+         |FROM basg b""".stripMargin,
     "sim_ivf_trained_recall" ->
       s"""WITH $kmScoredCte,
          |approx AS (

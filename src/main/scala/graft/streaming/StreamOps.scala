@@ -111,7 +111,11 @@ object StreamOps {
     * the inner join — the standard closed-vocab convention; widen with
     * a left join + OOV smoothing constant if the stream drifts. */
   def scoreStream(docs: DataFrame, lp: DataFrame, lnTV6: Double): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // the ONE tokenizer (TextOps.tokenize), not a re-spelled split: the
+    // bit-identical-to-batch contract would otherwise depend on two
+    // copies staying in sync (ADVICE r7)
+    docs.select(col("doc_id"),
+                explode(graft.operators.TextOps.tokenize(col("text"))).as("w"))
       .join(broadcast(lp), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s6"))
@@ -178,12 +182,25 @@ object StreamOps {
                     orderCol: String): DataFrame = {
     val u = prev.unionByName(batch)
     // Deterministic total order: equal-orderCol ties break on a content
-    // hash over every column (name-sorted), so replayed merges produce
-    // the SAME surviving row regardless of union/partition order — the
-    // idempotent-replay contract needs a total order, not just orderCol.
-    // (Fully identical duplicate rows hash equal; either survivor is the
-    // same row, so the snapshot is still deterministic.)
-    val tieBreak = xxhash64(u.columns.sorted.map(col): _*)
+    // hash over every HASHABLE column (name-sorted), so replayed merges
+    // produce the SAME surviving row regardless of union/partition order
+    // — the idempotent-replay contract needs a total order, not just
+    // orderCol. Map-typed columns are excluded: Spark disallows hashing
+    // MapType (spark.sql.legacy.allowHashOnMapType), so including one
+    // would fail at analysis (ADVICE r7); rows identical on every
+    // hashable column tie, and either survivor is then the same row for
+    // snapshot purposes unless they differ ONLY in a map column — the
+    // documented restriction of this sink.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = u.columns.sorted.filter(c => hashable(u.schema(c).dataType))
+    val tieBreak =
+      if (hashCols.nonEmpty) xxhash64(hashCols.map(col): _*) else lit(0L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc, tieBreak.asc)

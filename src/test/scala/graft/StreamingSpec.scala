@@ -453,6 +453,55 @@ class StreamingSpec extends SparkSpec {
     assert(r1 == r2 && r1 == r3, s"tie survivor must not depend on order: $r1 $r2 $r3")
   }
 
+  test("incremental semantic dedup over a stream equals one batch recompute") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    // corpus on the x/y axes; the stream delivers ascending-id batches:
+    // 10 near-dups corpus 0 (drop), 11 is novel (keep), 12 near-dups 11
+    // FROM THE PREVIOUS BATCH (drop — proves the pool grows), 13 novel
+    val corpus = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+                     (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((10L, Array(0.99f, 0.01f, 0.0f)),
+                     (11L, Array(0.0f, 0.5f, 0.5f)))
+    val batch2 = Seq((12L, Array(0.0f, 0.51f, 0.49f)),
+                     (13L, Array(0.0f, 0.0f, 1.0f)))
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 1)
+      .localCheckpoint()
+    var pool = Similarity.assignCells(corpus, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    val decisions = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[VecRow]
+    val q = mem.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val asg = Similarity.assignCells(b, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        decisions ++= Similarity.semanticDedupIncrement(
+            pool, asg, "vec_id", "embedding", "cell", 0.95)
+          .select($"vec_id", $"keep").as[(Long, Long)].collect()
+        // ALL seen vectors join the pool (the local-minimum EXISTS ranges
+        // over dropped vectors too — exactly as in one big recompute)
+        pool = pool.unionByName(asg).localCheckpoint()
+        ()
+      }.start()
+    try {
+      mem.addData(batch1.map(v => VecRow(v._1, v._2)): _*)
+      q.processAllAvailable()
+      mem.addData(batch2.map(v => VecRow(v._1, v._2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = corpus.unionByName((batch1 ++ batch2).toDF("vec_id", "embedding"))
+    val recompute = Similarity.semanticDedup(
+        Similarity.assignCells(all, "vec_id", "embedding", cents),
+        "vec_id", "embedding", "cell", 0.95)
+      .filter($"vec_id" >= 10)
+      .select($"vec_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(decisions.toMap == recompute)
+    assert(decisions.toMap == Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("Trigger.AvailableNow drains the backlog, stops, and resumes from offsets") {
     val base = java.nio.file.Files.createTempDirectory("graft_availnow").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
@@ -484,3 +533,6 @@ class StreamingSpec extends SparkSpec {
 /** Top-level row type for the upsert spec (nested case classes break
   * encoder derivation / whole-stage codegen — round-1 gotcha). */
 case class UpsertRow(k: Long, v: String, seq: Long)
+
+/** Top-level row type for the incremental-semantic-dedup stream spec. */
+case class VecRow(vec_id: Long, embedding: Array[Float])

@@ -142,6 +142,30 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(split.values.forall(_ == 1L), "cell blocking must gate the pair join")
   }
 
+  test("semanticDedupIncrement equals full recompute restricted to the batch") {
+    // frozen quantizer trained on the corpus split; incremental decisions
+    // for the batch must be bit-identical to one recompute over the
+    // union under the same centroids (the contract that makes the
+    // streaming twin safe)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 8, 1)
+      .localCheckpoint()
+    val incr = Similarity.semanticDedupIncrement(
+        Similarity.assignCells(corpus, "vec_id", "embedding", cents),
+        Similarity.assignCells(batch, "vec_id", "embedding", cents),
+        "vec_id", "embedding", "cell", 0.4)
+      .select($"vec_id", $"keep").as[(Long, Long)].collect().toMap
+    val full = Similarity.semanticDedup(
+        Similarity.assignCells(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", "cell", 0.4)
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(incr.nonEmpty && incr == full)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("probeMasks: exact Hamming-ball enumeration") {
     val m0 = Similarity.probeMasks(8, 0)
     assert(m0 == Seq(0), "flips=0 is just the identity probe")
