@@ -164,6 +164,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard")))
   }
 
+  /** ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    * distinct n-gram shingle sets (Broder's containment measure, the
+    * companion of resemblance in "On the resemblance and containment of
+    * documents", 1997). This is the quote-inclusion / boilerplate-
+    * wrapping detector symmetric Jaccard misses: a short document fully
+    * embedded in a long one has containment 1.0 but Jaccard ≈
+    * |A|/|B| → 0, so a resemblance threshold never fires. Output is
+    * DIRECTED — one row per ordered (contained, container) pair with
+    * containment ≥ `minContainment`; a near-identical pair passes in
+    * both directions.
+    *
+    * Same inverted-index shape (and the same shared pinned shingle set)
+    * as [[jaccardPairs]]: shuffle on the shingle, only co-occurring
+    * ordered pairs materialize, hot shingles capped by `maxShingleDf`
+    * (documented lossy stop-shingle bound — identical caveat). The
+    * directed join emits both orders from one shuffle (no union, no
+    * second scan); containment is one int/int double division —
+    * bit-exact cross-engine. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.8,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val docShingles = shingleSet(df, idCol, textCol, shingleN)
+    val sizes = docShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val hot = docShingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxShingleDf)
+      .select(col("shingle"))
+    val filtered = reused(
+      docShingles.join(broadcast(hot), Seq("shingle"), "left_anti"))
+    filtered.select(col(idCol).as("contained_id"), col("shingle"))
+      .join(filtered.select(col(idCol).as("container_id"), col("shingle")),
+            Seq("shingle"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col(idCol).as("contained_id"), col("sz")),
+            Seq("contained_id"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("sz"))
+      .filter(col("containment") >= minContainment)
+      .select(col("contained_id"), col("container_id"), col("n_common"),
+              col("containment"))
+  }
+
   /** Duplicate clusters: connected components over a candidate-pair edge
     * list, labeling every member with the component's minimum id —
     * the step that turns pairwise dedup output into keep-one-per-cluster

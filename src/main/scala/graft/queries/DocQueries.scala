@@ -220,6 +220,11 @@ object DocQueries {
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Directed containment pairs C(A→B) = |A∩B|/|A| ≥ 0.8 — the
+    * quote-inclusion detector (see [[Dedup.containmentPairs]]). */
+  def dedupContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+
   /** Exact threshold-Jaccard join (t = 0.6) via prefix filtering — the
     * lossless scale path (no stop-shingle cap, no missed pairs); the
     * oracle replays the full all-pairs threshold join. */
@@ -842,6 +847,7 @@ object DocQueries {
     "text_repetition"     -> (textRepetition _),
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
+    "dedup_containment_pairs" -> (dedupContainmentPairs _),
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
@@ -894,6 +900,28 @@ object DocQueries {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""".stripMargin
+
+  /** Directed containment twin of [[jaccardPairsSql]] (same shingle
+    * index and stop-shingle cap; ordered pairs, divide by the contained
+    * side's size only). */
+  private val containmentPairsSql: String =
+    s"""WITH docsh AS (
+       |  SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM docsh GROUP BY 1),
+       |sdf AS (SELECT shingle, COUNT(*) AS c FROM docsh GROUP BY 1),
+       |filtered AS (
+       |  SELECT doc_id, docsh.shingle FROM docsh
+       |  JOIN sdf ON docsh.shingle = sdf.shingle WHERE sdf.c <= 1000),
+       |common AS (
+       |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       |    COUNT(*) AS n_common
+       |  FROM filtered a JOIN filtered b ON a.shingle = b.shingle
+       |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT contained_id, container_id, n_common,
+       |  CAST(n_common AS DOUBLE) / s.sz AS containment
+       |FROM common JOIN sizes s ON s.doc_id = contained_id
+       |WHERE CAST(n_common AS DOUBLE) / s.sz >= 0.8""".stripMargin
 
   private def bandsSqlFrom(src: String): String =
     (0 until MinHashK / RowsPerBand).map { b =>
@@ -1376,6 +1404,7 @@ object DocQueries {
          |  UNION
          |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_simhash_pairs" ->
       s"""WITH sk AS (SELECT doc_id, $simHashSql AS sh FROM documents),
          |banded AS (

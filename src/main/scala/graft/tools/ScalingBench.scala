@@ -106,7 +106,38 @@ object ScalingBench {
           // modular checksum: raw 60-bit mins would overflow an ANSI
           // BIGINT sum after a few hundred thousand rows
           .agg(sum(col("h") % lit(1000003L)).as("chk"),
-               count(lit(1)).as("n")))
+               count(lit(1)).as("n"))),
+      // BPE ENCODE corpus half over 512x documents: tokenize + explode +
+      // word-count shuffle is the part that grows with corpus bytes (the
+      // merge fold is vocab-bound BY DESIGN — replication leaves distinct
+      // words unchanged, exactly as 100 TB of corpus leaves a 30k vocab
+      // unchanged); fixed literal merge list = a shipped tokenizer
+      "scaled_bpe_encode" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TextOps.bpeEncodeStats(
+          rep(Tables.documents(s, dir), 512), "text",
+          Seq("v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
+              "r" -> "e", "c" -> "o", "re" -> "c", "co" -> "r",
+              "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n"))),
+      // SemDeDup cell-scoring kernel over 4096x embeddings: every vector
+      // against the broadcast trained centroids (codegen'd cosine), the
+      // map-side half that dominates semantic dedup at corpus scale;
+      // training runs once on the 1x corpus (quantizers don't grow with
+      // the stream — the frozen-centroid contract of
+      // Similarity.semanticDedupIncrement)
+      "scaled_semdedup" -> ((s: SparkSession, dir: String) => {
+        graft.functions.VectorFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cents = graft.operators.Similarity.kmeansCentroids(
+          emb, "vec_id", "embedding", 8, 1)
+        rep(emb.select(col("vec_id"), col("embedding")), 4096)
+          .crossJoin(broadcast(cents))
+          .select(col("cell"),
+            graft.functions.VectorFunctions
+              .cosineSim(col("embedding"), col("centroid")).as("cs"))
+          .groupBy(col("cell"))
+          .agg(count(when(col("cs") >= 0.4, 1)).as("n_near"),
+               count(lit(1)).as("n_scored"))
+      })
     )
 
   def main(args: Array[String]): Unit = {

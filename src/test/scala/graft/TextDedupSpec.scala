@@ -173,6 +173,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment: embedded quote fires one direction, Jaccard misses it") {
+    // doc 11 is doc 10's text wrapped in boilerplate: containment(11→10
+    // direction) is 1.0 while Jaccard is low — the asymmetric case the
+    // resemblance threshold never surfaces
+    val quote = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "prefix words here alpha beta gamma delta epsilon suffix " +
+            "tail words continue onward further still"),
+      (12L, "unrelated content entirely different words")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(quote, "doc_id", "text",
+                                   minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(c((10L, 11L)) == 1.0, "all of 10's trigrams appear in 11")
+    assert(!c.contains((11L, 10L)), "reverse direction is far below 0.5")
+    assert(!c.keys.exists { case (a, b) => a == 12L || b == 12L })
+    val j = Dedup.jaccardPairs(quote, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(j.isEmpty, "symmetric Jaccard at the same threshold finds nothing")
+    // exact dup passes in BOTH directions at 1.0
+    val both = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(both((1L, 4L)) == 1.0 && both((4L, 1L)) == 1.0)
+  }
+
   test("minhash LSH surfaces exact and near dups as candidates") {
     val cand = Dedup.minHashCandidatePairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
