@@ -225,6 +225,34 @@ object DocQueries {
   def dedupContainmentPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Dedup METHOD-AGREEMENT matrix — the QA report a pipeline owner
+    * reads before trusting a cheap sketch family: for every unordered
+    * candidate pair surfaced by ANY of exact-Jaccard (≥ 0.5),
+    * MinHash-LSH banding, or SimHash nibble banding, which subset of
+    * the three methods surfaced it (2³ membership combinations →
+    * pair counts). High jaccard-only counts mean the sketches miss
+    * real dups (recall gap); high minhash-only counts quantify LSH
+    * false-candidate rate. All three pair tables are already
+    * oracle-exact and PlanCache/prewarm-shared, so this is two
+    * full-outer joins over small pair tables plus a tiny rollup —
+    * nothing rescans text at any scale. */
+  def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_jaccard"))
+    val m = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+                                        ShingleN, MinHashK, RowsPerBand)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_minhash"))
+    val sh = Dedup.simHashPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_simhash"))
+    j.join(m, Seq("doc_a", "doc_b"), "full_outer")
+      .join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .groupBy(coalesce(col("in_jaccard"), lit(0L)).as("in_jaccard"),
+               coalesce(col("in_minhash"), lit(0L)).as("in_minhash"),
+               coalesce(col("in_simhash"), lit(0L)).as("in_simhash"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact threshold-Jaccard join (t = 0.6) via prefix filtering — the
     * lossless scale path (no stop-shingle cap, no missed pairs); the
     * oracle replays the full all-pairs threshold join. */
@@ -848,6 +876,7 @@ object DocQueries {
     "dedup_jaccard_pairs" -> (dedupJaccardPairs _),
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "dedup_containment_pairs" -> (dedupContainmentPairs _),
+    "dedup_method_agreement" -> (dedupMethodAgreement _),
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
@@ -1405,6 +1434,42 @@ object DocQueries {
          |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "dedup_containment_pairs" -> containmentPairsSql,
+    // Method-agreement rollup over the three pair sets. Every pair CTE
+    // is MATERIALIZED: each is referenced from the chained FULL JOIN
+    // and DuckDB 1.0 inlines multi-referenced CTEs (the jaccard chain
+    // would otherwise replay per reference — CLAUDE.md).
+    "dedup_method_agreement" ->
+      s"""WITH jp AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, 1 AS in_jaccard FROM ($jaccardPairsSql) jpx),
+         |sigs AS ($sigsSql),
+         |bands AS ($bandsSql),
+         |mp AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    1 AS in_minhash
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id),
+         |sk AS (SELECT doc_id, $simHashSql AS sh FROM documents),
+         |sbanded AS (
+         |  ${(0 until 4).map(b =>
+               s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 4}) & 15 AS nib FROM sk")
+              .mkString("\n  UNION ALL\n  ")}),
+         |sp AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, 1 AS in_simhash FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      bit_count(xor(a.sh, b.sh)) AS hamming
+         |    FROM sbanded a JOIN sbanded b
+         |      ON a.band = b.band AND a.nib = b.nib
+         |    WHERE a.doc_id < b.doc_id) spx
+         |  WHERE hamming <= 3)
+         |SELECT CAST(COALESCE(in_jaccard, 0) AS BIGINT) AS in_jaccard,
+         |  CAST(COALESCE(in_minhash, 0) AS BIGINT) AS in_minhash,
+         |  CAST(COALESCE(in_simhash, 0) AS BIGINT) AS in_simhash,
+         |  COUNT(*) AS n_pairs
+         |FROM jp
+         |FULL OUTER JOIN mp USING (doc_a, doc_b)
+         |FULL OUTER JOIN sp USING (doc_a, doc_b)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH sk AS (SELECT doc_id, $simHashSql AS sh FROM documents),
          |banded AS (

@@ -13,6 +13,29 @@ class PipelineQuerySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("method agreement partitions the union of candidate pairs") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val rows = DocQueries.dedupMethodAgreement(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(!rows.contains((0L, 0L, 0L)), "a pair no method surfaced cannot exist")
+    // the 2^3-1 cells partition the union: totals must reconcile exactly
+    val union = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(Dedup.minHashCandidatePairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")))
+      .unionByName(Dedup.simHashPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b")))
+      .distinct().count()
+    assert(rows.values.sum == union)
+    // the fixture seeds exact duplicates: all three methods must agree
+    // on at least those
+    assert(rows.getOrElse((1L, 1L, 1L), 0L) > 0L,
+      "exact dups are candidates of every method")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("pipeRedact leaves no policy matches in the redacted text") {
     val masked = graft.sources.Tables.documents(spark, dir)
       .select(regexp_replace($"text", DocQueries.RedactPattern, "[PII]")
