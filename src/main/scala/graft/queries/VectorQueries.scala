@@ -24,6 +24,10 @@ object VectorQueries {
   private def sqlDot(a: String, b: String): String =
     (1 to Dims).map(i => s"CAST($a[$i] AS DOUBLE)*$b[$i]").mkString(" + ")
 
+  /** [[sqlDot]] over the first k dims only (Matryoshka truncation). */
+  private def sqlDotK(a: String, b: String, k: Int): String =
+    (1 to k).map(i => s"CAST($a[$i] AS DOUBLE)*$b[$i]").mkString(" + ")
+
   /** PQ layout constants — single source for Spark call + oracle SQL. */
   private val PqM = 4
   private val PqSubDims = Dims / PqM
@@ -284,6 +288,54 @@ object VectorQueries {
                          "label", queryPred, 3), 3)
   }
 
+  /** Matryoshka truncation dims — single source for the Spark slice and
+    * the oracle's k-term dot expansion. */
+  private val MrlDims = 16
+
+  /** Matryoshka (MRL) truncation eval: recall@3 of exact cosine over
+    * the FIRST [[MrlDims]] dims against the full-[[Dims]] brute-force
+    * truth — the "how much answer quality do prefix-truncated
+    * embeddings keep" measurement (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — public). Pure map-side
+    * slice + the same broadcast brute-force shape as the other recall
+    * rows; at scale this is the cheap first stage of an MRL funnel
+    * (score everything at 16 dims, rescore survivors at 64). */
+  def simMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val trunc = Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("embedding"))
+    recallAgainstTruth(s, dir,
+      Similarity.bruteForceTopK(trunc, "vec_id", "embedding", queryPred, 3), 3)
+  }
+
+  /** MRL FUNNEL serving path: stage 1 ranks the corpus by the cheap
+    * [[MrlDims]]-dim cosine and keeps `funnelK` candidates per query;
+    * stage 2 rescores ONLY those with the full-[[Dims]] cosine and
+    * returns top-3 — the standard truncate-then-rescore architecture
+    * (4× less stage-1 arithmetic and memory traffic; at scale stage 1
+    * reads a 16-dim column family, never the full vectors). Output
+    * schema matches the other `sim_topk_*` rows. */
+  def simMrlFunnel(s: SparkSession, dir: String,
+                   funnelK: Int = 20): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val trunc = emb
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("embedding"))
+    val cand = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+                                         queryPred, funnelK)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val rescored = cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+                       col("embedding").as("cvec")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    graft.operators.Relational.topKPerGroup(rescored, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id").asc), 3, "rank")
+  }
+
   /** Trained-quantizer constants — single source for the Spark call and
     * the oracle's replayed k-means (cells, Lloyd iterations). One Lloyd
     * round, not two: each replayed round costs the oracle an assignment
@@ -397,6 +449,8 @@ object VectorQueries {
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
+    "sim_matryoshka_recall"  -> (simMatryoshkaRecall _),
+    "sim_mrl_funnel"         -> ((s: SparkSession, d: String) => simMrlFunnel(s, d)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -644,6 +698,63 @@ object VectorQueries {
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |  WHERE rank <= 3),
          |${bruteTruthCte("embn")}
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
+    // MRL funnel: stage-1 rank by the first-MrlDims cosine keeps 20
+    // candidates/query; stage-2 reranks those by the full-Dims cosine.
+    "sim_mrl_funnel" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |             ${sqlDot("embedding", "embedding")} AS nrm,
+         |             ${sqlDotK("embedding", "embedding", MrlDims)} AS mnrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+         |             mnrm AS qmnrm
+         |      FROM m WHERE $QueryPredSql),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCosN(sqlDotK("q.qv", "e.embedding", MrlDims),
+                                     "q.qmnrm", "e.mnrm")} DESC,
+         |                 e.vec_id ASC) AS crank
+         |    FROM m e, q WHERE e.vec_id <> q.query_id) cx
+         |  WHERE crank <= 20),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${sqlCosN(sqlDot("q.qv", "e.embedding"),
+                        "q.qnrm", "e.nrm")} AS cosine
+         |  FROM cand c
+         |  JOIN m e ON e.vec_id = c.neighbor_id
+         |  JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM rescored)
+         |WHERE rank <= 3""".stripMargin,
+    // Matryoshka recall: truth over all Dims, approx ranks by the
+    // first-MrlDims cosine (hoisted truncated norms, same tie-break).
+    "sim_matryoshka_recall" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |             ${sqlDot("embedding", "embedding")} AS nrm,
+         |             ${sqlDotK("embedding", "embedding", MrlDims)} AS mnrm
+         |           FROM embeddings),
+         |${bruteTruthCte("m")},
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCosN(sqlDotK("q.qv", "e.embedding", MrlDims),
+                                     "q.qmnrm", "e.mnrm")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM m e, (SELECT vec_id AS query_id, embedding AS qv,
+         |               mnrm AS qmnrm FROM m WHERE $QueryPredSql) q
+         |    WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 3)
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hits,

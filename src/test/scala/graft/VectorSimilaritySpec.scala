@@ -142,6 +142,46 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(split.values.forall(_ == 1L), "cell blocking must gate the pair join")
   }
 
+  test("matryoshka truncation recall: one row per query, bounded, full width exact") {
+    val rows = graft.queries.VectorQueries
+      .simMatryoshkaRecall(spark, "/root/testdata/sf0.001")
+      .select($"query_id", $"n_hits", $"recall_at_k")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 16, "one recall row per query vector")
+    assert(rows.forall { case (_, h, r) =>
+      h >= 0 && h <= 3 && r == h / 3.0 })
+    // slicing the FULL width is the identity: approx ≡ truth, recall 1.0
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Similarity.bruteForceTopK(
+      emb.select($"vec_id", slice($"embedding", 1, 64).as("embedding")),
+      "vec_id", "embedding", $"vec_id" < 16, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+                                          $"vec_id" < 16, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == truth)
+  }
+
+  test("MRL funnel: exhaustive funnel recovers brute force exactly") {
+    // funnelK ≥ corpus makes stage 1 lossless, so stage 2 must reproduce
+    // the brute-force top-3 bit-for-bit — pins the rescoring arithmetic
+    val dir = "/root/testdata/sf0.001"
+    val full = graft.queries.VectorQueries
+      .simMrlFunnel(spark, dir, funnelK = 10000)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", $"vec_id" < 16, 3)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == brute)
+    // the narrow funnel's answers must come from its own candidate set
+    val narrow = graft.queries.VectorQueries.simMrlFunnel(spark, dir)
+      .groupBy($"query_id").count().as[(Long, Long)].collect()
+    assert(narrow.forall(_._2 == 3), "3 answers per query after rescoring")
+  }
+
   test("semanticDedupIncrement equals full recompute restricted to the batch") {
     // frozen quantizer trained on the corpus split; incremental decisions
     // for the batch must be bit-identical to one recompute over the
