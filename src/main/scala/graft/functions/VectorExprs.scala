@@ -121,6 +121,72 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cosine(a, b) over array<double> — identical formula and fold order
+  * to [[CosineSimilarityFloat]], for vectors that are COMPUTED in
+  * double (dequantized int8 reconstructions) rather than stored float:
+  * routing those through the float expr would round each element and
+  * silently score different vectors than the oracle replays. */
+case class CosineSimilarityDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "cosine_sim_d"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Registration + Column-API surface (via the public FunctionRegistry /
   * `call_function` route; also injectable through
   * [[graft.plans.GraftExtensions]] for `--conf spark.sql.extensions`). */
@@ -128,6 +194,7 @@ object VectorFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_product_f" -> (es => DotProductFloat(es(0), es(1))),
     "cosine_sim" -> (es => CosineSimilarityFloat(es(0), es(1))),
+    "cosine_sim_d" -> (es => CosineSimilarityDouble(es(0), es(1))),
   )
 
   /** Idempotent session-local registration. */
@@ -138,4 +205,5 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product_f", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def cosineSimD(a: Column, b: Column): Column = call_function("cosine_sim_d", a, b)
 }

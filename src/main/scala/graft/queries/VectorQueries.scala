@@ -292,6 +292,49 @@ object VectorQueries {
     * the oracle's k-term dot expansion. */
   private val MrlDims = 16
 
+  /** INT8 quantization recall: recall@3 of cosine over the
+    * DEQUANTIZED int8 reconstruction (the exact per-dim min/max affine
+    * code of [[simQuantize]], decoded back) against the full-precision
+    * truth — the end-task answer to "what does 4× compression cost",
+    * completing the eval triad beside [[simIvfPqRecall]] (PQ) and
+    * [[simMatryoshkaRecall]] (truncation). Every step is deterministic
+    * double arithmetic already oracle-proven in `sim_quantize`
+    * (non-negative half-up round, affine reconstruct); scoring uses the
+    * codegen'd array<double> cosine (`cosine_sim_d`) so reconstruction
+    * bits are never narrowed to float. */
+  def simInt8Recall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val xs = graft.operators.PlanCache.reuse(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+              col("x").cast("double").as("xd")))
+    val stats = xs.groupBy(col("dim"))
+      .agg(min(col("xd")).as("min_x"), max(col("xd")).as("max_x"))
+    val dq = xs.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("max_x") > col("min_x"),
+          round((col("xd") - col("min_x")) /
+                (col("max_x") - col("min_x")) * 255.0))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("dim"),
+        (col("min_x") + col("code") / 255.0 *
+          (col("max_x") - col("min_x"))).as("dq"))
+    val vecs = graft.operators.PlanCache.reuse(dq.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("dq")))),
+                     x => x.getField("dq")).as("demb")))
+    val queries = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("demb").as("qv"))
+    val scored = vecs
+      .select(col("vec_id").as("neighbor_id"), col("demb").as("cv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              VectorFunctions.cosineSimD(col("qv"), col("cv")).as("cosine"))
+    recallAgainstTruth(s, dir,
+      graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 3, "rank"), 3)
+  }
+
   /** Matryoshka (MRL) truncation eval: recall@3 of exact cosine over
     * the FIRST [[MrlDims]] dims against the full-[[Dims]] brute-force
     * truth — the "how much answer quality do prefix-truncated
@@ -451,6 +494,7 @@ object VectorQueries {
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
     "sim_matryoshka_recall"  -> (simMatryoshkaRecall _),
     "sim_mrl_funnel"         -> ((s: SparkSession, d: String) => simMrlFunnel(s, d)),
+    "sim_int8_recall"        -> (simInt8Recall _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -697,6 +741,54 @@ object VectorQueries {
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |  WHERE rank <= 3),
+         |${bruteTruthCte("embn")}
+         |SELECT t.query_id,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY t.query_id""".stripMargin,
+    // INT8 recall: replayed per-dim affine quantize→dequantize (the
+    // sim_quantize arithmetic), cosine over the reconstructed double
+    // lists (hoisted norms; sqlDot's CAST is an identity on DOUBLE
+    // elements), recall vs the full-precision truth. vecs MATERIALIZED:
+    // referenced from both scoring sides.
+    "sim_int8_recall" ->
+      s"""WITH i8xs AS (
+         |  SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS xd
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER)
+         |              AS d)),
+         |i8stats AS (
+         |  SELECT dim, MIN(xd) AS min_x, MAX(xd) AS max_x
+         |  FROM i8xs GROUP BY 1),
+         |i8dq AS (
+         |  SELECT vec_id, i8xs.dim,
+         |    min_x + (CASE WHEN max_x > min_x
+         |                  THEN round((xd - min_x) / (max_x - min_x) * 255.0)
+         |                  ELSE 0.0 END) / 255.0 * (max_x - min_x) AS dq
+         |  FROM i8xs JOIN i8stats ON i8xs.dim = i8stats.dim),
+         |i8vecs AS MATERIALIZED (
+         |  SELECT vec_id, list(dq ORDER BY dim) AS demb
+         |  FROM i8dq GROUP BY 1),
+         |i8n AS (
+         |  SELECT vec_id, demb, ${sqlDot("demb", "demb")} AS nrm
+         |  FROM i8vecs),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCosN(sqlDot("q.qv", "e.demb"),
+                                     "q.qnrm", "e.nrm")} DESC,
+         |                 e.vec_id ASC) AS rank
+         |    FROM i8n e, (SELECT vec_id AS query_id, demb AS qv,
+         |                        nrm AS qnrm
+         |                 FROM i8n WHERE $QueryPredSql) q
+         |    WHERE e.vec_id <> q.query_id) ax
+         |  WHERE rank <= 3),
+         |$embnCte,
          |${bruteTruthCte("embn")}
          |SELECT t.query_id,
          |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -65,6 +65,10 @@ class PlanGuardSpec extends SparkSpec {
                               //   with zero cells — the §2.3 cross-join row)
     "sim_topk_brute",         // labeled all-pairs correctness baseline
     "sim_neardup_pairs",      // labeled all-pairs correctness baseline
+    "sim_semantic_dedup_incr",// frozen k-means centroid broadcasts (c=8)
+    "sim_matryoshka_recall",  // 16-row query broadcast + truth side
+    "sim_mrl_funnel",         // 16-row query broadcast, both stages
+    "sim_int8_recall",        // 16-row dequantized-query broadcast + truth
   )
 
   test("no CartesianProduct anywhere; BNLJ only on the reviewed allowlist") {

@@ -162,6 +162,28 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(full == truth)
   }
 
+  test("int8 recall: one row per query, bounded; codegen double cosine = interpreted") {
+    val rows = graft.queries.VectorQueries
+      .simInt8Recall(spark, "/root/testdata/sf0.001")
+      .select($"query_id", $"n_hits", $"recall_at_k")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 16)
+    assert(rows.forall { case (_, h, r) => h >= 0 && h <= 3 && r == h / 3.0 })
+    // 255 codes per dim is fine-grained: quantization must not destroy
+    // ranking wholesale (mean recall well above the ~3/500 random floor)
+    assert(rows.map(_._3).sum / rows.length > 0.5,
+      "int8 reconstruction lost most of the top-3 ranking")
+    // the double-cosine expr agrees between codegen and interpreted eval
+    val a = Seq((1L, Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+      .toDF("id", "x", "y")
+    val viaExpr = a.select(
+      graft.functions.VectorFunctions.cosineSimD($"x", $"y").as("c"))
+      .as[Double].head()
+    val expect = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(viaExpr == expect)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("MRL funnel: exhaustive funnel recovers brute force exactly") {
     // funnelK ≥ corpus makes stage 1 lossless, so stage 2 must reproduce
     // the brute-force top-3 bit-for-bit — pins the rescoring arithmetic
