@@ -353,21 +353,25 @@ object Dedup {
     val strShingles = shingleSet(df, idCol, textCol, shingleN)
     val docShingles = reused(
       strShingles.select(col(idCol), xxhash64(col("shingle")).as("shingle")))
-    val sizes = reused(
-      strShingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val sdf = docShingles.groupBy(col("shingle"))
       .agg(count(lit(1)).as("sdf"))
     // rank within doc by (global frequency, shingle); per-doc windows are
-    // bounded by document length, so the sort is small and local.
-    // prefixes and sizes are persisted: each is read from 2-3 plan
-    // subtrees (both self-join sides / both pair endpoints), and an
-    // unpersisted branch re-runs the join+window chain per reference.
+    // bounded by document length, so the sort is small and local. The
+    // set size rides along as a SECOND window over the same partitioning
+    // (count over the unordered doc partition — one exchange serves
+    // both), instead of a separate groupBy + join: that sizes table used
+    // to cost one shuffle here and two more joins at the end, three
+    // exchanges whose ~0.3-1 s driver barriers dominated this operator
+    // at fixture scale. prefixes is persisted: it is read from both
+    // self-join sides, and an unpersisted branch re-runs the join+window
+    // chain per reference.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("sdf").asc, col("shingle").asc)
+    val wsz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val prefixes = reused(docShingles
       .join(sdf, "shingle")
       .withColumn("pos", row_number().over(w))
-      .join(sizes, idCol)
+      .withColumn("sz", count(lit(1)).over(wsz))
       .filter(col("pos") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
       .select(col(idCol), col("shingle"), col("sz")))
     // PPJoin length bound: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
@@ -376,6 +380,8 @@ object Dedup {
     // intersection expansion below (measured: ~40% of size-random pairs
     // fail the bound at t=0.5 on the fixture). Output-neutral: every
     // pruned pair would fail the final jaccard ≥ t filter anyway.
+    // Sizes stay ON the pair rows through the distinct (functionally
+    // dependent on the doc ids) so the final jaccard needs no size join.
     val candidates = prefixes
       .select(col(idCol).as("doc_a"), col("shingle"), col("sz").as("sz_a"))
       .join(prefixes.select(col(idCol).as("doc_b"), col("shingle"),
@@ -383,19 +389,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
               least(col("sz_a"), col("sz_b")) >=
                 lit(minJaccard) * greatest(col("sz_a"), col("sz_b")))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .distinct()
     // intersection count via equi-join on (doc, shingle) — expanding a
     // pair to A-shingles then equi-matching B's postings keeps the work
     // |A∩B| + |A|, never the |A|·|B| cross product
-    val common = candidates
+    candidates
       .join(docShingles.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(docShingles.select(col(idCol).as("doc_b"), col("shingle")),
             Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")))
