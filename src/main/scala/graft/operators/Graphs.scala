@@ -469,4 +469,78 @@ object Graphs {
     }
     dist
   }
+
+  /** k-core peeling: `rounds` synchronous iterations of (count degrees →
+    * keep nodes with degree ≥ k → keep edges with both endpoints kept)
+    * over an undirected simple graph — the cohesion filter graph-based
+    * corpus curation uses to drop weakly-connected spam clusters.
+    * Output: the surviving nodes with the degree the final gate tested
+    * (their degree in the last round's INPUT subgraph). A fixed round
+    * count is the cross-engine contract (the DuckDB twin unrolls the
+    * same rounds); once a round deletes nothing the loop is at its
+    * fixpoint and the remaining rounds are provably no-ops, so the
+    * engine exits early without changing the result.
+    *
+    * Scale shape: the [[ccStarLong]] RDD core pattern — one pinned
+    * HashPartitioner self-sized from the observed edge count; per round
+    * the degree count and the src-side filter are narrow (co-
+    * partitioned reduce/join) and only the dst-side re-key shuffles, so
+    * a round costs ONE shuffle and no AQE replan barriers (the measured
+    * dominant cost of DataFrame loops — CLAUDE.md round-7). Peak state
+    * is the (shrinking) symmetric edge list; nothing is ever collected
+    * to the driver. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // symmetric + DISTINCT view: duplicate and reversed input edges
+    // collapse (both expand to the same two directed copies), so degrees
+    // count distinct neighbors; self-loops are dropped
+    val raw = edges
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.empty else Iterator((a, b), (b, a)) }
+      .distinct(sc.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSym = raw.count()
+    val part = new HashPartitioner(
+      math.min(sc.defaultParallelism.toLong, nSym / 65536L + 1L).toInt.max(1))
+    var cur = raw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = cur.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .filter(_._2 >= k).persist(StorageLevel.MEMORY_AND_DISK)
+    var prevEdges = nSym
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
+      // src side narrow (co-partitioned), dst side = the round's one
+      // shuffle; result is keyed by dst = the symmetric set again
+      val kept = cur.join(alive, part).map { case (s, (d, _)) => (d, s) }
+      val next = kept.partitionBy(part).join(alive, part)
+        .mapValues { case (s, _) => s }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count() // convergence probe, one aggregate job
+      cur.unpersist(blocking = false)
+      cur = next
+      if (nNext == prevEdges) fixed = true // fixpoint: rest are no-ops
+      else if (r < rounds) {
+        val nextAlive = cur.mapValues(_ => 1L).reduceByKey(part, _ + _)
+          .filter(_._2 >= k).persist(StorageLevel.MEMORY_AND_DISK)
+        alive.unpersist(blocking = false)
+        alive = nextAlive
+      }
+      prevEdges = nNext
+      r += 1
+    }
+    // survivors carry the degree the final gate tested (deg in the last
+    // round's input graph) — eager materialize before releasing state
+    val out = spark.createDataset(alive).toDF("node", "deg").localCheckpoint()
+    raw.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
+    alive.unpersist(blocking = false)
+    out
+  }
 }

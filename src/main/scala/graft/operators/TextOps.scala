@@ -224,6 +224,46 @@ object TextOps {
     (lp, tot)
   }
 
+  /** Bigram add-one LM fluency: per-document mean negative log-prob
+    * under p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) trained on the corpus — one
+    * conditioning order up from [[unigramNll]], the stronger CCNet-style
+    * fluency signal (word-salad text scores high even when its unigram
+    * distribution matches the corpus). Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Scale shape (100 TB): bigram extraction rides the one-pass native
+    * [[wordShingles]] expression (n = 2); the bigram-type table is
+    * vocab²-bounded in principle but Zipf-bounded in practice (real
+    * corpora: ~10⁷-10⁸ types) and AQE picks the join strategy; the
+    * per-doc aggregate is one shuffle on the doc key.
+    *
+    * Determinism: per-TYPE log terms are quantized to the 1e-6 integer
+    * grid (the sanctioned transcendental rule) BEFORE any per-doc sum,
+    * so the float-dependent reduction is over exact integers — bit-
+    * stable under partitioning and identical in DuckDB. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val big = PlanCache.reuse(
+      df.select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg")))
+    val uni = PlanCache.reuse(
+      df.select(explode(tokenize(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val lp = big.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uni, col("w1") === col("w")).crossJoin(broadcast(v))
+      .select(col("bg"),
+        (round(log((col("cb") + lit(1)).cast("double")) * lit(1e6)).cast("long")
+          - round(log((col("cu") + col("v")).cast("double")) * lit(1e6))
+              .cast("long")).as("lp6"))
+    big.join(lp, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("s6"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-(col("s6").cast("double") / lit(1e6)) / col("n_bigrams"), 6)
+          .as("nll"))
+  }
+
   // ------------------------------------------------------- BPE training
 
   /** Byte-pair-encoding merge training over the corpus — the real

@@ -139,6 +139,100 @@ object DocQueries {
     TextOps.unigramNll(
       Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
 
+  /** Bigram-LM fluency scoring (see [[TextOps.bigramNll]]): per-doc
+    * mean NLL under an add-one bigram model trained on the corpus. */
+  def textBigramNll(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramNll(
+      Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** Gopher-style rule-based quality report (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 heuristics): per-source
+    * violation counts for the four rules the fixture corpus can
+    * exercise — mean word length in [3,10], document length ≥ 50
+    * tokens, ≥ 2 distinct English stopwords, duplicate-token fraction
+    * ≤ 0.4 — plus the all-rules-pass count and clean-permille rate.
+    * Every rule is evaluated in INTEGER arithmetic (the word-length
+    * band compares total chars against 3n/10n, the repetition bound
+    * cross-multiplies), so the hash compare never sees a float. One
+    * scan, map-side conditional counts, a tiny per-source rollup —
+    * at 100 TB this is the classic pre-filter pass that runs at scan
+    * speed. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokenize(col("text"))
+    val n = size(toks)
+    val wordChars = length(col("text")) - (n - lit(1))
+    val nDistinct = size(array_distinct(toks))
+    val stopDistinct = size(filter(array_distinct(toks),
+      t => array_contains(lit(TextOps.EnglishStopwords.toArray), t)))
+    val wordlenOk = wordChars >= n * lit(3) && wordChars <= n * lit(10)
+    val lenOk = n >= lit(50)
+    val stopOk = stopDistinct >= lit(2)
+    val repOk = (n - nDistinct) * lit(5) <= n * lit(2)
+    def fails(ok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(ok, 0L).otherwise(1L))
+    Tables.documents(s, dir)
+      .select(col("source"), wordlenOk.as("wl"), lenOk.as("lo"),
+              stopOk.as("so"), repOk.as("ro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           fails(col("wl")).as("n_wordlen_fail"),
+           fails(col("lo")).as("n_len_fail"),
+           fails(col("so")).as("n_stopword_fail"),
+           fails(col("ro")).as("n_repetition_fail"),
+           sum(when(col("wl") && col("lo") && col("so") && col("ro"), 1L)
+                 .otherwise(0L)).as("n_clean"))
+      .withColumn("clean_permille", expr("n_clean * 1000 DIV n_docs"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the mean per-token log importance ratio between a
+    * TARGET distribution (here the `lang = 'en'` slice) and the RAW
+    * corpus, over hashed unigram features (md5 → [[DsirBuckets]]
+    * buckets, add-one smoothed). High scores = looks like target data;
+    * the resampling step then keeps documents proportionally.
+    *
+    * Scale shape (100 TB): token bucketing is map-side; both bucket
+    * histograms are [[DsirBuckets]]-row aggregates that BROADCAST back
+    * onto the token stream; the per-doc aggregate is the one real
+    * shuffle. The target slice never needs a separate corpus pass — its
+    * histogram falls out of the same token stream, conditionally.
+    *
+    * Determinism: per-bucket log terms and the two corpus-constant logs
+    * are quantized to the 1e-6 integer grid (sanctioned transcendental
+    * rule); each doc's sum then runs over exact integers. */
+  val DsirBuckets = 64
+  def pipeDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    val tok = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+                explode(TextOps.tokenize(col("text"))).as("w"))
+        .withColumn("bkt",
+          conv(substring(md5(concat(lit("dsir|"), col("w"))), 1, 4), 16, 10)
+            .cast("long") % b))
+    val hist = tok.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cr"),
+           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val lp = hist.select(col("bkt"),
+      (round(log((col("ct") + lit(1)).cast("double")) * lit(1e6)).cast("long")
+        - round(log((col("cr") + lit(1)).cast("double")) * lit(1e6))
+            .cast("long")).as("diff6"))
+    val tot = hist.agg(
+      (round(log((sum(col("cr")) + lit(b)).cast("double")) * lit(1e6))
+         .cast("long")
+        - round(log((sum(col("ct")) + lit(b)).cast("double")) * lit(1e6))
+            .cast("long")).as("c6"))
+    tok.join(broadcast(lp), Seq("bkt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("diff6")).as("s6"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round((col("s6").cast("double") / lit(1e6)) / col("n_tokens")
+                + col("c6").cast("double") / lit(1e6), 6)
+          .as("avg_logratio"))
+  }
+
   /** BPE merge-table training steps and per-recount batch size run by
     * [[textBpeMerges]] — the same constants parameterize the generated
     * DuckDB oracle so the two sides cannot drift. 40 merges at 8 per
@@ -882,6 +976,9 @@ object DocQueries {
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
     "text_bigram_coverage" -> (textBigramCoverage _),
     "text_unigram_nll"    -> (textUnigramNll _),
+    "text_bigram_nll"     -> (textBigramNll _),
+    "text_gopher_rules"   -> (textGopherRules _),
+    "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
   )
@@ -1370,6 +1467,70 @@ object DocQueries {
          |GROUP BY word""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(BpeSteps, BpeBatchK),
     "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
+    "text_bigram_nll" ->
+      // same 1e-6-grid quantization discipline as text_unigram_nll; the
+      // bigram table (`big`) feeds both the type counts and the per-doc
+      // join, so it is MATERIALIZED (DuckDB inlines per reference)
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |uni AS MATERIALIZED (SELECT w, COUNT(*) AS cu FROM tok GROUP BY 1),
+         |vt AS (SELECT COUNT(*) AS v FROM uni),
+         |big AS MATERIALIZED (SELECT doc_id, unnest(${sqlShingles(2)}) AS bg
+         |                     FROM documents),
+         |bc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY 1),
+         |lp AS (SELECT bg,
+         |    CAST(round(ln(CAST(cb + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(cu + (SELECT v FROM vt) AS DOUBLE)) * 1000000)
+         |         AS BIGINT) AS lp6
+         |  FROM bc JOIN uni ON split_part(bg, ' ', 1) = uni.w),
+         |d AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        CAST(SUM(lp6) AS BIGINT) AS s6
+         |      FROM big JOIN lp USING (bg) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(-(CAST(s6 AS DOUBLE) / 1000000.0) / n_bigrams, 6) AS nll
+         |FROM d""".stripMargin,
+    "text_gopher_rules" -> {
+      val stopd = s"len(list_filter(list_distinct($wordsSql), " +
+        s"w_ -> list_contains(${sqlList(TextOps.EnglishStopwords)}, w_)))"
+      val chars = s"(length(text) - ($nTok - 1))"
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN wl THEN 0 ELSE 1 END) AS BIGINT) AS n_wordlen_fail,
+         |  CAST(SUM(CASE WHEN lo THEN 0 ELSE 1 END) AS BIGINT) AS n_len_fail,
+         |  CAST(SUM(CASE WHEN so THEN 0 ELSE 1 END) AS BIGINT) AS n_stopword_fail,
+         |  CAST(SUM(CASE WHEN ro THEN 0 ELSE 1 END) AS BIGINT) AS n_repetition_fail,
+         |  CAST(SUM(CASE WHEN wl AND lo AND so AND ro THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN wl AND lo AND so AND ro THEN 1 ELSE 0 END) * 1000
+         |       // COUNT(*) AS BIGINT) AS clean_permille
+         |FROM (SELECT source,
+         |    $chars >= 3 * $nTok AND $chars <= 10 * $nTok AS wl,
+         |    $nTok >= 50 AS lo,
+         |    $stopd >= 2 AS so,
+         |    ($nTok - len(list_distinct($wordsSql))) * 5 <= $nTok * 2 AS ro
+         |  FROM documents)
+         |GROUP BY source""".stripMargin
+    },
+    "pipe_dsir_weights" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5('dsir|' || w), 1, 4) AS BIGINT) % 64 AS bkt
+         |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)),
+         |hist AS MATERIALIZED (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tok GROUP BY 1),
+         |lp AS (SELECT bkt,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS diff6
+         |  FROM hist),
+         |tot AS (SELECT
+         |    CAST(round(ln(CAST(SUM(cr) + 64 AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(SUM(ct) + 64 AS DOUBLE)) * 1000000) AS BIGINT) AS c6
+         |  FROM hist),
+         |d AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |        CAST(SUM(diff6) AS BIGINT) AS s6
+         |      FROM tok JOIN lp USING (bkt) GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tokens,
+         |  round((CAST(s6 AS DOUBLE) / 1000000.0) / n_tokens
+         |        + CAST(c6 AS DOUBLE) / 1000000.0, 6) AS avg_logratio
+         |FROM d, tot""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

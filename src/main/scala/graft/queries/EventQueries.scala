@@ -312,7 +312,71 @@ object EventQueries {
              .as("sum_overlap_us"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments"):
+    * users split into two variants by seeded md5 (no RNG), the metric Y
+    * is each user's spend in the experiment half of the time range, the
+    * covariate X their spend in the pre-period half (midpoint = integer
+    * µs midrange, computed in-plan). θ = cov(X,Y)/var(X) is estimated
+    * POOLED across variants; the adjusted mean Ŷ_v − θ·(X̄_v − X̄) is
+    * the variance-reduced readout every experimentation platform ships.
+    *
+    * Exactness: per-event values are recovered as exact scaled integers
+    * (`round(value·100)` — 2-decimal fixture), so every moment (Σx, Σy,
+    * Σx², Σxy) is an exact BIGINT on both engines; θ and the means then
+    * derive in bit-identical IEEE double steps. Scale: one scan + one
+    * per-user shuffle; moments and variant rollups are map-combined;
+    * the θ frame is a 1-row broadcast. Σx² needs DECIMAL(38) past
+    * ~3·10⁹ scaled-spend units per user — far beyond the fixture's
+    * range but the documented upgrade path at extreme scale. */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"),
+      expr("ts_ns DIV 1000").as("us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v100"))
+    val mid = ev.agg(expr("(MIN(us) + MAX(us)) DIV 2").as("mid"))
+    val per = graft.operators.PlanCache.reuse(
+      ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") <= col("mid"), col("v100")).otherwise(0L))
+               .as("x"),
+             sum(when(col("us") > col("mid"), col("v100")).otherwise(0L))
+               .as("y"))
+        .withColumn("variant",
+          (conv(substring(md5(concat(lit("cuped|"),
+            col("user_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 2).cast("int")))
+    val theta = per.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        ((col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")
+                / col("n").cast("double"))
+          / (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+                / col("n").cast("double"))).as("theta"),
+        (col("sx").cast("double") / lit(100.0) / col("n").cast("double"))
+          .as("mean_x_all"))
+    per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+      .crossJoin(broadcast(theta))
+      .select(col("variant"), col("n_users"),
+        (col("syv").cast("double") / lit(100.0)
+          / col("n_users").cast("double")).as("mean_y"),
+        col("theta"),
+        ((col("syv").cast("double") / lit(100.0)
+            / col("n_users").cast("double"))
+          - col("theta")
+            * ((col("sxv").cast("double") / lit(100.0)
+                 / col("n_users").cast("double")) - col("mean_x_all")))
+          .as("mean_y_adj"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cuped"            -> (cuped _),
     "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
     "evt_pagerank"         -> (pagerank _),
@@ -337,6 +401,37 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_cuped" ->
+      s"""WITH ev AS (SELECT user_id, $usExpr AS us,
+         |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+         |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+         |per AS MATERIALIZED (SELECT user_id,
+         |    CAST(SUM(CASE WHEN us <= (SELECT mid FROM m) THEN v100
+         |             ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN us > (SELECT mid FROM m) THEN v100
+         |             ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(CAST('0x' || substr(md5('cuped|' ||
+         |      CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2 AS INTEGER)
+         |      AS variant
+         |  FROM ev GROUP BY 1),
+         |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy FROM per),
+         |t AS (SELECT
+         |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |       / CAST(n AS DOUBLE))
+         |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |       / CAST(n AS DOUBLE)) AS theta,
+         |    CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_x_all
+         |  FROM mom)
+         |SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(y) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+         |  theta,
+         |  (CAST(SUM(y) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE))
+         |    - theta * ((CAST(SUM(x) AS DOUBLE) / 100.0
+         |        / CAST(COUNT(*) AS DOUBLE)) - mean_x_all) AS mean_y_adj
+         |FROM per, t GROUP BY variant, theta, mean_x_all""".stripMargin,
     "evt_interval_overlap" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, event_type, $usExpr AS s,

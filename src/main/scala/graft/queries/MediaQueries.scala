@@ -79,12 +79,60 @@ object MediaQueries {
       "doc_id", "content", codec = Multimodal.ImageIoCodec,
       frameSize = DecodeFrameSize).toDF()
 
+  /** Perceptual-hash (average-hash) image near-dup detection over the
+    * REAL decoded TIFF corpus: a 48-bit aHash on the band-1 luminance
+    * grid (bit = pixel above the image mean, integer cross-multiplied so
+    * no float enters), candidate pairs via 8 × 6-bit Hamming-LSH bands —
+    * LOSSLESS for the `hamming ≤ 7` contract by pigeonhole (8 bands and
+    * ≤ 7 differing bits force one identical band) — then exact Hamming
+    * verification on candidates only.
+    *
+    * The oracle replays the pixel-generating formula and an all-pairs
+    * hamming join, so a hash match proves both the imageio decode and
+    * the banding's losslessness. At 100 TB: hashing is map-side per
+    * image, candidates come from band-bucket joins (never all-pairs),
+    * and the exact verify touches candidates only — the image-dedup
+    * shape of a production media pipeline (pHash/aHash family). */
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = RasterQueries.W
+    val n = RasterQueries.W * RasterQueries.H
+    val px = RasterQueries.tiffPixels(s, dir)
+      .filter(col("band") === 1)
+      .select(col("file"), col("y"), col("x"),
+              col("value").cast("long").as("v"))
+    val sums = px.groupBy(col("file")).agg(sum(col("v")).as("sv"))
+    val hashes = graft.operators.PlanCache.reuse(
+      px.join(broadcast(sums), Seq("file"))
+        .groupBy(col("file"))
+        .agg(sum(when(col("v") * n > col("sv"),
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(y * $w + x AS INT))"))
+          .otherwise(0L)).as("phash")))
+    val bands = hashes.select(col("file"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("bi"))
+      .withColumn("bv", expr("(phash >> (bi * 6)) & 63"))
+    val cands = bands
+      .select(col("file").as("file_a"), col("phash").as("ha"),
+              col("bi"), col("bv"))
+      .join(bands.select(col("file").as("file_b"), col("phash").as("hb"),
+                         col("bi"), col("bv")),
+            Seq("bi", "bv"))
+      .filter(col("file_a") < col("file_b"))
+      .select(col("file_a"), col("file_b"), col("ha"), col("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 7)
+      .select(col("file_a"), col("file_b"), col("hamming"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),
     "mm_key_frames"      -> (mmKeyFrames _),
     "mm_modality_mix"    -> (mmModalityMix _),
     "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_phash_pairs"     -> (mmPhashPairs _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
@@ -141,6 +189,32 @@ object MediaQueries {
          |CAST(SUM(v) AS DOUBLE) / $n AS byte_mean,
          |CAST($nFrames AS INTEGER) AS n_frames
          |FROM px GROUP BY doc_id""".stripMargin
+    },
+    // pHash twin: replay the pixel formula (band 1), threshold at the
+    // integer cross-multiplied mean, pack bits y*W+x, all-pairs hamming
+    // ≤ 7 — the engine's banded-LSH candidates must reproduce this
+    // exactly or the banding lost a pair
+    "mm_phash_pairs" -> {
+      val (w, h) = (RasterQueries.W, RasterQueries.H)
+      val n = w * h
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+         |px AS (SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         |    (doc_id*7 + 13 + y*3 + x*5) % 256 AS v
+         |  FROM ids
+         |  CROSS JOIN (SELECT unnest(range(0, $h)) AS y)
+         |  CROSS JOIN (SELECT unnest(range(0, $w)) AS x)),
+         |s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv
+         |      FROM px GROUP BY 1),
+         |hs AS MATERIALIZED (SELECT px.doc_id,
+         |    'dataset/doc_' || px.doc_id || '.tif' AS file,
+         |    CAST(SUM(CASE WHEN px.v * $n > s.sv
+         |      THEN (CAST(1 AS BIGINT) << CAST(y * $w + x AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1, 2)
+         |SELECT a.file AS file_a, b.file AS file_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM hs a JOIN hs b ON a.file < b.file
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin
     },
     "mm_key_frames" ->
       s"""WITH frames AS (

@@ -71,6 +71,13 @@ object RasterQueries {
   private[queries] def tiffBlobCorpus(s: SparkSession, dir: String): DataFrame =
     blobs(s, dir, nBands = 3, m = 256, tiff = true)
 
+  /** Decoded pixel rows of [[tiffBlobCorpus]] (file, band, y, x, value)
+    * through the real imageio path — shared with MediaQueries'
+    * perceptual-hash dedup so its hashes come from DECODED bytes, not
+    * the generating formula. */
+  private[queries] def tiffPixels(s: SparkSession, dir: String): DataFrame =
+    Raster.decodePixels(tiffBlobCorpus(s, dir))
+
   /** Shared oracle scaffolding: the SQL twin of [[blobs]]+decode — pixel
     * rows (file, band, y, x, v) for nBands bands mod m. */
   private def pxSql(nBands: Int, m: Int): String =

@@ -749,7 +749,80 @@ object RelationalQueries {
            min(col("pm")).as("min_p"), max(col("pm")).as("max_p"),
            min(col("sm")).as("min_s"), max(col("sm")).as("max_s"))
 
+  /** Blocked fuzzy entity matching — the record-linkage primitive: find
+    * near-identical part names via edit distance WITHOUT an all-pairs
+    * scan. Dictionary-encode first (group rows by exact name — the name
+    * table is VOCAB-sized, here 64 rows vs 2000+ parts), block on the
+    * head noun (last token), and run `levenshtein` only inside blocks;
+    * each surviving name pair reports the ROW-pair count it stands for
+    * (n_a·n_b). At 100 TB the comparison cost is vocab²/blocks, not
+    * rows² — the standard blocking design (Fellegi-Sunter linkage);
+    * skewed blocks fall to AQE. Spark's and DuckDB's `levenshtein` are
+    * both the classic unit-cost DP — integer-exact across engines. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", substring_index(col("p_name"), " ", -1))
+    val a = names.select(col("p_name").as("name_a"),
+                         col("n_parts").as("na"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"),
+                         col("n_parts").as("nb"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("noun"), col("name_a"), col("name_b"),
+              col("dist").cast("long").as("dist"),
+              (col("na") * col("nb")).as("n_pairs"))
+  }
+
+  /** Entity canonicalization — the step after [[fuzzyMatch]]: connected
+    * components over the distance-≤ 3 name-pair edges collapse fuzzy
+    * variants to one canonical surface form (the component's
+    * lexicographic minimum); every name maps to its canonical name with
+    * its row count. The standard record-linkage resolve: blocked fuzzy
+    * join → match graph → transitive closure → canonical pick. The
+    * cluster step runs on the VOCAB-sized name table, never on rows. */
+  def fuzzyClusters(s: SparkSession, dir: String): DataFrame = {
+    val names = PlanCache.reuse(
+      Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", substring_index(col("p_name"), " ", -1)))
+    val a = names.select(col("p_name").as("name_a"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"))
+    val edges = a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"))
+    val clusters = graft.operators.Dedup.dupClusters(edges, "name_a", "name_b")
+    names.join(clusters, col("p_name") === col("id"), "left")
+      .select(col("p_name"),
+              coalesce(col("cluster_id"), col("p_name")).as("canonical_name"),
+              col("n_parts"))
+  }
+
+  /** k-core of the co-purchase graph (parts appearing in the same order,
+    * both lines with quantity > 40): 6 peeling rounds at k = 5 on the
+    * pinned-partitioner RDD core ([[Graphs.kCore]]). Survivors = the
+    * cohesive product cluster; the graph-cohesion filter corpus
+    * curation applies to link graphs. The oracle unrolls the identical
+    * 6 rounds as MATERIALIZED CTEs. */
+  def relKCore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    // no .distinct() here: kCore's symmetric view dedupes edges itself
+    val edges = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    Graphs.kCore(edges, "a", "b", k = 5, rounds = 6)
+      .select(col("node").as("part_node"), col("deg").as("core_deg"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fuzzy_match"       -> (fuzzyMatch _),
+    "rel_fuzzy_clusters"    -> (fuzzyClusters _),
+    "rel_kcore"             -> (relKCore _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -814,7 +887,69 @@ object RelationalQueries {
        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   }
 
+  /** 6-round k=5 peeling unroll for rel_kcore — every CTE MATERIALIZED
+    * (each round references its predecessor 2-3×; DuckDB inlines per
+    * reference, which goes exponential on a chained unroll). */
+  private val kCoreSql: String = {
+    val (k, rounds) = (5, 6)
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey
+         |    AND l1.l_quantity > 40 AND l2.l_quantity > 40),
+         |e0 AS MATERIALIZED (SELECT a AS s, b AS d FROM base
+         |                    UNION ALL SELECT b, a FROM base)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      val peel =
+        s"""d$r AS MATERIALIZED (SELECT s AS v, COUNT(*) AS deg
+           |  FROM e${r - 1} GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT v, deg FROM d$r WHERE deg >= $k)""".stripMargin
+      if (r == rounds) peel
+      else peel + s""",
+           |e$r AS MATERIALIZED (SELECT e.s, e.d FROM e${r - 1} e
+           |  JOIN a$r x ON e.s = x.v JOIN a$r y ON e.d = y.v)""".stripMargin
+    }
+    s"""WITH $base,
+       |${rs.mkString(",\n")}
+       |SELECT v AS part_node, CAST(deg AS BIGINT) AS core_deg
+       |FROM a$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "rel_fuzzy_match" ->
+      s"""WITH names AS MATERIALIZED (
+         |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |    string_split(p_name, ' ')[-1] AS noun
+         |  FROM part GROUP BY 1)
+         |SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         |  a.n_parts * b.n_parts AS n_pairs
+         |FROM names a JOIN names b
+         |  ON a.noun = b.noun AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "rel_fuzzy_clusters" ->
+      s"""WITH RECURSIVE names AS MATERIALIZED (
+         |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |    string_split(p_name, ' ')[-1] AS noun
+         |  FROM part GROUP BY 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.p_name AS na, b.p_name AS nb
+         |  FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+         |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         |edges AS (SELECT na AS s, nb AS d FROM pairs
+         |          UNION SELECT nb, na FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT names.p_name,
+         |  COALESCE(clusters.cluster_id, names.p_name) AS canonical_name,
+         |  n_parts
+         |FROM names LEFT JOIN clusters ON names.p_name = clusters.id""".stripMargin,
+    "rel_kcore" -> kCoreSql,
     "rel_approx_pct_bound" ->
       s"""SELECT l_returnflag,
          |percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)

@@ -194,4 +194,44 @@ class GraphsSpec extends SparkSpec {
     (0L to 5L).foreach(i => assert(d(i) == Some(i)))
     assert(d(6L).isEmpty && d(999L).isEmpty, "beyond the 5-round frontier")
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+                   rounds: Int): Map[Long, Long] =
+    Graphs.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: pendant peels off, survivors report post-peel degrees") {
+    // triangle 1-2-3 plus pendant 4 on 1: round 1 drops 4 (deg 1 < 2);
+    // node 1's reported degree is 2 — measured AFTER the peel
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    assert(core(g, 2, 3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: chain unravels end-in; extra no-op rounds don't change it") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(core(chain, 2, 4).isEmpty)
+    assert(core(chain, 2, 30).isEmpty)
+  }
+
+  test("kCore: K4 is its own 3-core — fixpoint at round 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(core(k4, 3, 6) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: duplicate, reversed, and self-loop edges don't inflate degrees") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L), (2L, 3L))
+    assert(core(g, 2, 3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // with honest degrees the triangle dies at k = 3
+    assert(core(g, 3, 3).isEmpty)
+  }
+
+  test("kCore: round budget caps the cascade mid-peel") {
+    // chain of 5: round 1 drops both ends, round 2 drops 2 and 4 — a
+    // 1-round budget reports the mid-cascade state (3 nodes, deg from
+    // round 1's input), not the empty fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(chain, 2, 1) == Map(2L -> 2L, 3L -> 2L, 4L -> 2L))
+    assert(core(chain, 2, 4).isEmpty)
+  }
 }

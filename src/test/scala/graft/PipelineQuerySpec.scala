@@ -136,4 +136,185 @@ class PipelineQuerySpec extends SparkSpec {
       .select($"sum_qty").as[Double].collect()
     qtys.foreach(q => assert(q > 300.0))
   }
+
+  test("bigramNll matches an independent in-JVM add-one bigram model") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // independent recomputation: plain Scala maps, same quantization
+    val toks = Map(1L -> Seq("a", "b", "a", "b", "c"), 2L -> Seq("b", "b"),
+                   3L -> Seq("x"))
+    val cu = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val v = cu.size
+    val bigs = toks.view.mapValues(ts => ts.zip(ts.tail)).toMap
+    val cb = bigs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def lp6(bg: (String, String)): Long =
+      math.round(math.log(cb(bg) + 1.0) * 1e6) -
+        math.round(math.log(cu(bg._1) + v.toDouble) * 1e6)
+    val expect = bigs.collect { case (id, bs) if bs.nonEmpty =>
+      val nll = -(bs.map(lp6).sum.toDouble / 1e6) / bs.size
+      id -> (bs.size.toLong,
+             BigDecimal(nll).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+               .toDouble)
+    }.toMap
+    assert(out == expect)
+    assert(!out.contains(3L), "a 1-token doc has no bigrams")
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("gopher rules reconcile with a per-doc recomputation") {
+    val out = DocQueries.textGopherRules(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"source", $"text").as[(String, String)].collect()
+    val stops = graft.operators.TextOps.EnglishStopwords.toSet
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val rules = ds.map { case (_, text) =>
+        val ts = text.split(" ", -1)
+        val n = ts.length
+        val chars = text.length - (n - 1)
+        val nd = ts.distinct.length
+        (chars >= 3 * n && chars <= 10 * n, n >= 50,
+         ts.distinct.count(stops) >= 2, (n - nd) * 5 <= n * 2)
+      }
+      val clean = rules.count(r => r._1 && r._2 && r._3 && r._4).toLong
+      (ds.length.toLong, rules.count(!_._1).toLong, rules.count(!_._2).toLong,
+       rules.count(!_._3).toLong, rules.count(!_._4).toLong, clean,
+       clean * 1000 / ds.length)
+    }.toMap
+    assert(out == expect)
+  }
+
+  test("DSIR weights: target-language docs outscore the rest on average") {
+    val rows = DocQueries.pipeDsirWeights(spark, dir)
+      .select($"lang", $"avg_logratio").as[(String, Double)].collect()
+    val (en, rest) = rows.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(String, Double)]) = xs.map(_._2).sum / xs.length
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} must exceed non-target mean ${mean(rest)}")
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("fuzzyMatch distances equal an independent Levenshtein DP") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val out = RelationalQueries.fuzzyMatch(spark, dir)
+      .select($"name_a", $"name_b", $"dist").as[(String, String, Long)]
+      .collect()
+    assert(out.nonEmpty, "no fuzzy pairs on the fixture")
+    out.foreach { case (a, b, dst) =>
+      assert(dst == lev(a, b).toLong, s"($a, $b)")
+      assert(dst >= 1 && dst <= 3)
+      assert(a.split(' ').last == b.split(' ').last, "blocking key violated")
+    }
+  }
+
+  test("mmPhashPairs: banded candidates reproduce the all-pairs formula hashes") {
+    // independent recomputation straight from the pixel-generating
+    // formula — never touches the TIFF bytes or the banding
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" % 17 === 3).select($"doc_id").as[Long].collect()
+    def ahash(id: Long): Long = {
+      val vs = for (y <- 0 until 6; x <- 0 until 8)
+        yield (id * 7 + 13 + y * 3 + x * 5) % 256
+      val sv = vs.sum
+      vs.zipWithIndex.collect { case (v, i) if v * 48 > sv => 1L << i }.sum
+    }
+    val expect = (for {
+      a <- ids; b <- ids
+      fa = s"dataset/doc_$a.tif"; fb = s"dataset/doc_$b.tif"
+      if fa < fb
+      hd = java.lang.Long.bitCount(ahash(a) ^ ahash(b))
+      if hd <= 7
+    } yield (fa, fb, hd.toLong)).toSet
+    val out = graft.queries.MediaQueries.mmPhashPairs(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == expect)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("fuzzyClusters: canonical is the component minimum and covers all parts") {
+    val out = RelationalQueries.fuzzyClusters(spark, dir)
+      .as[(String, String, Long)].collect()
+    val nParts = graft.sources.Tables.part(spark, dir).count()
+    assert(out.map(_._3).sum == nParts, "every part row accounted for")
+    val canon = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (name, c, _) =>
+      assert(c <= name, s"canonical $c must be the component min for $name")
+      assert(canon(c) == c, s"canonical $c must map to itself")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("cuped matches an independent moment recomputation") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", expr("ts_ns DIV 1000"),
+              expr("CAST(round(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    def variant(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cuped|$u".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+        % 2).toInt
+    }
+    val per = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 <= mid).map(_._3).sum,
+          es.filter(_._2 > mid).map(_._3).sum, variant(u))
+    }.toSeq
+    val n = per.size.toDouble
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val theta = (sxy.toDouble - sx.toDouble * sy.toDouble / n) /
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n)
+    val meanXAll = sx.toDouble / 100.0 / n
+    val expect = per.groupBy(_._4).map { case (v, us) =>
+      val nv = us.size.toDouble
+      val my = us.map(_._3).sum.toDouble / 100.0 / nv
+      val mx = us.map(_._2).sum.toDouble / 100.0 / nv
+      v -> (us.size.toLong, my, theta, my - theta * (mx - meanXAll))
+    }
+    val out = graft.queries.EventQueries.cuped(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out == expect)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("relKCore matches an independent set-based peel") {
+    val out = RelationalQueries.relKCore(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // independent recomputation from the raw fixture
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 40)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    var edges = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    var alive = Map.empty[Long, Int]
+    var done = false
+    var r = 0
+    while (r < 6 && !done) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      alive = deg.filter(_._2 >= 5)
+      val next = edges.filter(e => alive.contains(e._1) && alive.contains(e._2))
+      if (next == edges) done = true
+      edges = next
+      r += 1
+    }
+    assert(out == alive.map { case (n, d) => n -> d.toLong })
+  }
 }

@@ -61,6 +61,9 @@ class PlanGuardSpec extends SparkSpec {
     "evt_value_deciles",      // percentile-cutpoint 1-row broadcast
     "rel_idle_customers",     // Q22 avg-acctbal scalar subquery
     "text_unigram_nll",       // 1-row (T, V) corpus-totals broadcast
+    "text_bigram_nll",        // 1-row vocab-size broadcast (V scalar)
+    "pipe_dsir_weights",      // 1-row corpus-constant broadcast (c6)
+    "evt_cuped",              // 1-row midpoint + 1-row theta broadcasts
     "rel_cross_matrix",       // DELIBERATE cross join (contingency table
                               //   with zero cells — the §2.3 cross-join row)
     "sim_topk_brute",         // labeled all-pairs correctness baseline
