@@ -60,6 +60,28 @@ object TextOps {
     lit(0.4) * stopRatio + lit(0.4) * lenScore + lit(0.2) * shape
   }
 
+  /** Gopher-rule pass flags as one struct column (wl = mean-word-length
+    * band, lo = length floor, so = distinct-stopword floor, ro =
+    * repetition cap) — the SINGLE definition shared by the batch report
+    * (`DocQueries.textGopherRules`) and the streaming admission gate
+    * (`StreamOps.gateStream`), so the two sides cannot drift (the
+    * scoreStream lesson, ADVICE r7). Every rule is integer arithmetic:
+    * the word-length band compares total word chars against 3n/10n and
+    * the repetition bound cross-multiplies — no float ever appears. */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokenize(text)
+    val n = size(toks)
+    val wordChars = length(text) - (n - lit(1))
+    val nDistinct = size(array_distinct(toks))
+    val stopDistinct = size(filter(array_distinct(toks),
+      t => array_contains(lit(EnglishStopwords.toArray), t)))
+    struct(
+      (wordChars >= n * lit(3) && wordChars <= n * lit(10)).as("wl"),
+      (n >= lit(50)).as("lo"),
+      (stopDistinct >= lit(2)).as("so"),
+      ((n - nDistinct) * lit(5) <= n * lit(2)).as("ro"))
+  }
+
   // ------------------------------------------------------------- lang id
 
   /** Stopword lists per language for the n-gram-free language-ID

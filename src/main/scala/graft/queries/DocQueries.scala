@@ -158,21 +158,13 @@ object DocQueries {
     * at 100 TB this is the classic pre-filter pass that runs at scan
     * speed. */
   def textGopherRules(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokenize(col("text"))
-    val n = size(toks)
-    val wordChars = length(col("text")) - (n - lit(1))
-    val nDistinct = size(array_distinct(toks))
-    val stopDistinct = size(filter(array_distinct(toks),
-      t => array_contains(lit(TextOps.EnglishStopwords.toArray), t)))
-    val wordlenOk = wordChars >= n * lit(3) && wordChars <= n * lit(10)
-    val lenOk = n >= lit(50)
-    val stopOk = stopDistinct >= lit(2)
-    val repOk = (n - nDistinct) * lit(5) <= n * lit(2)
+    val f = TextOps.gopherFlags(col("text"))
     def fails(ok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       sum(when(ok, 0L).otherwise(1L))
     Tables.documents(s, dir)
-      .select(col("source"), wordlenOk.as("wl"), lenOk.as("lo"),
-              stopOk.as("so"), repOk.as("ro"))
+      .select(col("source"), f.getField("wl").as("wl"),
+              f.getField("lo").as("lo"), f.getField("so").as("so"),
+              f.getField("ro").as("ro"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            fails(col("wl")).as("n_wordlen_fail"),

@@ -819,7 +819,96 @@ object RelationalQueries {
       .select(col("node").as("part_node"), col("deg").as("core_deg"))
   }
 
+  /** 2-D skyline (pareto frontier): parts no other part dominates on
+    * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
+    * et al. 2001). NOT computed with a global sort: prices bucket into
+    * fixed $50 bands (price100 DIV 5000 — deterministic, corpus-size-
+    * independent), each band finds its local frontier with BAND-
+    * partitioned windows (strictly-cheaper prefix max via an exact
+    * integer RANGE frame, same-price group max), and bands compose
+    * through a prefix-max ladder over the ~band-count rows (the
+    * [[DocQueries.pipeWeightedSample]] ladder pattern — constant in
+    * corpus size, broadcast back). A row survives iff it tops its price
+    * group and beats every cheaper row's size, in-band or any earlier
+    * band. Ties: equal (price, size) rows dominate nobody — all kept,
+    * matching the oracle's strict-dominance NOT EXISTS. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = PlanCache.reuse(
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+                col("p_size"),
+                expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+                  .as("price100"))
+        .withColumn("bucket", expr("price100 DIV 5000")))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("price100"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                    -1)
+    val wSame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("price100"))
+    val bmax = p.groupBy(col("bucket")).agg(max(col("p_size")).as("bmax"))
+    val wLadder = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   -1)
+    val ladder = bmax
+      .withColumn("lmax", max(col("bmax")).over(wLadder))
+      .select(col("bucket"), col("lmax"))
+    p.withColumn("m_prev", max(col("p_size")).over(wPrev))
+      .withColumn("m_same", max(col("p_size")).over(wSame))
+      .join(broadcast(ladder), Seq("bucket"))
+      .filter(col("p_size") === col("m_same") &&
+        col("p_size") > greatest(coalesce(col("m_prev"), lit(-1)),
+                                 coalesce(col("lmax"), lit(-1))))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+              col("p_size").cast("long").as("p_size"))
+  }
+
+  /** Deterministic random walks (DeepWalk-style corpus generation,
+    * Perozzi et al. 2014) over the co-purchase graph: 3 steps from
+    * every node, the neighbor at each step picked by a seeded md5 rank
+    * (`md5("walk|t|u") % deg(u)` into the node's id-ordered adjacency) —
+    * no RNG, so the walk corpus is reproducible on any engine, run, or
+    * cluster layout, and the DuckDB twin replays it hash-for-hash.
+    * Scale shape: the rank is computed from a (node, deg) lookup BEFORE
+    * each hop's join, so every hop is an EQUI-join on (node, rank) —
+    * no adjacency fan-out per walker; 3 hops = 3 bounded shuffles. */
+  def graphWalks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val base = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sym = PlanCache.reuse(
+      base.select(col("a").as("s"), col("b").as("d"))
+        .unionAll(base.select(col("b").as("s"), col("a").as("d"))))
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("d"))
+    val adj = PlanCache.reuse(
+      sym.withColumn("rn", row_number().over(wAdj).cast("long")))
+    val degs = PlanCache.reuse(
+      sym.groupBy(col("s")).agg(count(lit(1)).as("deg")))
+    def rank(t: Int, cur: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"walk|$t|"), cur.cast("string"))),
+                     1, 8), 16, 10).cast("long") % col("deg") + 1L
+    var walk = degs.select(col("s").as("start_node"), col("s").as("cur"))
+    for (t <- 1 to 3) {
+      walk = walk
+        .join(degs, col("cur") === col("s"))
+        .withColumn("rk", rank(t, col("cur")))
+        .drop("s", "deg")
+        .join(adj, col("cur") === col("s") && col("rk") === col("rn"))
+        .withColumn(s"n$t", col("d"))
+        .drop("s", "d", "rn", "rk", "cur")
+        .withColumn("cur", col(s"n$t"))
+    }
+    walk.select(col("start_node"), col("n1"), col("n2"), col("n3"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skyline"           -> (skyline _),
+    "rel_graph_walks"       -> (graphWalks _),
     "rel_fuzzy_match"       -> (fuzzyMatch _),
     "rel_fuzzy_clusters"    -> (fuzzyClusters _),
     "rel_kcore"             -> (relKCore _),
@@ -916,7 +1005,52 @@ object RelationalQueries {
        |FROM a$rounds""".stripMargin
   }
 
+  /** 3-hop deterministic-walk unroll for rel_graph_walks: the same
+    * co-purchase base as [[kCoreSql]] (no quantity-filter drift), id-
+    * ordered adjacency ranks, and the seeded md5 hop rank replayed per
+    * step. */
+  private val graphWalksSql: String = {
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey
+         |    AND l1.l_quantity > 40 AND l2.l_quantity > 40),
+         |sym AS MATERIALIZED (SELECT a AS s, b AS d FROM base
+         |                     UNION ALL SELECT b, a FROM base),
+         |adj AS MATERIALIZED (SELECT s, d,
+         |    CAST(row_number() OVER (PARTITION BY s ORDER BY d) AS BIGINT)
+         |      AS rn FROM sym),
+         |degs AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg
+         |                      FROM sym GROUP BY 1),
+         |w0 AS (SELECT s AS start_node, s AS cur FROM degs)""".stripMargin
+    val hops = (1 to 3).map { t =>
+      val prev = (1 until t).map(i => s"w${t - 1}.n$i, ").mkString
+      s"""w$t AS MATERIALIZED (SELECT w${t - 1}.start_node, ${prev}adj.d AS n$t,
+         |    adj.d AS cur
+         |  FROM w${t - 1}
+         |  JOIN degs ON degs.s = w${t - 1}.cur
+         |  JOIN adj ON adj.s = w${t - 1}.cur
+         |    AND adj.rn = CAST('0x' || substr(md5('walk|$t|' ||
+         |      CAST(w${t - 1}.cur AS VARCHAR)), 1, 8) AS BIGINT)
+         |      % degs.deg + 1)""".stripMargin
+    }
+    s"""WITH $base,
+       |${hops.mkString(",\n")}
+       |SELECT start_node, n1, n2, n3 FROM w3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "rel_skyline" ->
+      s"""SELECT p_partkey, p_name, p_retailprice,
+         |  CAST(p_size AS BIGINT) AS p_size
+         |FROM part a WHERE NOT EXISTS (
+         |  SELECT 1 FROM part b
+         |  WHERE b.p_retailprice <= a.p_retailprice
+         |    AND b.p_size >= a.p_size
+         |    AND (b.p_retailprice < a.p_retailprice
+         |         OR b.p_size > a.p_size))""".stripMargin,
+    "rel_graph_walks" -> graphWalksSql,
     "rel_fuzzy_match" ->
       s"""WITH names AS MATERIALIZED (
          |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,

@@ -124,6 +124,25 @@ object StreamOps {
           (col("s6").cast("double") / lit(1e6)) / col("n_tokens"), 6)
           .as("nll"))
 
+  /** Streaming admission gate: the Gopher quality-rule panel applied
+    * per document on an ingest stream — STATELESS map-side flags plus
+    * the keep/drop decision, so the gate adds no streaming state at
+    * all and scales with the micro-batch scan. The rule expressions
+    * are `TextOps.gopherFlags`, the same single definition the batch
+    * report aggregates, so streamed decisions are bit-identical to a
+    * batch replay (spec-pinned). */
+  def gateStream(docs: DataFrame): DataFrame = {
+    val f = graft.operators.TextOps.gopherFlags(col("text"))
+    docs.select(col("doc_id"),
+        f.getField("wl").as("wordlen_ok"),
+        f.getField("lo").as("len_ok"),
+        f.getField("so").as("stopword_ok"),
+        f.getField("ro").as("repetition_ok"))
+      .withColumn("decision",
+        when(col("wordlen_ok") && col("len_ok") && col("stopword_ok") &&
+             col("repetition_ok"), lit("keep")).otherwise(lit("drop")))
+  }
+
   /** Running per-key totals in update mode: an unwindowed streaming
     * aggregate whose state is one row per key — bounded by key
     * cardinality (event types here), not by stream length. Exposes the

@@ -291,6 +291,50 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("skyline equals brute-force strict-dominance filtering") {
+    val parts = graft.sources.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .as[(Long, Double, Int)].collect()
+    val expect = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) }
+    }.map(_._1).toSet
+    val out = RelationalQueries.skyline(spark, dir)
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(out == expect && out.nonEmpty)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("graphWalks: every hop follows a real edge at the seeded md5 rank") {
+    val out = RelationalQueries.graphWalks(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // independent adjacency + rank replay
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 40)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    def rank(t: Int, u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"walk|$t|$u".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+        % adj(u).size).toInt
+    }
+    assert(out.length == adj.size, "one walk per node")
+    out.foreach { case (s0, n1, n2, n3) =>
+      assert(n1 == adj(s0)(rank(1, s0)))
+      assert(n2 == adj(n1)(rank(2, n1)))
+      assert(n3 == adj(n2)(rank(3, n2)))
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("relKCore matches an independent set-based peel") {
     val out = RelationalQueries.relKCore(spark, dir)
       .as[(Long, Long)].collect().toMap

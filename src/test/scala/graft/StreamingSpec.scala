@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming gopher gate decisions equal a batch replay (stateless)") {
+    implicit val sq = spark.sqlContext
+    // fixture-shaped docs that split every rule: long/short, stopword-
+    // bearing/free, repetitive/diverse
+    val docRows = Seq(
+      (1L, ("the a of and " + (1 to 60).map(i => s"word$i").mkString(" "))),
+      (2L, "short text only"),
+      (3L, ("the of " + Seq.fill(80)("dup").mkString(" "))),
+      (4L, (1 to 55).map(i => s"t$i of the").mkString(" ")))
+    val static = docRows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docRows: _*)
+    val q = StreamOps.gateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gate_out").collect().toSet
+    val batch = StreamOps.gateStream(static).collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    val dec = spark.table("gate_out")
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(dec(1L) == "keep", "doc 1 passes all four rules")
+    assert(dec(2L) == "drop" && dec(3L) == "drop")
+  }
+
   test("built-in session windows over MemoryStream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
