@@ -999,7 +999,7 @@ object DocQueries {
   private val sigsSql: String = sigsSqlWhere("TRUE")
 
   /** Shared by dedup_jaccard_pairs and dedup_clusters (edge source). */
-  private val jaccardPairsSql: String =
+  private[queries] val jaccardPairsSql: String =
     s"""WITH docsh AS (
        |  SELECT DISTINCT doc_id, unnest(${sqlShingles(ShingleN)}) AS shingle
        |  FROM documents),

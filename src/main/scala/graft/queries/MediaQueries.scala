@@ -93,7 +93,10 @@ object MediaQueries {
     * image, candidates come from band-bucket joins (never all-pairs),
     * and the exact verify touches candidates only — the image-dedup
     * shape of a production media pipeline (pHash/aHash family). */
-  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-image 48-bit aHash frame (file, doc_id, phash) from the REAL
+    * imageio decode — shared by the pair query and the incremental
+    * dedup (PlanCache sameResult dedups the build across both). */
+  private def phashFrame(s: SparkSession, dir: String): DataFrame = {
     val w = RasterQueries.W
     val n = RasterQueries.W * RasterQueries.H
     val px = RasterQueries.tiffPixels(s, dir)
@@ -101,15 +104,24 @@ object MediaQueries {
       .select(col("file"), col("y"), col("x"),
               col("value").cast("long").as("v"))
     val sums = px.groupBy(col("file")).agg(sum(col("v")).as("sv"))
-    val hashes = graft.operators.PlanCache.reuse(
+    graft.operators.PlanCache.reuse(
       px.join(broadcast(sums), Seq("file"))
         .groupBy(col("file"))
         .agg(sum(when(col("v") * n > col("sv"),
             expr(s"shiftleft(CAST(1 AS BIGINT), CAST(y * $w + x AS INT))"))
-          .otherwise(0L)).as("phash")))
-    val bands = hashes.select(col("file"), col("phash"),
+          .otherwise(0L)).as("phash"))
+        .withColumn("doc_id",
+          regexp_extract(col("file"), "doc_(\\d+)", 1).cast("long")))
+  }
+
+  /** Hamming-LSH band expansion of a phash frame: 8 bands × 6 bits. */
+  private def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("file"), col("phash"),
         explode(sequence(lit(0), lit(7))).as("bi"))
       .withColumn("bv", expr("(phash >> (bi * 6)) & 63"))
+
+  def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = phashBands(phashFrame(s, dir))
     val cands = bands
       .select(col("file").as("file_a"), col("phash").as("ha"),
               col("bi"), col("bv"))
@@ -126,6 +138,37 @@ object MediaQueries {
       .select(col("file_a"), col("file_b"), col("hamming"))
   }
 
+  /** Incremental image dedup (the `pipe_incr_dedup` shape on the image
+    * modality): a NEW image batch (odd doc_id) deduped against the
+    * STANDING image corpus using only its precomputed aHash artifacts —
+    * exact dups via phash-equality semi join, near-dup CANDIDATES via
+    * shared Hamming-LSH band buckets; decision = drop on either hit.
+    * At 100 TB the corpus side contributes only its (distinct phash,
+    * band-bucket) tables written by the previous run — the batch never
+    * rescans or re-decodes corpus images. */
+  def mmPhashIncr(s: SparkSession, dir: String): DataFrame = {
+    val hashes = phashFrame(s, dir)
+    val batch = hashes.filter(col("doc_id") % 2 === 1)
+    val corpus = hashes.filter(col("doc_id") % 2 === 0)
+    val exactHit = batch
+      .join(corpus.select(col("phash")).distinct(), Seq("phash"), "left_semi")
+      .select(col("file"), lit(true).as("exact_dup"))
+    val nearHit = phashBands(batch)
+      .join(phashBands(corpus).select(col("bi"), col("bv")).distinct(),
+            Seq("bi", "bv"), "left_semi")
+      .select(col("file")).distinct()
+      .select(col("file"), lit(true).as("near_cand"))
+    batch.select(col("file"))
+      .join(exactHit, Seq("file"), "left")
+      .join(nearHit, Seq("file"), "left")
+      .select(col("file"),
+              coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+              coalesce(col("near_cand"), lit(false)).as("near_cand"),
+              when(coalesce(col("exact_dup"), lit(false)) ||
+                   coalesce(col("near_cand"), lit(false)), lit("drop"))
+                .otherwise(lit("keep")).as("decision"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),
@@ -133,6 +176,7 @@ object MediaQueries {
     "mm_modality_mix"    -> (mmModalityMix _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_phash_pairs"     -> (mmPhashPairs _),
+    "mm_phash_incr"      -> (mmPhashIncr _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
@@ -215,6 +259,38 @@ object MediaQueries {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM hs a JOIN hs b ON a.file < b.file
          |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin
+    },
+    "mm_phash_incr" -> {
+      val (w, h) = (RasterQueries.W, RasterQueries.H)
+      val n = w * h
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+         |px AS (SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         |    (doc_id*7 + 13 + y*3 + x*5) % 256 AS v
+         |  FROM ids
+         |  CROSS JOIN (SELECT unnest(range(0, $h)) AS y)
+         |  CROSS JOIN (SELECT unnest(range(0, $w)) AS x)),
+         |s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv
+         |      FROM px GROUP BY 1),
+         |hs AS MATERIALIZED (SELECT px.doc_id,
+         |    'dataset/doc_' || px.doc_id || '.tif' AS file,
+         |    CAST(SUM(CASE WHEN px.v * $n > s.sv
+         |      THEN (CAST(1 AS BIGINT) << CAST(y * $w + x AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1, 2),
+         |bt AS (SELECT * FROM hs WHERE doc_id % 2 = 1),
+         |cp AS MATERIALIZED (SELECT * FROM hs WHERE doc_id % 2 = 0)
+         |SELECT bt.file,
+         |  EXISTS (SELECT 1 FROM cp WHERE cp.phash = bt.phash) AS exact_dup,
+         |  EXISTS (SELECT 1 FROM cp, range(0, 8) r
+         |          WHERE (cp.phash >> CAST(r.range * 6 AS INTEGER)) & 63
+         |              = (bt.phash >> CAST(r.range * 6 AS INTEGER)) & 63)
+         |    AS near_cand,
+         |  CASE WHEN EXISTS (SELECT 1 FROM cp WHERE cp.phash = bt.phash)
+         |         OR EXISTS (SELECT 1 FROM cp, range(0, 8) r
+         |            WHERE (cp.phash >> CAST(r.range * 6 AS INTEGER)) & 63
+         |                = (bt.phash >> CAST(r.range * 6 AS INTEGER)) & 63)
+         |       THEN 'drop' ELSE 'keep' END AS decision
+         |FROM bt""".stripMargin
     },
     "mm_key_frames" ->
       s"""WITH frames AS (

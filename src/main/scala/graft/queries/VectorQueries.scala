@@ -434,6 +434,37 @@ object VectorQueries {
     * batch — decisions identical to a full recompute under the same
     * centroids ([[Similarity.semanticDedupIncrement]]; the streamed
     * foreachBatch twin is spec-pinned in StreamingSpec). */
+  /** Cross-MODALITY dedup agreement: the 2×2 matrix of candidate pairs
+    * by text n-gram Jaccard (≥ 0.5, `Dedup.jaccardPairs`) vs embedding
+    * SemDeDup cosine (≥ 0.4 within trained k-means cells) — the QA
+    * table that tells a pipeline owner what each dedup modality catches
+    * that the other misses (exact rewordings look identical to
+    * embeddings but not to shingles; template spam the reverse).
+    * Doc ids and vec ids share the fixture's id space, so pairs align
+    * by construction. Both pair tables come from prewarm-shared frames;
+    * the matrix itself is one full-outer join + a 4-row rollup. */
+  def dedupTextVsSemantic(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val textPairs = graft.operators.Dedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+              lit(1L).as("in_text"))
+    val base = Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+                                      "embedding", KmC, KmIters)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val semPairs = base
+      .select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
+      .join(base.select(col("cell"), col("vec_id").as("b"),
+                        col("embedding").as("vb")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.4)
+      .select(col("a"), col("b"), lit(1L).as("in_semantic"))
+    textPairs.join(semPairs, Seq("a", "b"), "full_outer")
+      .groupBy(coalesce(col("in_text"), lit(0L)).as("in_text"),
+               coalesce(col("in_semantic"), lit(0L)).as("in_semantic"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def simSemanticDedupIncr(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
@@ -492,6 +523,7 @@ object VectorQueries {
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
+    "dedup_text_vs_semantic" -> (dedupTextVsSemantic _),
     "sim_matryoshka_recall"  -> (simMatryoshkaRecall _),
     "sim_mrl_funnel"         -> ((s: SparkSession, d: String) => simMrlFunnel(s, d)),
     "sim_int8_recall"        -> (simInt8Recall _),
@@ -899,6 +931,25 @@ object VectorQueries {
     // (local-minimum keep rule — closed-form, no recursive closure).
     // Cosines read hoisted kfinal norms; cell CAST matches Spark's
     // row_number INT.
+    // Cross-modality agreement: text-Jaccard pair set (DocQueries'
+    // shared jaccard chain, embedded as a subquery CTE exactly like
+    // pipe_dedup_keep) × SemDeDup cell-cosine pair set → 2×2 rollup.
+    "dedup_text_vs_semantic" ->
+      s"""WITH $kmTrainedCte,
+         |sem AS (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb
+         |  FROM kfinal a JOIN kfinal b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosN(sqlDot("a.embedding", "b.embedding"),
+                            "a.nrm", "b.nrm")} >= 0.4),
+         |tp AS (SELECT doc_a AS a, doc_b AS b, 1 AS i_t
+         |       FROM (${DocQueries.jaccardPairsSql}) jp),
+         |sp AS (SELECT pa AS a, pb AS b, 1 AS i_s FROM sem)
+         |SELECT CAST(COALESCE(i_t, 0) AS BIGINT) AS in_text,
+         |  CAST(COALESCE(i_s, 0) AS BIGINT) AS in_semantic,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM tp FULL OUTER JOIN sp ON tp.a = sp.a AND tp.b = sp.b
+         |GROUP BY 1, 2""".stripMargin,
     "sim_semantic_dedup" ->
       s"""WITH $kmTrainedCte,
          |sd_pairs AS (

@@ -242,6 +242,49 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("mmPhashIncr: exact dup implies near candidate; hashes replay the formula") {
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" % 17 === 3).select($"doc_id").as[Long].collect()
+    def ahash(id: Long): Long = {
+      val vs = for (y <- 0 until 6; x <- 0 until 8)
+        yield (id * 7 + 13 + y * 3 + x * 5) % 256
+      val sv = vs.sum
+      vs.zipWithIndex.collect { case (v, i) if v * 48 > sv => 1L << i }.sum
+    }
+    val corpus = ids.filter(_ % 2 == 0).map(ahash).toSet
+    def bandsOf(h: Long) = (0 until 8).map(b => (b, (h >> (b * 6)) & 63)).toSet
+    val corpusBands = ids.filter(_ % 2 == 0).flatMap(h => bandsOf(ahash(h))).toSet
+    val expect = ids.filter(_ % 2 == 1).map { id =>
+      val h = ahash(id)
+      val exact = corpus.contains(h)
+      val near = bandsOf(h).exists(corpusBands)
+      (s"dataset/doc_$id.tif", exact, near,
+       if (exact || near) "drop" else "keep")
+    }.toSet
+    val out = graft.queries.MediaQueries.mmPhashIncr(spark, dir)
+      .as[(String, Boolean, Boolean, String)].collect().toSet
+    assert(out == expect)
+    out.foreach { case (f, exact, near, _) =>
+      if (exact) assert(near, s"$f: equal hashes share every band") }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("dedupTextVsSemantic cells partition the union of both pair sets") {
+    import graft.operators.{Dedup, Similarity}
+    graft.functions.VectorFunctions.register(spark)
+    val cells = graft.queries.VectorQueries.dedupTextVsSemantic(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!cells.contains((0L, 0L)), "a pair neither modality surfaced cannot exist")
+    val text = Dedup.jaccardPairs(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(cells.filterKeys(_._1 == 1L).values.sum == text.size,
+      "text-row marginal equals the jaccard pair count")
+    assert(cells.values.sum >= text.size)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("fuzzyClusters: canonical is the component minimum and covers all parts") {
     val out = RelationalQueries.fuzzyClusters(spark, dir)
       .as[(String, String, Long)].collect()
