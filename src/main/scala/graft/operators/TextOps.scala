@@ -164,6 +164,46 @@ object TextOps {
   def minShingleHash(text: Column, n: Int): Column =
     array_min(transform(wordShingles(text, n), s => md5(s.cast("binary"))))
 
+  /** MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
+    * every 3-gram shingle, slide a window of `w` consecutive gram
+    * hashes, and select each window's minimum (rightmost of equals) —
+    * the guarantee: any shared substring of ≥ w+2 tokens yields at
+    * least one shared fingerprint, at ~2/(w+1) density. The local
+    * fingerprint set plagiarism/contamination scanners index.
+    *
+    * Shape: the argmin-per-window is ONE hash aggregation — each gram
+    * fans out to the `w` windows it belongs to (explode by a w-length
+    * literal sequence, an EQUI key, never a range join), and the
+    * window's (min hash, rightmost pos) pair is folded into a single
+    * BIGINT composite `h·2²⁰ + (2²⁰−1−pos)` so `min()` implements the
+    * tie-break exactly. Full windows are exactly those with `w`
+    * members (positions are contiguous), so no length join is needed.
+    * Bounds: 40-bit gram hashes × 2²⁰ positions per document fit the
+    * composite in 60 bits — widen to DECIMAL or a struct min beyond
+    * ~10⁶ grams/doc. Deterministic: seeded md5, no RNG; the DuckDB
+    * twin replays the identical composite arithmetic. */
+  def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String,
+                           w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val slots = 1L << 20
+    val grams = df.select(col(idCol),
+        posexplode(wordShingles(col(textCol), 3)).as(Seq("p0", "sh")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+        conv(substring(md5(concat(lit("win|"), col("sh")).cast("binary")),
+                       1, 10), 16, 10).cast("long").as("h"))
+    grams.select(col(idCol), col("pos"), col("h"),
+        explode(sequence(lit(0), lit(w - 1))).as("k"))
+      .withColumn("q", col("pos") + col("k"))
+      .groupBy(col(idCol), col("q"))
+      .agg(count(lit(1)).as("n"),
+           min(col("h") * slots + (lit(slots - 1) - col("pos"))).as("cm"))
+      .filter(col("n") === w)
+      .select(col(idCol), (lit(slots - 1) - col("cm") % slots).as("pos"),
+              expr(s"cm DIV $slots").as("gram_hash"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 16-bit SimHash over word tokens (multiplicity-weighted). Each

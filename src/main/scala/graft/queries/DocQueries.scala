@@ -253,6 +253,33 @@ object DocQueries {
     TextOps.bpeEncodeStats(docs, "text", merges)
   }
 
+  /** Winnowing fingerprint index (see [[TextOps.winnowedFingerprints]]):
+    * the selected (position, gram-hash) set per document at w = 4. */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowedFingerprints(
+      Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** Contamination screening over the WINNOWING index (the production
+    * alternative to [[pipeContamination]]'s full shingle index): corpus
+    * docs are scored by the share of their winnowing fingerprints that
+    * appear in the held-out benchmark docs' fingerprint set. Winnowing
+    * keeps ~2/(w+1) of grams, so the index (and the semi-join probe) is
+    * ~2.5× smaller at the same ≥ w+2-token-overlap detection guarantee
+    * — that trade IS the reason winnowing exists. Integer-only output. */
+  def pipeContaminationWinnow(s: SparkSession, dir: String): DataFrame = {
+    val fps = PlanCache.reuse(textWinnowing(s, dir))
+    val bench = fps.filter(col("doc_id") % 10 === 0)
+      .select(col("gram_hash")).distinct()
+    val corpus = fps.filter(col("doc_id") % 10 =!= 0)
+    val hits = corpus.join(bench, Seq("gram_hash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fprints"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fprints"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_permille", expr("n_hits * 1000 DIV n_fprints"))
+  }
+
   /** Language ID vs the labeled `lang` column. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -969,6 +996,8 @@ object DocQueries {
     "text_bigram_coverage" -> (textBigramCoverage _),
     "text_unigram_nll"    -> (textUnigramNll _),
     "text_bigram_nll"     -> (textBigramNll _),
+    "text_winnowing"      -> (textWinnowing _),
+    "pipe_contamination_winnow" -> (pipeContaminationWinnow _),
     "text_gopher_rules"   -> (textGopherRules _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
@@ -1061,6 +1090,26 @@ object DocQueries {
        |j AS (SELECT c.lang, n_docs, target_w FROM c JOIN w ON c.lang = w.lang),
        |cap AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_w) AS total_cap
        |        FROM j)""".stripMargin
+
+  /** Winnowing-fingerprint twin (shared by text_winnowing and
+    * pipe_contamination_winnow): identical composite-BIGINT argmin —
+    * h·2^20 + (2^20−1−pos), min per window, full windows = exactly 4
+    * members. */
+  private val winnowSql: String =
+    s"""WITH base AS (SELECT doc_id, ${sqlShingles(3)} AS sh FROM documents),
+       |grams AS MATERIALIZED (SELECT doc_id, CAST(i_ AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5('win|' || sh[CAST(i_ AS INTEGER)]),
+       |         1, 10) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i_
+       |        FROM base)),
+       |cand AS (SELECT doc_id, pos, h, pos + k AS q FROM grams
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+       |win AS (SELECT doc_id, q, COUNT(*) AS n,
+       |    MIN(h * 1048576 + (1048575 - pos)) AS cm
+       |  FROM cand GROUP BY 1, 2)
+       |SELECT DISTINCT doc_id, CAST(1048575 - cm % 1048576 AS BIGINT) AS pos,
+       |  CAST(cm // 1048576 AS BIGINT) AS gram_hash
+       |FROM win WHERE n = 4""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_sample_exact_k" ->
@@ -1523,6 +1572,21 @@ object DocQueries {
          |  round((CAST(s6 AS DOUBLE) / 1000000.0) / n_tokens
          |        + CAST(c6 AS DOUBLE) / 1000000.0, 6) AS avg_logratio
          |FROM d, tot""".stripMargin,
+    "text_winnowing" -> winnowSql,
+    "pipe_contamination_winnow" ->
+      s"""WITH fps AS MATERIALIZED (SELECT * FROM ($winnowSql) wq),
+         |bench AS (SELECT DISTINCT gram_hash FROM fps WHERE doc_id % 10 = 0),
+         |corpus AS MATERIALIZED (SELECT doc_id, gram_hash FROM fps
+         |                        WHERE doc_id % 10 <> 0),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM corpus WHERE gram_hash IN (SELECT gram_hash FROM bench)
+         |  GROUP BY 1)
+         |SELECT t.doc_id, t.n_fprints, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) * 1000 // t.n_fprints AS BIGINT)
+         |    AS hit_permille
+         |FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fprints
+         |      FROM corpus GROUP BY 1) t
+         |LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

@@ -242,6 +242,49 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("winnowing: selected set equals an independent replay; every window covered") {
+    val out = DocQueries.textWinnowing(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(sh: String): Long = {
+      val hex = md.digest(s"win|$sh".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    docs.foreach { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val grams = (0 to ts.length - 3)
+        .map(i => h40(ts.slice(i, i + 3).mkString(" ")))
+      val expect = (3 until grams.length).flatMap { q => // window [q-3, q]
+        val win = (q - 3 to q).map(p => (grams(p), -(p + 1)))
+        val (hm, negPos) = win.min
+        Seq(((-negPos).toLong, hm))
+      }.toSet
+      val got = out.getOrElse(id, Set.empty)
+      assert(got == expect, s"doc $id")
+      // the winnowing guarantee: every full window contains a selection
+      (3 until grams.length).foreach { q =>
+        assert(got.exists { case (p, _) => p >= q - 2 && p <= q + 1 },
+          s"doc $id window ending at ${q + 1} uncovered")
+      }
+    }
+  }
+
+  test("winnow contamination: benchmark excluded, integer bounds hold") {
+    val rows = DocQueries.pipeContaminationWinnow(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, nh, pm) =>
+      assert(id % 10 != 0, "benchmark docs must not be scored")
+      assert(nh >= 0 && nh <= nf)
+      assert(pm == nh * 1000 / nf)
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("mmPhashIncr: exact dup implies near candidate; hashes replay the formula") {
     val ids = graft.sources.Tables.documents(spark, dir)
       .filter($"doc_id" % 17 === 3).select($"doc_id").as[Long].collect()
