@@ -280,6 +280,75 @@ object DocQueries {
       .withColumn("hit_permille", expr("n_hits * 1000 DIV n_fprints"))
   }
 
+  /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
+    * on ln(rank) for the top-100 tokens (deterministic count-desc/token
+    * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
+    * language — a corpus-health signal: synthetic or template text
+    * bends it), intercept, and R². Exactness: ln(rank)/ln(freq) are
+    * quantized to the 1e-6 integer grid per row (sanctioned
+    * transcendental rule), every OLS moment is then an exact BIGINT,
+    * and slope/intercept/R² derive in bit-identical IEEE steps — the
+    * only doubles are three final divisions over exact integers. The
+    * rank window is over the 100 selected rows (bounded, KMV pattern);
+    * the corpus-scale work is one word-count shuffle. */
+  def textZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val wc = TextOps.wordCounts(Tables.spread(Tables.documents(s, dir)), "text")
+    val top = wc.orderBy(col("n_occurrences").desc, col("word")).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("word"))
+    val xy = top.withColumn("rk", row_number().over(w))
+      .select(
+        round(log(col("rk").cast("double")) * lit(1e6)).cast("long").as("x6"),
+        round(log(col("n_occurrences").cast("double")) * lit(1e6))
+          .cast("long").as("y6"))
+    xy.agg(count(lit(1)).as("n"),
+           sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+           sum(col("x6") * col("y6")).as("sxy"),
+           sum(col("x6") * col("x6")).as("sxx"),
+           sum(col("y6") * col("y6")).as("syy"))
+      .select(col("n").as("n_top"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("slope"),
+        ((col("sy").cast("double") / lit(1e6)
+            - (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+               / ((col("n") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double")))
+              * col("sx").cast("double") / lit(1e6))
+          / col("n").cast("double")).as("intercept"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+             * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r2"))
+  }
+
+  /** LEAKAGE-FREE train/val/test split: the deterministic md5 split
+    * every pipeline uses, but keyed on the document's duplicate-CLUSTER
+    * id (connected components over the ≥ 0.5-Jaccard pair graph) rather
+    * than the document id — near-duplicate documents can never straddle
+    * splits, the train/test contamination channel a doc-keyed split
+    * leaves open. Split draw: md5 bucket of the cluster id, 80/10/10.
+    * One broadcast-sized cluster join over the prewarm-shared pair
+    * chain; the split itself is map-side. Reports per-(split, lang)
+    * doc/cluster counts. */
+  def pipeLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir) // (doc_id, cluster_id)
+    val docs = Tables.documents(s, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = conv(substring(
+      md5(concat(lit("split|"), col("ckey").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    docs
+      .withColumn("split",
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val")).otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("ckey")).as("n_clusters"))
+  }
+
   /** Language ID vs the labeled `lang` column. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
@@ -998,6 +1067,8 @@ object DocQueries {
     "text_bigram_nll"     -> (textBigramNll _),
     "text_winnowing"      -> (textWinnowing _),
     "pipe_contamination_winnow" -> (pipeContaminationWinnow _),
+    "text_zipf_fit"       -> (textZipfFit _),
+    "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
@@ -1573,6 +1644,60 @@ object DocQueries {
          |        + CAST(c6 AS DOUBLE) / 1000000.0, 6) AS avg_logratio
          |FROM d, tot""".stripMargin,
     "text_winnowing" -> winnowSql,
+    "text_zipf_fit" ->
+      // every OLS moment is an exact BIGINT over 1e-6-grid logs; the
+      // three output doubles are single divisions over exact integers
+      s"""WITH wc AS (SELECT w AS word, COUNT(*) AS n
+         |  FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY 1),
+         |top AS (SELECT word, n,
+         |    row_number() OVER (ORDER BY n DESC, word) AS rk
+         |  FROM wc ORDER BY n DESC, word LIMIT 100),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x6,
+         |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y6
+         |  FROM top),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+         |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+         |    CAST(SUM(x6 * x6) AS BIGINT) AS sxx,
+         |    CAST(SUM(y6 * y6) AS BIGINT) AS syy FROM xy)
+         |SELECT n AS n_top,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE) / 1000000.0
+         |     - CAST(n * sxy - sx * sy AS DOUBLE)
+         |       / CAST(n * sxx - sx * sx AS DOUBLE)
+         |       * CAST(sx AS DOUBLE) / 1000000.0)
+         |    / CAST(n AS DOUBLE) AS intercept,
+         |  (CAST(n * sxy - sx * sy AS DOUBLE)
+         |     * CAST(n * sxy - sx * sy AS DOUBLE))
+         |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |       * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+         |FROM m""".stripMargin,
+    "pipe_leakage_split" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |d AS (SELECT documents.doc_id, lang,
+         |        COALESCE(cluster_id, documents.doc_id) AS ckey
+         |      FROM documents LEFT JOIN clusters
+         |        ON documents.doc_id = clusters.doc_id),
+         |b AS (SELECT lang, ckey,
+         |    CAST('0x' || substr(md5('split|' || CAST(ckey AS VARCHAR)),
+         |         1, 4) AS BIGINT) % 100 AS bk FROM d)
+         |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "pipe_contamination_winnow" ->
       s"""WITH fps AS MATERIALIZED (SELECT * FROM ($winnowSql) wq),
          |bench AS (SELECT DISTINCT gram_hash FROM fps WHERE doc_id % 10 = 0),

@@ -273,6 +273,50 @@ class PipelineQuerySpec extends SparkSpec {
     }
   }
 
+  test("zipf fit matches an independent OLS over the same quantized logs") {
+    val row = DocQueries.textZipfFit(spark, dir)
+      .as[(Long, Double, Double, Double)].head()
+    val wc = graft.operators.TextOps.wordCounts(
+        graft.sources.Tables.documents(spark, dir), "text")
+      .as[(String, Long)].collect()
+    val top = wc.sortBy { case (w, n) => (-n, w) }.take(100)
+    val x6 = top.indices.map(i => math.round(math.log(i + 1.0) * 1e6))
+    val y6 = top.map(t => math.round(math.log(t._2.toDouble) * 1e6))
+    val n = top.length.toLong
+    val (sx, sy) = (x6.sum, y6.sum)
+    val sxy = x6.zip(y6).map { case (a, b) => a * b }.sum
+    val sxx = x6.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(row._1 == n && row._2 == slope)
+    assert(row._2 < 0, "frequency must fall with rank")
+    assert(row._4 >= 0 && row._4 <= 1, s"r2 ${row._4}")
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("leakage split: no near-dup pair straddles splits; totals reconcile") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val clusters = DocQueries.dedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    def splitOf(doc: Long): String = {
+      val ckey = clusters.getOrElse(doc, doc)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$ckey".getBytes("UTF-8"))
+      val bk = java.lang.Long.parseLong(
+        d.take(2).map("%02x".format(_)).mkString, 16) % 100
+      if (bk < 80) "train" else if (bk < 90) "val" else "test"
+    }
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a, $b) straddles splits") }
+    val out = DocQueries.pipeLeakageSplit(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.map(_._3).sum == docs.count(), "every doc lands in one split")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("winnow contamination: benchmark excluded, integer bounds hold") {
     val rows = DocQueries.pipeContaminationWinnow(spark, dir)
       .as[(Long, Long, Long, Long)].collect()
