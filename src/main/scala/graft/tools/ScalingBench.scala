@@ -118,6 +118,24 @@ object ScalingBench {
           Seq("v" -> "a", "va" -> "l", "u" -> "e", "val" -> "ue",
               "r" -> "e", "c" -> "o", "re" -> "c", "co" -> "r",
               "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n"))),
+      // winnowing fingerprint selection over 64x documents: the w-fold
+      // equi-key fan-out + composite-min aggregation is the corpus-scale
+      // cost (~120M candidate rows at 64x). Copies get DISTINCT doc ids
+      // (doc_id*64 + copy) — replicated ids would merge windows across
+      // copies and collapse the aggregation shape being measured
+      "scaled_winnowing" -> ((s: SparkSession, dir: String) => {
+        val n = 64
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("doc_id") * n + col("id")).as("doc_id"), col("text"))
+        graft.operators.TextOps.winnowedFingerprints(docs, "doc_id", "text")
+          // modular checksum (ANSI: raw 40-bit sums are safe here, but
+          // keep the family convention) + count, so the output is tiny
+          .agg(count(lit(1)).as("n_fprints"),
+               sum(col("gram_hash") % lit(1000003L)).as("chk"))
+      }),
       // SemDeDup cell-scoring kernel over 4096x embeddings: every vector
       // against the broadcast trained centroids (codegen'd cosine), the
       // map-side half that dominates semantic dedup at corpus scale;
