@@ -210,6 +210,77 @@ object Graphs {
     out
   }
 
+  /** Personalized PageRank: the [[pageRank]] fixed-point integer
+    * recurrence with the teleport mass restricted to a SEED set — the
+    * seed-expansion primitive (random-walk-with-restart) that curated-
+    * seed corpus labeling and similar-item expansion build on. Ranks
+    * start at `scale DIV |S∩V|` on seeds and 0 elsewhere; each round a
+    * seed receives `scale·15 DIV (100·|S∩V|)` teleport and every node
+    * the usual damped contributions. Output ranks are exact BIGINTs of
+    * the same recurrence the DuckDB twin unrolls; nodes never reached
+    * keep rank 0 (callers filter for the seed neighborhood).
+    *
+    * Same RDD-core shape as [[pageRank]]'s: one pinned partitioner,
+    * static co-partitioned (edge, out-weight) table, ONE shuffle per
+    * round; the seed flag rides the node table, so the per-round
+    * teleport needs no extra join. Seeds outside the graph are ignored
+    * (and excluded from |S∩V|). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int,
+                           scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val raw = edges
+      .select(col(srcCol), col(dstCol), col(weightCol).cast("long"))
+      .rdd.map(r => (r.get(0), (r.get(1), r.getLong(2))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    val part = new HashPartitioner(
+      math.min(sc.defaultParallelism.toLong, nEdges / 65536L + 1L)
+        .toInt.max(1))
+    val outw = raw.mapValues(_._2).reduceByKey(part, _ + _)
+    val ew = raw.join(outw, part)
+      .mapValues { case ((dst, w), ow) => (dst, w, ow) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedRdd = seeds.select(col(seedCol)).rdd.map(r => (r.get(0), ()))
+      .distinct(part.numPartitions).partitionBy(part)
+    val nodes = raw.flatMap { case (s, (d, _)) => Iterator(s, d) }
+      .distinct(part.numPartitions)
+      .map(n => (n, ()))
+      .partitionBy(part)
+      .leftOuterJoin(seedRdd, part)
+      .mapValues { case (_, sd) => sd.isDefined }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = math.max(nodes.filter(_._2).count(), 1L)
+    val init = scale / nSeeds
+    val teleport = (scale * 15L) / (100L * nSeeds)
+    var ranks = nodes.mapValues(s => if (s) init else 0L)
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks, part)
+        .map { case (_, ((dst, w, ow), r)) =>
+          (dst, r * 85L * w / (100L * ow)) }
+        .reduceByKey(part, _ + _)
+      ranks = nodes.leftOuterJoin(contrib, part)
+        .mapValues { case (isSeed, c) =>
+          (if (isSeed) teleport else 0L) + c.getOrElse(0L) }
+    }
+    val nodeType = edges.schema(srcCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    val rows = ranks.map { case (n, r) =>
+      org.apache.spark.sql.Row(n, r) }
+    val out = spark.createDataFrame(rows, schema).localCheckpoint()
+    raw.unpersist(blocking = false)
+    ew.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components by alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC 2014): each round hooks every node to the minimum of its

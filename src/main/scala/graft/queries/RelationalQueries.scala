@@ -906,7 +906,32 @@ object RelationalQueries {
     walk.select(col("start_node"), col("n1"), col("n2"), col("n3"))
   }
 
+  /** Seed-expansion via personalized PageRank: random-walk-with-restart
+    * from the curated seed set (parts with p_size = 50) over the
+    * WEIGHTED co-purchase graph (edge weight = co-occurrence count, so
+    * frequently-bundled parts pull more rank). Output = the 3-hop seed
+    * neighborhood with exact fixed-point ranks — the "expand a curated
+    * seed list through the co-occurrence graph" primitive of corpus
+    * labeling pipelines ([[Graphs.personalizedPageRank]]). */
+  def relPprSeeds(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pc = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val sym = pc.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(pc.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val seeds = Tables.part(s, dir).filter(col("p_size") === 50)
+      .select(col("p_partkey"))
+    Graphs.personalizedPageRank(sym, "src", "dst", "w", seeds, "p_partkey",
+                                iters = 3)
+      .filter(col("rank") > 0)
+      .select(col("node").as("part_node"), col("rank"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_ppr_seeds"         -> (relPprSeeds _),
     "rel_skyline"           -> (skyline _),
     "rel_graph_walks"       -> (graphWalks _),
     "rel_fuzzy_match"       -> (fuzzyMatch _),
@@ -1040,7 +1065,50 @@ object RelationalQueries {
        |SELECT start_node, n1, n2, n3 FROM w3""".stripMargin
   }
 
+  /** 3-round personalized-PageRank unroll (seed-restricted teleport,
+    * same fixed-point constants as the evt_pagerank twin). */
+  private val pprSeedsSql: String = {
+    val scale = 1000000000L
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey
+         |    AND l1.l_quantity > 40 AND l2.l_quantity > 40
+         |  GROUP BY 1, 2),
+         |ed AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM base
+         |                    UNION ALL SELECT b, a, w FROM base),
+         |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+         |                      FROM ed GROUP BY 1),
+         |sd AS MATERIALIZED (SELECT node,
+         |    node IN (SELECT p_partkey FROM part WHERE p_size = 50) AS is_seed
+         |  FROM (SELECT DISTINCT src AS node FROM ed)),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sd WHERE is_seed),
+         |r0 AS (SELECT node, is_seed,
+         |    CASE WHEN is_seed THEN CAST($scale AS BIGINT) // (SELECT n FROM ns)
+         |         ELSE CAST(0 AS BIGINT) END AS rank
+         |  FROM sd)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(r.rank * 85 * e.w // (100 * o.out_w)) AS BIGINT) AS in_c
+         |  FROM r${i - 1} r JOIN ed e ON r.node = e.src
+         |  JOIN outw o ON e.src = o.src GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT s.node, s.is_seed,
+         |    CASE WHEN s.is_seed THEN CAST(${scale * 15} AS BIGINT)
+         |           // (100 * (SELECT n FROM ns)) ELSE CAST(0 AS BIGINT) END
+         |      + COALESCE(c$i.in_c, 0) AS rank
+         |  FROM sd s LEFT JOIN c$i ON c$i.node = s.node)""".stripMargin
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")}
+       |SELECT node AS part_node, CAST(rank AS BIGINT) AS rank
+       |FROM r3 WHERE rank > 0""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "rel_ppr_seeds" -> pprSeedsSql,
     "rel_skyline" ->
       s"""SELECT p_partkey, p_name, p_retailprice,
          |  CAST(p_size AS BIGINT) AS p_size

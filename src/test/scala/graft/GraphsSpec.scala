@@ -195,6 +195,33 @@ class GraphsSpec extends SparkSpec {
     assert(d(6L).isEmpty && d(999L).isEmpty, "beyond the 5-round frontier")
   }
 
+  test("personalized PageRank with the all-nodes seed set equals plain PageRank") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+                    ("a", "c", 3L)).toDF("src", "dst", "w")
+    val allNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst"))).distinct()
+    val ppr = Graphs
+      .personalizedPageRank(edges, "src", "dst", "w", allNodes, "n", 3)
+      .as[(String, Long)].collect().toMap
+    val pr = Graphs.pageRank(edges, "src", "dst", "w", 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
+  test("personalized PageRank: mass flows out from the seed, hop by hop") {
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("n")
+    val r = Graphs
+      .personalizedPageRank(chain, "src", "dst", "w", seeds, "n", 2)
+      .as[(String, Long)].collect().toMap
+    // init a=1e9; round 1: a=150M (teleport), b=850M; round 2:
+    // b=150M*85%=127.5M, c=850M*85%=722.5M, d still untouched
+    assert(r == Map("a" -> 150000000L, "b" -> 127500000L,
+                    "c" -> 722500000L, "d" -> 0L))
+  }
+
   private def core(edges: Seq[(Long, Long)], k: Int,
                    rounds: Int): Map[Long, Long] =
     Graphs.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
