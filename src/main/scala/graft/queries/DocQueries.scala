@@ -1021,7 +1021,9 @@ object DocQueries {
       "minhash_pairs" -> PlanCache.pin(Dedup.minHashCandidatePairs(
         docs, "doc_id", "text", ShingleN, MinHashK, RowsPerBand)),
       "bpe_word_freq" -> PlanCache.pin(
-        TextOps.bpeWordFreq(Tables.spread(docs), "text")))
+        TextOps.bpeWordFreq(Tables.spread(docs), "text")),
+      // consumed by text_winnowing AND pipe_contamination_winnow
+      "winnow_fps" -> PlanCache.pin(textWinnowing(s, dir)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
