@@ -375,7 +375,48 @@ object EventQueries {
           .as("mean_y_adj"))
   }
 
+  /** Strict-sequence CEP: users completing click → view → purchase in
+    * ORDER, each step within 30 min of its predecessor — the pattern-
+    * match primitive (SQL MATCH_RECOGNIZE's common case) expressed as
+    * two chained conditional running-max windows: a view completes a
+    * (click, view) stage iff the latest EARLIER click is within the
+    * gap; a purchase completes the pattern iff the latest earlier
+    * stage-completion is within the gap. This is exact for
+    * latest-predecessor matching (non-greedy in the first element:
+    * a late click can rescue a view an early click couldn't).
+    *
+    * One shuffle on the user key; frames are ROWS-based over the
+    * deterministic (ts, event_id) order, so both engines replay the
+    * same scan. Output: per-user stage counts and the earliest
+    * completion, µs-integer arithmetic throughout. */
+  def cepSequence(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = HalfHourUs
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+              col("event_type"))
+    val s1 = e.withColumn("prev_click",
+      max(when(col("event_type") === "click", col("us"))).over(wPrev))
+    val s2 = s1.withColumn("ab_us",
+      when(col("event_type") === "view" &&
+           col("us") - col("prev_click") <= gapUs, col("us")))
+    val s3 = s2.withColumn("prev_ab", max(col("ab_us")).over(wPrev))
+      .withColumn("abc_us",
+        when(col("event_type") === "purchase" &&
+             col("us") - col("prev_ab") <= gapUs, col("us")))
+    s3.groupBy(col("user_id"))
+      .agg(sum(when(col("ab_us").isNotNull, 1L).otherwise(0L))
+             .as("n_stage2"),
+           sum(when(col("abc_us").isNotNull, 1L).otherwise(0L))
+             .as("n_complete"),
+           min(col("abc_us")).as("first_complete_us"))
+      .withColumn("has_pattern", col("n_complete") > 0)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cep_sequence"     -> (cepSequence _),
     "evt_cuped"            -> (cuped _),
     "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
@@ -401,6 +442,38 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_cep_sequence" -> {
+      val gapUs = HalfHourUs
+      s"""WITH e AS (SELECT user_id, event_id, $usExpr AS us, event_type
+         |           FROM events),
+         |s1 AS (SELECT *,
+         |    max(CASE WHEN event_type = 'click' THEN us END) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_click
+         |  FROM e),
+         |s2 AS (SELECT *,
+         |    CASE WHEN event_type = 'view' AND us - prev_click <= $gapUs
+         |         THEN us END AS ab_us
+         |  FROM s1),
+         |s3 AS (SELECT *,
+         |    max(ab_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ab
+         |  FROM s2),
+         |s4 AS (SELECT *,
+         |    CASE WHEN event_type = 'purchase' AND us - prev_ab <= $gapUs
+         |         THEN us END AS abc_us
+         |  FROM s3)
+         |SELECT user_id,
+         |  CAST(SUM(CASE WHEN ab_us IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_stage2,
+         |  CAST(SUM(CASE WHEN abc_us IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_complete,
+         |  MIN(abc_us) AS first_complete_us,
+         |  SUM(CASE WHEN abc_us IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |    AS has_pattern
+         |FROM s4 GROUP BY 1""".stripMargin
+    },
     "evt_cuped" ->
       s"""WITH ev AS (SELECT user_id, $usExpr AS us,
          |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),

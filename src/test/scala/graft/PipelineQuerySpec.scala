@@ -317,6 +317,36 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("cepSequence matches an independent latest-predecessor scan") {
+    val gap = 1800L * 1000000L
+    val out = graft.queries.EventQueries.cepSequence(spark, dir)
+      .select($"user_id", $"n_stage2", $"n_complete",
+              $"first_complete_us", $"has_pattern")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts_ns DIV 1000"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expect = ev.groupBy(_._1).map { case (u, es) =>
+      var lastClick = Option.empty[Long]
+      var lastAb = Option.empty[Long]
+      var n2 = 0L; var nc = 0L; var first = Option.empty[Long]
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, _, us, tp) =>
+        val ab = tp == "view" && lastClick.exists(c => us - c <= gap)
+        val abc = tp == "purchase" && lastAb.exists(a => us - a <= gap)
+        if (ab) { n2 += 1 }
+        if (abc) { nc += 1; if (first.isEmpty) first = Some(us) }
+        // state updates AFTER the checks: frames end at 1 PRECEDING
+        if (tp == "click") lastClick = Some(us)
+        if (ab) lastAb = Some(us)
+      }
+      u -> (n2, nc, first, nc > 0)
+    }
+    assert(out == expect)
+    assert(out.values.exists(_._4), "no user completed the pattern")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("winnow contamination: benchmark excluded, integer bounds hold") {
     val rows = DocQueries.pipeContaminationWinnow(spark, dir)
       .as[(Long, Long, Long, Long)].collect()
