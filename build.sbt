@@ -14,6 +14,13 @@ Test / fork := true
 // (codegen factory mode) — parallel suites would race on them
 Test / parallelExecution := false
 run / fork := true
+// Bench's machine-readable contract line must be the LAST stdout line a
+// tail-capture sees: route forked-run output straight to stdout (no
+// "[info] " tag) and drop sbt's "[success] Total time" epilogue, which
+// otherwise trails the JSON and breaks a last-line parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

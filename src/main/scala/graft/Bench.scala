@@ -172,7 +172,13 @@ object Bench {
       case Some(_) => sortByName(qResults)
       case None    => headline.flatMap(n => qResults.get(n).map(n -> _))
     }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(head)},"sf":"$sfDir"}""")
+    // contract line LAST on stdout, after session teardown: shutdown
+    // warnings can otherwise interleave past it in a combined-stream
+    // tail capture, and the driver parses the final line as JSON
+    val contract =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(head)},"sf":"$sfDir"}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(contract)
   }
 }

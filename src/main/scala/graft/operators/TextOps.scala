@@ -181,15 +181,25 @@ object TextOps {
     * members (positions are contiguous), so no length join is needed.
     * Bounds: 40-bit gram hashes × 2²⁰ positions per document fit the
     * composite in 60 bits — widen to DECIMAL or a struct min beyond
-    * ~10⁶ grams/doc. Deterministic: seeded md5, no RNG; the DuckDB
+    * ~10⁶ grams/doc, and a RUNTIME guard (`raise_error` on pos ≥ 2²⁰)
+    * fails loudly instead of silently corrupting the argmin if a
+    * future corpus ever exceeds the width budget (ADVICE r8).
+    * Deterministic: seeded md5, no RNG; the DuckDB
     * twin replays the identical composite arithmetic. */
   def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String,
                            w: Int = 4): org.apache.spark.sql.DataFrame = {
     val slots = 1L << 20
+    val rawPos = (col("p0") + 1).cast("long")
+    // pos feeds the composite through this guard, so it can't be pruned
+    val safePos = when(rawPos < lit(slots), rawPos).otherwise(
+      raise_error(concat(lit("winnowedFingerprints: document position "),
+        rawPos.cast("string"),
+        lit(s" exceeds the $slots composite width budget —"),
+        lit(" widen the slot field"))).cast("long"))
     val grams = df.select(col(idCol),
         posexplode(wordShingles(col(textCol), 3)).as(Seq("p0", "sh")))
-      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+      .select(col(idCol), safePos.as("pos"),
         conv(substring(md5(concat(lit("win|"), col("sh")).cast("binary")),
                        1, 10), 16, 10).cast("long").as("h"))
     grams.select(col(idCol), col("pos"), col("h"),

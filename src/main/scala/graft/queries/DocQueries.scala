@@ -1678,8 +1678,8 @@ object DocQueries {
          |FROM m""".stripMargin,
     "pipe_leakage_split" ->
       s"""WITH RECURSIVE
-         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT s AS id FROM edges),
          |reach(id, r) AS (
@@ -1750,8 +1750,8 @@ object DocQueries {
     },
     "pipe_dedup_keep" ->
       s"""WITH RECURSIVE
-         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT s AS id FROM edges),
          |reach(id, r) AS (
@@ -1768,8 +1768,8 @@ object DocQueries {
          |GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |pairs AS (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT s AS id FROM edges),
          |reach(id, r) AS (

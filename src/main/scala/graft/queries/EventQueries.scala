@@ -326,9 +326,13 @@ object EventQueries {
     * Σx², Σxy) is an exact BIGINT on both engines; θ and the means then
     * derive in bit-identical IEEE double steps. Scale: one scan + one
     * per-user shuffle; moments and variant rollups are map-combined;
-    * the θ frame is a 1-row broadcast. Σx² needs DECIMAL(38) past
-    * ~3·10⁹ scaled-spend units per user — far beyond the fixture's
-    * range but the documented upgrade path at extreme scale. */
+    * the θ frame is a 1-row broadcast. Overflow ceiling: the pooled
+    * moments bound as Σx² ≤ max_user(x)·Σx (a CORPUS-total bound, not
+    * just per-user — ADVICE r8), so BIGINT holds while
+    * max(x)·Σx < 2⁶³ ≈ 9.2·10¹⁸ scaled-spend units²; past that, route
+    * sxx/sxy through DECIMAL(38,0) on both sides. ANSI mode makes the
+    * breach loud (Spark throws, DuckDB's BIGINT cast errors), never
+    * silent. */
   def cuped(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
       col("user_id"),

@@ -1084,7 +1084,10 @@ object RelationalQueries {
          |sd AS MATERIALIZED (SELECT node,
          |    node IN (SELECT p_partkey FROM part WHERE p_size = 50) AS is_seed
          |  FROM (SELECT DISTINCT src AS node FROM ed)),
-         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sd WHERE is_seed),
+         |-- GREATEST(.,1) mirrors the engine's max(nSeeds,1) guard: an
+         |-- empty seed set must yield an empty result, not a div-by-zero
+         |ns AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS n
+         |       FROM sd WHERE is_seed),
          |r0 AS (SELECT node, is_seed,
          |    CASE WHEN is_seed THEN CAST($scale AS BIGINT) // (SELECT n FROM ns)
          |         ELSE CAST(0 AS BIGINT) END AS rank
