@@ -458,4 +458,72 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"),
               (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** The exploded line table behind [[lineDedup]]: one row per
+    * (document, line) with the line's 60-bit content hash and token
+    * count. "Line" = `segTokens` consecutive tokens, non-overlapping,
+    * last segment ragged — the deterministic segment grain for the
+    * single-line fixture corpus; a production web corpus splits on
+    * '\n' FIRST and feeds each physical line through the identical
+    * plan (the grain choice changes only this frame's first
+    * projection). Shared (PlanCache) so the dedup query and any
+    * line-grain sibling materialize the explode once. */
+  def lineFrame(df: DataFrame, idCol: String, textCol: String,
+                segTokens: Int): DataFrame = {
+    val w = segTokens
+    // guard nseg >= 1: Spark's sequence(1, 0) yields the DESCENDING
+    // [1, 0], not an empty array — an empty doc would fabricate lines
+    val base = graft.sources.Tables.spread(df)
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("t"))
+      .withColumn("nseg", expr(s"(size(t) + ${w - 1}) DIV $w"))
+    reused(base
+      .select(col(idCol), col("t"),
+        explode(when(col("nseg") >= 1, sequence(lit(1), col("nseg")))
+          .otherwise(array().cast("array<int>"))).as("line_no"))
+      .withColumn("seg",
+        concat_ws(" ", slice(col("t"),
+          (col("line_no") - 1) * lit(w) + lit(1), lit(w))))
+      .select(col(idCol), col("line_no"),
+        conv(substring(md5(concat(lit("line|"), col("seg")).cast("binary")),
+                       1, 15), 16, 10).cast("long").as("h"),
+        size(slice(col("t"), (col("line_no") - 1) * lit(w) + lit(1), lit(w)))
+          .cast("long").as("ntok")))
+  }
+
+  /** C4/RefinedWeb-style LINE-LEVEL dedup (Raffel et al. 2020 §2.2;
+    * Penedo et al. 2023 §4.2): a line occurring in ≥ `minDocs`
+    * DISTINCT documents is boilerplate (navigation, license headers,
+    * cookie banners) and is removed from every document that carries
+    * it. Per-document report: line count, removed-line count, tokens
+    * surviving the cut, and the removed permille — the standard
+    * web-corpus cleaning pass between exact dedup (document grain,
+    * [[exactGroups]]) and ExactSubstr (position grain,
+    * [[substringSpans]]).
+    *
+    * Scale shape (100 TB): one bounded shuffle on the 60-bit line
+    * hash with map-side combine for the distinct-doc counts (the
+    * line-hash table is line-VOCABULARY sized, not corpus sized);
+    * the hot-line blocklist is tiny by construction (only lines
+    * repeated across documents) and BROADCASTS back onto the line
+    * stream — no second corpus-keyed shuffle; the per-doc rollup is
+    * the one remaining shuffle on the doc key. Hash family is the
+    * oracle-replayable md5-60 idiom (no RNG); over-marking needs a
+    * 60-bit collision against a hot line. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                segTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    val lines = lineFrame(df, idCol, textCol, segTokens)
+    val hot = lines.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("dup"))
+    lines.join(broadcast(hot), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(when(col("dup").isNotNull, 1L).otherwise(0L))
+             .as("n_dup_lines"),
+           sum(when(col("dup").isNull, col("ntok")).otherwise(0L))
+             .as("kept_tokens"))
+      .withColumn("removed_permille",
+        expr("n_dup_lines * 1000 DIV n_lines"))
+  }
 }

@@ -176,6 +176,89 @@ object DocQueries {
       .withColumn("clean_permille", expr("n_clean * 1000 DIV n_docs"))
   }
 
+  /** C4/RefinedWeb line-level dedup report (see [[Dedup.lineDedup]]):
+    * per-document boilerplate-line removal counts at the 10-token
+    * segment grain, hot = a line in ≥ 2 distinct documents. */
+  def pipeLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Gopher REPETITION panel (Rae et al. 2021 table A1, the repetition
+    * block [[textGopherRules]] doesn't cover): per-source violation
+    * counts for duplicate-line fraction ≤ 0.30, duplicate-paragraph
+    * fraction ≤ 0.30, and top-2/3/4-gram character-mass share ≤
+    * 0.20/0.18/0.16. Lines/paragraphs are the deterministic 10-/50-
+    * token segment grain (single-line fixture corpus — a web corpus
+    * splits on '\n' first); an n-gram's covered mass is
+    * occurrences × characters of the MOST frequent n-gram (count
+    * ties broken toward the longer gram via a composite-BIGINT max,
+    * the winnowing argmin trick), over the document's total chars.
+    *
+    * Scale shape: line/paragraph duplicate fractions are pure
+    * map-side expressions (array_distinct over the segment array — no
+    * shuffle at all); the top-gram pass is one (doc, n, gram) hash
+    * aggregate with map-side combine plus a doc-keyed rollup. Every
+    * rule is integer cross-multiplied — no float ever reaches the
+    * compare. */
+  def textGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val slots = 1L << 20
+    val docs = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("text"),
+                TextOps.tokenize(col("text")).as("t")))
+    // segment array in-expression; the lambda closes over the
+    // MATERIALIZED `t` column (attribute read per element, not a
+    // re-split — the round-5 HOF closure gotcha)
+    def segArr(w: Int): org.apache.spark.sql.Column = {
+      val nseg = expr(s"(size(t) + ${w - 1}) DIV $w")
+      when(nseg >= 1, transform(sequence(lit(1), nseg),
+        i => concat_ws(" ",
+          slice(col("t"), (i - 1) * lit(w) + lit(1), lit(w)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val grams = docs
+      .select(col("doc_id"), explode(array(Seq(2, 3, 4).map(n =>
+        struct(lit(n).as("n"),
+               TextOps.wordShingles(col("text"), n).as("g"))): _*)).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), explode(col("ng.g")).as("gram"))
+    val cov = grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c") * lit(slots) + length(col("gram")).cast("long"))
+        .as("cm"))
+      .select(col("doc_id"), col("n"),
+              (expr(s"cm DIV $slots") * (col("cm") % lit(slots)))
+                .as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n") === 2, col("covered"))).as("cov2"),
+           max(when(col("n") === 3, col("covered"))).as("cov3"),
+           max(when(col("n") === 4, col("covered"))).as("cov4"))
+    def fails(ok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(ok, 0L).otherwise(1L))
+    val lines = segArr(10)
+    val paras = segArr(50)
+    val chars = length(col("text")).cast("long")
+    val flagged = docs.join(cov, Seq("doc_id"), "left")
+      .select(col("source"),
+        ((size(lines) - size(array_distinct(lines))) * 10 <=
+          size(lines) * 3).as("dl"),
+        ((size(paras) - size(array_distinct(paras))) * 10 <=
+          size(paras) * 3).as("dp"),
+        (coalesce(col("cov2"), lit(0L)) * 5 <= chars).as("t2"),
+        (coalesce(col("cov3"), lit(0L)) * 50 <= chars * 9).as("t3"),
+        (coalesce(col("cov4"), lit(0L)) * 25 <= chars * 4).as("t4"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           fails(col("dl")).as("n_dupline_fail"),
+           fails(col("dp")).as("n_duppara_fail"),
+           fails(col("t2")).as("n_top2_fail"),
+           fails(col("t3")).as("n_top3_fail"),
+           fails(col("t4")).as("n_top4_fail"),
+           sum(when(col("dl") && col("dp") && col("t2") && col("t3") &&
+                    col("t4"), 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("clean_permille", expr("n_clean * 1000 DIV n_docs"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by the mean per-token log importance ratio between a
@@ -1072,6 +1155,8 @@ object DocQueries {
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
+    "text_gopher_repetition" -> (textGopherRepetition _),
+    "pipe_line_dedup"     -> (pipeLineDedup _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
@@ -1622,6 +1707,81 @@ object DocQueries {
          |    ($nTok - len(list_distinct($wordsSql))) * 5 <= $nTok * 2 AS ro
          |  FROM documents)
          |GROUP BY source""".stripMargin
+    },
+    // line grain = 10-token segments, mirroring Dedup.lineFrame; the
+    // hot set is lines in >= 2 DISTINCT docs (C4/RefinedWeb rule)
+    "pipe_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $wordsSql AS t FROM documents),
+         |lines AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('line|' ||
+         |      array_to_string(t[(i-1)*10+1:i*10], ' ')), 1, 15) AS BIGINT)
+         |      AS h,
+         |    len(t[(i-1)*10+1:i*10]) AS ntok
+         |  FROM (SELECT doc_id, t,
+         |          unnest(range(1, (len(t)+9)//10 + 1)) AS i FROM toks)),
+         |hot AS (SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+         |  WHERE nd >= 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_dup_lines,
+         |  CAST(SUM(CASE WHEN hot.h IS NULL THEN ntok ELSE 0 END)
+         |       AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |       // COUNT(*) AS BIGINT) AS removed_permille
+         |FROM lines LEFT JOIN hot ON lines.h = hot.h
+         |GROUP BY doc_id""".stripMargin,
+    "text_gopher_repetition" -> {
+      val segs = (w: Int) =>
+        s"""[array_to_string(t[(i_-1)*$w+1:i_*$w], ' ')
+           | FOR i_ IN range(1, (len(t)+${w - 1})//$w + 1)]""".stripMargin
+      s"""WITH base AS (SELECT doc_id, source, text, $wordsSql AS t
+         |  FROM documents),
+         |seg AS (SELECT doc_id, source, text,
+         |    ${segs(10)} AS lines,
+         |    ${segs(50)} AS paras
+         |  FROM base),
+         |g AS (SELECT doc_id, 2 AS n, unnest(${sqlShingles(2)}) AS gram
+         |        FROM documents
+         |      UNION ALL SELECT doc_id, 3, unnest(${sqlShingles(3)})
+         |        FROM documents
+         |      UNION ALL SELECT doc_id, 4, unnest(${sqlShingles(4)})
+         |        FROM documents),
+         |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         |-- count ties break toward the longer gram: composite max
+         |topg AS (SELECT doc_id, n, MAX(c * 1048576 + length(gram)) AS cm
+         |         FROM c GROUP BY 1, 2),
+         |cov AS (SELECT doc_id,
+         |    MAX(CASE WHEN n = 2 THEN (cm // 1048576) * (cm % 1048576) END)
+         |      AS cov2,
+         |    MAX(CASE WHEN n = 3 THEN (cm // 1048576) * (cm % 1048576) END)
+         |      AS cov3,
+         |    MAX(CASE WHEN n = 4 THEN (cm // 1048576) * (cm % 1048576) END)
+         |      AS cov4
+         |  FROM topg GROUP BY 1),
+         |f AS (SELECT source,
+         |    (len(lines) - len(list_distinct(lines))) * 10
+         |      <= len(lines) * 3 AS dl,
+         |    (len(paras) - len(list_distinct(paras))) * 10
+         |      <= len(paras) * 3 AS dp,
+         |    COALESCE(cov2, 0) * 5 <= length(text) AS t2,
+         |    COALESCE(cov3, 0) * 50 <= length(text) * 9 AS t3,
+         |    COALESCE(cov4, 0) * 25 <= length(text) * 4 AS t4
+         |  FROM seg LEFT JOIN cov USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN dl THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dupline_fail,
+         |  CAST(SUM(CASE WHEN dp THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_duppara_fail,
+         |  CAST(SUM(CASE WHEN t2 THEN 0 ELSE 1 END) AS BIGINT) AS n_top2_fail,
+         |  CAST(SUM(CASE WHEN t3 THEN 0 ELSE 1 END) AS BIGINT) AS n_top3_fail,
+         |  CAST(SUM(CASE WHEN t4 THEN 0 ELSE 1 END) AS BIGINT) AS n_top4_fail,
+         |  CAST(SUM(CASE WHEN dl AND dp AND t2 AND t3 AND t4 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN dl AND dp AND t2 AND t3 AND t4 THEN 1 ELSE 0 END)
+         |       * 1000 // COUNT(*) AS BIGINT) AS clean_permille
+         |FROM f GROUP BY source""".stripMargin
     },
     "pipe_dsir_weights" ->
       s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang,

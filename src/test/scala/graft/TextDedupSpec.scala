@@ -363,4 +363,48 @@ class TextDedupSpec extends SparkSpec {
       cnt * seq.trim.split(" ", -1).length }.sum
     assert(enc._4 == refTokens)
   }
+
+  test("line-level dedup: cross-doc boilerplate removed, unique kept") {
+    // 3-token "lines"; the cookie-banner line opens docs 1-3, doc 4 is
+    // clean; within-doc repetition alone (doc 5) must NOT flag
+    val corpus = Seq(
+      (1L, "accept all cookies alpha beta gamma delta"),
+      (2L, "accept all cookies epsilon zeta eta theta"),
+      (3L, "accept all cookies iota kappa lambda"),
+      (4L, "mu nu xi omicron pi rho"),
+      (5L, "tau tau tau tau tau tau") // same line twice, ONE doc only
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(corpus, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: lines = [accept all cookies][alpha beta gamma][delta]
+    assert(got(1L) == ((1L, 3L, 1L, 4L, 333L)))
+    assert(got(2L) == ((2L, 3L, 1L, 4L, 333L)))
+    assert(got(3L) == ((3L, 2L, 1L, 3L, 500L)))   // ragged last segment
+    assert(got(4L) == ((4L, 2L, 0L, 6L, 0L)))     // untouched
+    // doc 5's repeated line lives in one doc — distinct-doc count 1
+    assert(got(5L) == ((5L, 2L, 0L, 6L, 0L)))
+  }
+
+  test("line dedup: minDocs threshold and empty-doc guard") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "a b c q r s"),
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    // minDocs = 3: the shared lead line spans exactly 3 docs → removed
+    val strict = Dedup.lineDedup(corpus, "doc_id", "text",
+        segTokens = 3, minDocs = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(strict(1L) == 1L && strict(2L) == 1L && strict(3L) == 1L)
+    // minDocs = 4: nothing crosses the bar
+    val loose = Dedup.lineDedup(corpus, "doc_id", "text",
+        segTokens = 3, minDocs = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(loose.forall(_._3 == 0L))
+    // the null doc tokenizes to no tokens → zero lines → absent (the
+    // sequence(1,0) descending-array trap would fabricate 2 lines)
+    assert(!strict.contains(4L))
+  }
 }
