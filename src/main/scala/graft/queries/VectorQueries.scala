@@ -107,11 +107,13 @@ object VectorQueries {
                                    dims = Dims), 3)
   }
 
-  /** Exact all-pairs cosine ≥ 0.4 — embedding near-dup detection. */
+  /** Exact all-pairs cosine ≥ 0.4 — embedding near-dup ground truth,
+    * tile-partitioned (no cartesian/BNLJ node; see
+    * [[Similarity.tiledNearDupPairs]]). */
   def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-                                  "embedding", 0.4)
+    Similarity.tiledNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+                                 "embedding", 0.4)
   }
 
   /** LSH-blocked near-dup pairs (deterministic blocking → oracle). */

@@ -305,4 +305,31 @@ class VectorSimilaritySpec extends SparkSpec {
       (1, 1) -> 2L, (1, 2) -> 1L, (2, 2) -> 2L, (3, 1) -> 1L))
     assert(run(data.repartition(5)) == got)
   }
+
+  test("tiled near-dup pairs == crossJoin baseline; no cartesian/BNLJ node") {
+    // fixture embeddings: the registered query's exact input
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    val naive = rows(Similarity.cosineNearDupPairs(emb, "vec_id",
+                                                   "embedding", 0.4))
+    // every tiling (including blocks > n and blocks = 1) is identical —
+    // bit-for-bit, cosine included
+    for (b <- Seq(1, 3, 8, 101)) {
+      val tiled = Similarity.tiledNearDupPairs(emb, "vec_id",
+                                               "embedding", 0.4, blocks = b)
+      assert(rows(tiled) == naive, s"blocks=$b diverged")
+    }
+    // the whole point: the tiled plan carries NO quadratic join node
+    val plan = Similarity.tiledNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // ... while the naive baseline does (guards the spec itself against
+    // a future refactor silently comparing tiled to tiled)
+    val naivePlan = Similarity.cosineNearDupPairs(emb, "vec_id",
+        "embedding", 0.4).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("CartesianProduct") ||
+           naivePlan.contains("BroadcastNestedLoopJoin"))
+  }
 }
