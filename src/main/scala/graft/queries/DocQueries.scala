@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, PlanCache, Sketch, TextOps}
+import graft.operators.{Dedup, PlanCache, Sketch, TextOps, UnigramLM}
 import graft.sources.Tables
 import Canon._
 
@@ -1160,6 +1160,8 @@ object DocQueries {
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
+    "text_unigram_tokenizer" -> ((s: SparkSession, d: String) =>
+      UnigramLM.train(Tables.documents(s, d), "text")),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1666,6 +1668,7 @@ object DocQueries {
          |GROUP BY word""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(BpeSteps, BpeBatchK),
     "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
+    "text_unigram_tokenizer" -> UnigramLM.chainSql(),
     "text_bigram_nll" ->
       // same 1e-6-grid quantization discipline as text_unigram_nll; the
       // bigram table (`big`) feeds both the type counts and the per-doc

@@ -364,6 +364,81 @@ class TextDedupSpec extends SparkSpec {
     assert(enc._4 == refTokens)
   }
 
+  test("unigram-LM tokenizer: matches an independent in-JVM trainer") {
+    import graft.operators.UnigramLM
+    // shared sub-words across related surface forms force real
+    // segmentation (MaxPiece=4 < longest word), plus repetition so
+    // frequency weighting matters
+    val sentences = Seq(
+      "tokenize the token tokens ize size resize",
+      "tokenize tokenize the the the size wise",
+      "resize rewise wise ize token")
+    val corpus = sentences.map(Tuple1(_)).toDF("text")
+
+    // independent reference trainer: plain Scala collections, same
+    // spec (seed = all substrings len<=MaxPiece, hard-EM Viterbi with
+    // composite-min tie-break toward the smaller predecessor, prune
+    // zero-usage pieces, re-score on the 1e-6 log grid)
+    val words: Map[String, Long] = sentences.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    def lp(m: Map[String, Long]): Map[String, Long] = {
+      val t = UnigramLM.qln(m.values.sum)
+      m.map { case (p, c) => p -> (UnigramLM.qln(c) - t) }
+    }
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- words; j <- 0 until w.length;
+         l <- 1 to math.min(UnigramLM.MaxPiece, w.length - j))
+      seed(w.substring(j, j + l)) += c
+    var vocab = lp(seed.toMap)
+    var counts: Map[String, Long] = Map.empty
+    for (r <- 1 to UnigramLM.Rounds) {
+      val cm = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- words) {
+        val L = w.length
+        val b = Array.fill(L + 1)(0L)
+        for (i <- 1 to L) {
+          b(i) = (math.max(0, i - UnigramLM.MaxPiece) until i).map { j =>
+            val cost = vocab.get(w.substring(j, i)).map(-_)
+              .getOrElse(UnigramLM.Inf)
+            (b(j) / UnigramLM.Slot + cost) * UnigramLM.Slot + j
+          }.min
+        }
+        var e = L
+        while (e >= 1) {
+          val s = (b(e) % UnigramLM.Slot).toInt
+          cm(w.substring(s, e)) += c
+          e = s
+        }
+      }
+      counts = cm.toMap
+      if (r < UnigramLM.Rounds) vocab = lp(counts)
+    }
+
+    val got = UnigramLM.train(corpus, "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == counts)
+    // segmentation is exhaustive: piece uses x lengths cover every char
+    val totalChars = words.map { case (w, c) => w.length * c }.sum
+    assert(got.map { case (p, c) => p.length * c }.sum == totalChars)
+    // pruning bit: the seed had strictly more pieces than survive
+    assert(got.size < seed.size)
+  }
+
+  test("unigram-LM tokenizer: MaxWord guard raises loudly") {
+    val bad = Seq(Tuple1("short " + "x" * (graft.operators.UnigramLM.MaxWord + 1)))
+      .toDF("text")
+    val e = intercept[Exception] {
+      graft.operators.UnigramLM.train(bad, "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("longer than MaxWord")))
+  }
+
   test("line-level dedup: cross-doc boilerplate removed, unique kept") {
     // 3-token "lines"; the cookie-banner line opens docs 1-3, doc 4 is
     // clean; within-doc repetition alone (doc 5) must NOT flag
