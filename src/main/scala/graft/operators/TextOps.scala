@@ -401,11 +401,19 @@ object TextOps {
     var wf = PlanCache.reuse(cached.repartition(parts))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
-    var step = 1
+    // FIXED-GRID batch advance: each recount consumes a full batchK-wide
+    // step window even when fewer distinct pairs exist (the ragged tail
+    // near vocabulary exhaustion) — missing ranks are no-ops and the
+    // next recount happens at the same grid offset the unrolled oracle
+    // chain uses. An adaptive advance (step += merges applied) would
+    // recount EARLIER than the oracle exactly when batches underfill,
+    // silently diverging at real vocab sizes. Identical to the adaptive
+    // form while batches fill, which is all small step counts ever see.
+    var off = 0
     var exhausted = false
-    while (step <= steps && !exhausted) {
+    while (off < steps && !exhausted) {
       // one driver job per BATCH: top-k pairs in one TakeOrdered collect
-      val k = math.min(batchK, steps - step + 1)
+      val k = math.min(batchK, steps - off)
       val top = wf
         .withColumn("s", split(trim(col("seq")), " "))
         .filter(size(col("s")) > 1)
@@ -418,13 +426,13 @@ object TextOps {
         .limit(k).collect()
       if (top.isEmpty) exhausted = true
       else {
-        top.foreach { r =>
+        top.zipWithIndex.foreach { case (r, j) =>
           val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
-          out += ((step.toLong, a, b, a + b, c))
+          out += (((off + j + 1).toLong, a, b, a + b, c))
           wf = wf.withColumn("seq",
             replace(col("seq"), lit(s" $a $b "), lit(s" $a$b ")))
-          step += 1
         }
+        off += k
         // truncate the replace stack once per batch; lazy — materializes
         // inside the NEXT batch's collect job, adding none of its own
         wf = wf.localCheckpoint(eager = false)

@@ -310,12 +310,15 @@ object DocQueries {
 
   /** BPE merge-table training steps and per-recount batch size run by
     * [[textBpeMerges]] — the same constants parameterize the generated
-    * DuckDB oracle so the two sides cannot drift. 40 merges at 8 per
-    * recount = 5 pair-count jobs: the registry exercises the batched
-    * trainer shape a real 30k-merge vocab needs, not the 1-job-per-
-    * merge demo form. */
-  val BpeSteps = 40
-  val BpeBatchK = 8
+    * DuckDB oracle so the two sides cannot drift. 256 steps at 32 per
+    * recount = at most 8 pair-count jobs: real-vocab geometry (driver
+    * round-trips stay steps/batchK regardless of vocabulary size, plan
+    * depth stays ≤ batchK replaces between checkpoint truncations).
+    * The fixture corpus exhausts its merge space below 256, so this
+    * config also exercises the ragged-tail/exhaustion regime on the
+    * fixed batch grid (spec-pinned against the in-JVM trainer). */
+  val BpeSteps = 256
+  val BpeBatchK = 32
 
   /** Iterative BPE tokenizer training (see [[TextOps.bpeMerges]]): the
     * learned merge table after [[BpeSteps]] batched rounds. */

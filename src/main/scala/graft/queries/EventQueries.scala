@@ -393,14 +393,20 @@ object EventQueries {
     * deterministic (ts, event_id) order, so both engines replay the
     * same scan. Output: per-user stage counts and the earliest
     * completion, µs-integer arithmetic throughout. */
-  def cepSequence(s: SparkSession, dir: String): DataFrame = {
+  def cepSequence(s: SparkSession, dir: String): DataFrame =
+    cepSequenceFrame(withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+              col("event_type")))
+
+  /** The chained-window CEP core over any (user_id, event_id, us,
+    * event_type) frame — shared by the registered fixture query and the
+    * streaming-twin spec ([[graft.streaming.StreamOps.cepSequenceStream]]
+    * must equal this on the same rows). */
+  def cepSequenceFrame(e: DataFrame): DataFrame = {
     val gapUs = HalfHourUs
     val wPrev = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val e = withTsUs(Tables.events(s, dir))
-      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
-              col("event_type"))
     val s1 = e.withColumn("prev_click",
       max(when(col("event_type") === "click", col("us"))).over(wPrev))
     val s2 = s1.withColumn("ab_us",

@@ -252,6 +252,67 @@ object StreamOps {
   private def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  case class CepState(lastClickUs: Long, lastAbUs: Long, nStage2: Long,
+                      nComplete: Long, firstCompleteUs: Long)
+  case class CepOut(user_id: Long, n_stage2: Long, n_complete: Long,
+                    first_complete_us: Option[Long], has_pattern: Boolean)
+
+  /** Strict-sequence CEP as a stream — the production half of the batch
+    * `evt_cep_sequence` query (EventQueries.cepSequenceFrame): detect
+    * click → view → purchase with each step within `gapMinutes` of its
+    * predecessor, per user, emitting the running per-user pattern
+    * counts in Update mode.
+    *
+    * The batch form is two chained conditional running-max windows;
+    * that recurrence carries EXACTLY three µs values per user — the
+    * latest click, the latest completed (click,view) stage, and the
+    * first full completion — so the stream state is one tiny fixed
+    * record per user (`mapGroupsWithState`), never an event buffer.
+    * Micro-batches are processed in (event-time, event_id) order, the
+    * same total order as the batch window frames, so with per-user
+    * in-order arrival the final emits equal the batch aggregate
+    * row-for-row (spec-pinned). NoTimeout keeps every user's record
+    * live (the batch query is an all-history aggregate); a production
+    * deployment bounding state adds an event-time TTL timeout exactly
+    * like [[sessionizeWithState]]'s. */
+  def cepSequenceStream(events: Dataset[StreamEvent],
+                        gapMinutes: Long = 30): Dataset[CepOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CepState, CepOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[CepState]) =>
+          var st = state.getOption.getOrElse(
+            CepState(Long.MinValue, Long.MinValue, 0L, 0L, Long.MaxValue))
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "click" =>
+                st = st.copy(lastClickUs = math.max(st.lastClickUs, us))
+              case "view" =>
+                // sentinel guard BEFORE subtraction: us − Long.MinValue
+                // overflows
+                if (st.lastClickUs != Long.MinValue &&
+                    us - st.lastClickUs <= gapUs)
+                  st = st.copy(lastAbUs = math.max(st.lastAbUs, us),
+                               nStage2 = st.nStage2 + 1)
+              case "purchase" =>
+                if (st.lastAbUs != Long.MinValue &&
+                    us - st.lastAbUs <= gapUs)
+                  st = st.copy(nComplete = st.nComplete + 1,
+                               firstCompleteUs =
+                                 math.min(st.firstCompleteUs, us))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          CepOut(user, st.nStage2, st.nComplete,
+                 if (st.firstCompleteUs == Long.MaxValue) None
+                 else Some(st.firstCompleteUs),
+                 st.nComplete > 0L)
+      }
+  }
+
   /** Sessionization via `flatMapGroupsWithState` — the imperative-state
     * escape hatch for semantics `session_window` can't express (e.g.
     * emitting per-event session updates, custom merge rules). State is

@@ -402,6 +402,63 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("streaming CEP strict sequence equals the batch chained-window query") {
+    implicit val sq = spark.sqlContext
+    // exercises: a completed click→view→purchase chain (user 1, twice —
+    // first_complete must keep the FIRST), a view outside the 30-min
+    // gap (user 2), a purchase with no completed stage (user 3), a
+    // same-timestamp click/view tie resolved by event_id (user 4), and
+    // rows split across THREE micro-batches in event-time order
+    val evs = Seq(
+      StreamEvent(1,  ts(0),   1, "click", 0),
+      StreamEvent(2,  ts(10),  1, "view", 0),
+      StreamEvent(3,  ts(25),  1, "purchase", 0),
+      StreamEvent(4,  ts(40),  1, "view", 0),     // 30min after click@10? late
+      StreamEvent(5,  ts(50),  1, "purchase", 0), // view@10 is 40min back: late
+      StreamEvent(6,  ts(60),  1, "click", 0),
+      StreamEvent(7,  ts(70),  1, "view", 0),
+      StreamEvent(8,  ts(75),  1, "purchase", 0), // second completion
+      StreamEvent(9,  ts(0),   2, "click", 0),
+      StreamEvent(10, ts(45),  2, "view", 0),     // 45min gap: no stage
+      StreamEvent(11, ts(50),  2, "purchase", 0),
+      StreamEvent(12, ts(5),   3, "purchase", 0),
+      StreamEvent(13, ts(7),   4, "view", 0),     // same ts: view BEFORE click
+      StreamEvent(14, ts(7),   4, "click", 0),    //  (event_id order) → no stage
+      StreamEvent(15, ts(7),   5, "click", 0),    // same ts: click BEFORE view
+      StreamEvent(16, ts(7),   5, "view", 0)      //  → stage completes at gap 0
+    )
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.cepSequenceStream(mem.toDS())
+      .writeStream.format("memory").queryName("cep")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(6).foreach { batch =>
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // Update mode re-emits a user per batch — keep each user's FINAL
+    // state. Collect order off a memory sink isn't contractual, but the
+    // counters are monotone, so the max-(n_stage2, n_complete) row IS
+    // the last emit.
+    val streamed = spark.table("cep")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.maxBy(r => (r._2, r._3)) }.toMap
+
+    val batchIn = evs.map(e => (e.user_id, e.event_id,
+        e.ts.getTime * 1000L, e.event_type))
+      .toDF("user_id", "event_id", "us", "event_type")
+    val batch = graft.queries.EventQueries.cepSequenceFrame(batchIn)
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(streamed == batch)
+    // and the fixture-level sanity: both completions counted, first kept
+    assert(streamed(1L)._3 == 2L &&
+           streamed(1L)._4 == Some(ts(25).getTime * 1000L))
+    assert(streamed(2L) == ((2L, 0L, 0L, None, false)))
+    assert(streamed(4L)._2 == 0L && streamed(5L)._2 == 1L)
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap AND on event-time timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]

@@ -293,9 +293,11 @@ class TextDedupSpec extends SparkSpec {
       }
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, String, String, String, Long)]
-      var k = 1
+      // fixed-grid batch advance, mirroring the engine AND the unrolled
+      // oracle: an underfilled batch still consumes batchK step slots
+      var off = 0
       var stop = false
-      while (k <= steps && !stop) {
+      while (off < steps && !stop) {
         val pairs = scala.collection.mutable.Map
           .empty[(String, String), Long].withDefaultValue(0L)
         wf.foreach { case (seq, cnt) =>
@@ -305,15 +307,16 @@ class TextDedupSpec extends SparkSpec {
         }
         if (pairs.isEmpty) stop = true
         else {
+          val kb = math.min(batchK, steps - off)
           val top = pairs.toSeq
             .sortBy { case ((a, b), c) => (-c, a, b) }
-            .take(math.min(batchK, steps - k + 1))
-          top.foreach { case ((a, b), c) =>
-            out += ((k.toLong, a, b, a + b, c))
+            .take(kb)
+          top.zipWithIndex.foreach { case (((a, b), c), j) =>
+            out += (((off + j + 1).toLong, a, b, a + b, c))
             wf = wf.groupMapReduce(
               _._1.replace(s" $a $b ", s" $a$b "))(_._2)(_ + _)
-            k += 1
           }
+          off += kb
         }
       }
       out.toSeq
@@ -342,6 +345,21 @@ class TextDedupSpec extends SparkSpec {
       val cs = batch.map(_._5)
       assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
     }
+    // RAGGED TAIL + exhaustion (the regime a 256-step run enters): ask
+    // for far more merges than the corpus holds. The trainer must (a)
+    // stay on the fixed batch grid through underfilled recounts — step
+    // numbers jump across consumed-but-empty slots exactly like the
+    // unrolled oracle's rank grid — and (b) stop at exhaustion
+    val expectX = train(words, 200, 8)
+    val gotX = TextOps.bpeMerges(corpus, "text", 200, batchK = 8)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotX == expectX)
+    assert(gotX.size < 200, "corpus must exhaust below the step budget")
+    // the tail really was ragged: at least one batch underfilled, so the
+    // recorded step numbers have a gap at some batch boundary
+    assert(gotX.map(_._1).toSet.size == gotX.size)
+    assert(gotX.last._1 > gotX.size,
+      "fixed-grid step numbering must skip unfilled slots")
 
     // encode pass: zero merges → every char is a token (ratio exactly
     // 1000‰); the trained merges strictly compress this corpus
