@@ -796,6 +796,63 @@ object DocQueries {
       Seq("doc_id"), Seq(col("tf_idf").desc, col("term").asc), 1, "rn")
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
 
+  /** BM25 formula fragments — ONE string each, parsed verbatim by BOTH
+    * Spark (`expr`) and DuckDB, so the floating expression trees are
+    * structurally identical and every IEEE step agrees bit-for-bit.
+    * idf is Robertson-Sparck-Jones with the +1 floor (Lucene's form),
+    * quantized to the 1e-6 integer grid (sanctioned transcendental
+    * rule); the per-term contribution is rounded onto the same grid
+    * BEFORE the per-(query, doc) sum, so the only float reduction runs
+    * over exact BIGINTs. k1 = 1.2, b = 0.75 (the standard defaults). */
+  private val bm25Idf6 =
+    "CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000) AS BIGINT)"
+  private val bm25C6 =
+    "CAST(round(CAST(idf6 AS DOUBLE) * (CAST(tf AS DOUBLE) * " +
+      "CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+      "(CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * " +
+      "CAST(n_docs AS DOUBLE)) / CAST(sdl AS DOUBLE)))) AS BIGINT)"
+
+  /** BM25 top-k retrieval — the benchmark-contamination search shape:
+    * every doc_id % 50 == 0 document's first 4 distinct tokens form a
+    * "benchmark query", and the corpus is ranked against each by BM25
+    * (Robertson et al., Okapi; Lucene-default k1/b). This is the
+    * retrieval half a decontamination pipeline runs against eval-set
+    * queries (the winnowing index covers the exact-overlap half).
+    *
+    * Scale shape (100 TB): tf is the one corpus-scale shuffle
+    * (map-side combined); df is vocab-bound; the query→postings join
+    * is an inverted-index probe that touches only matching terms'
+    * postings; corpus constants (N, Σdl) are a 1-row broadcast. Top-k
+    * is a per-query window over the scored candidates only. */
+  def docBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long")))
+    val tf = PlanCache.reuse(
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val consts = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+              explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
+    val scored = queries
+      .join(tf, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf6", expr(bm25Idf6))
+      .withColumn("c6", expr(bm25C6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms_hit"))
+    graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("score6").desc, col("doc_id").asc), 5, "rank")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("doc_id"), col("n_terms_hit"), col("score6"))
+  }
+
   /** Duplicate clusters: connected components over the ≥0.5-Jaccard pair
     * edges, every member labeled with its component's min doc_id.
     * Oracle: recursive CTE transitive closure over the same edges. */
@@ -1126,6 +1183,7 @@ object DocQueries {
     "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
+    "doc_bm25_topk"       -> (docBm25TopK _),
     "dedup_clusters"      -> (dedupClusters _),
     "pipe_clean_corpus"   -> (pipeCleanCorpus _),
     "text_stats"          -> (textStats _),
@@ -1672,6 +1730,37 @@ object DocQueries {
     "text_bpe_merges" -> bpeMergesSql(BpeSteps, BpeBatchK),
     "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
     "text_unigram_tokenizer" -> UnigramLM.chainSql(),
+    // formula strings are the SAME Scala vals the Spark plan parses —
+    // the two engines cannot drift structurally
+    "doc_bm25_topk" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, $wordsSql AS toks,
+         |    CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+         |tf AS MATERIALIZED (SELECT doc_id, dl, term,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |           CAST(SUM(dl) AS BIGINT) AS sdl FROM d),
+         |q AS (SELECT doc_id AS query_id,
+         |        unnest(list_distinct(toks[1:4])) AS term
+         |      FROM d WHERE doc_id % 50 = 0),
+         |joined AS (SELECT query_id, tf.doc_id, tf.tf, tf.dl, dfq.df,
+         |             consts.n_docs, consts.sdl
+         |           FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |           CROSS JOIN consts),
+         |w6 AS (SELECT *, $bm25Idf6 AS idf6 FROM joined),
+         |scored AS (SELECT query_id, doc_id,
+         |    CAST(SUM($bm25C6) AS BIGINT) AS score6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         |  FROM w6 GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  n_terms_hit, score6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score6 DESC, doc_id ASC) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "text_bigram_nll" ->
       // same 1e-6-grid quantization discipline as text_unigram_nll; the
       // bigram table (`big`) feeds both the type counts and the per-doc

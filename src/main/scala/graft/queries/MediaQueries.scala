@@ -169,6 +169,45 @@ object MediaQueries {
                 .otherwise(lit("keep")).as("decision"))
   }
 
+  /** Compute-scaled image-dedup kernel for the scaling sweep
+    * (`tools/ScalingBench`): the manufactured TIFF corpus replicated
+    * `nCopies`× with DISTINCT file names (replicated names would merge
+    * pixel groups and collapse the aggregation shape), pushed through
+    * the REAL imageio decode → 48-bit aHash → 8×6-bit Hamming-LSH band
+    * expansion → band-bucket census. Measures the three corpus-scale
+    * stages of perceptual dedup (decode is per-image map-side CPU, the
+    * aHash two aggregations, the banding one bounded shuffle); the
+    * candidate join is deliberately excluded — its cost is bucket-
+    * collision-bound, not corpus-bound. Tiny checksum output. */
+  def scaledPhashKernel(s: SparkSession, dir: String,
+                        nCopies: Int): DataFrame = {
+    val w = RasterQueries.W
+    val n = RasterQueries.W * RasterQueries.H
+    val blobs = RasterQueries.tiffBlobCorpus(s, dir)
+      .select(col("path"), col("content"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(s.range(nCopies)))
+      .select(concat(col("path"), lit("#"), col("id")).as("path"),
+              col("content"))
+    val px = graft.sources.Raster.decodePixels(blobs)
+      .filter(col("band") === 1)
+      .select(col("file"), col("y"), col("x"),
+              col("value").cast("long").as("v"))
+    val sums = px.groupBy(col("file")).agg(sum(col("v")).as("sv"))
+    val hashes = px.join(sums, Seq("file"))
+      .groupBy(col("file"))
+      .agg(sum(when(col("v") * n > col("sv"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(y * $w + x AS INT))"))
+        .otherwise(0L)).as("phash"))
+    phashBands(hashes)
+      .groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("n_in_bucket"),
+           sum(col("phash") % lit(1000003L)).as("chk"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("n_in_bucket")).as("n_rows"),
+           sum(col("chk") % lit(1000003L)).as("chk"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),

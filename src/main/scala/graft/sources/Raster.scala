@@ -62,6 +62,14 @@ object Raster {
     * understands (banded, interleaved, palette) lands in the same
     * band-major float arrays as [[GraftRasterCodec]]. */
   object TiffCodec {
+    // ImageIO's default useCache=true backs EVERY read/write stream with
+    // a temp FILE: a corpus-scale decode pass then creates one /tmp file
+    // per image, and the creations contend on the filesystem — measured
+    // as ANTI-scaling (28k decodes: 4.8 s at 8 cores, 8.0 s at 32).
+    // Blobs here are in-memory byte arrays; memory-cached streams are
+    // strictly better. JVM-wide static, set once per executor.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** TIFF magic: little-endian "II*\0" or big-endian "MM\0*". */
     def isTiff(bytes: Array[Byte]): Boolean =
       bytes != null && bytes.length >= 4 &&

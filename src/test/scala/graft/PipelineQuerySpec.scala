@@ -521,4 +521,57 @@ class PipelineQuerySpec extends SparkSpec {
     }
     assert(out == alive.map { case (n, d) => n -> d.toLong })
   }
+
+  test("BM25 top-k: laws against an independent in-JVM scorer") {
+    val rows = DocQueries.docBm25TopK(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_._1)
+    byQuery.foreach { case (q, rs) =>
+      // ranks are 1..k, dense, ordered by (score desc, doc_id asc)
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.size).toSeq)
+      val ordered = rs.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._3 < b._3)) }
+      // NOT asserted: "query doc in its own top-k" — the fixture's
+      // 31-word shared vocabulary means a short doc with high tf of
+      // the same common terms legitimately outscores the (longer)
+      // query document itself
+    }
+    // independent in-JVM replay of the full scoring pipeline
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> Option(t).map(_.split(" ", -1).toSeq).getOrElse(Seq.empty) }.toMap
+    val n = docs.length.toLong
+    val sdl = toks.values.map(_.size.toLong).sum
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    def idf6(df: Long): Long =
+      math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+    val expected = toks.keys.filter(_ % 50 == 0).map { qid =>
+      val terms = toks(qid).take(4).distinct
+      val scores = toks.toSeq.flatMap { case (d, dt) =>
+        val hits = terms.filter(dt.contains)
+        if (hits.isEmpty) None
+        else {
+          val dl = dt.size.toLong
+          val s6 = hits.map { t =>
+            val tf = dt.count(_ == t).toLong
+            math.round(idf6(dfm(t)).toDouble * (tf.toDouble * 2.2) /
+              (tf.toDouble + 1.2 *
+                (0.25 + (0.75 * dl.toDouble * n.toDouble) / sdl.toDouble)))
+          }.sum
+          Some((d, s6, hits.size.toLong))
+        }
+      }
+      qid -> scores.sortBy(r => (-r._2, r._1)).take(5)
+        .zipWithIndex
+        .map { case ((d, s6, h), i) => (qid, i + 1L, d, h, s6) }
+    }.toMap
+    assert(byQuery.keySet == expected.keySet)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.sortBy(_._2).toSeq == expected(q), s"query $q diverged")
+    }
+  }
 }

@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     "evt_funnel",             // single-row funnel pivot
     "dedup_exact_rows",       // corpus-count scalar
     "doc_tfidf_top_terms",    // corpus-N 1-row cross join
+    "doc_bm25_topk",          // corpus (N, sum dl) 1-row cross join
     "doc_assoc_pairs",        // corpus-N 1-row cross join (lift scale)
     "rel_join_size_est",      // exact-count × est-count 1-row scalars
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars
