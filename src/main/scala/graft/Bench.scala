@@ -177,8 +177,12 @@ object Bench {
     // tail capture, and the driver parses the final line as JSON
     val contract =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(head)},"sf":"$sfDir"}"""
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // teardown must never eat the contract: if stop() throws, the
+    // driver's last-line JSON parse would see a stack trace (ADVICE r9)
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.stop()
+    } catch { case _: Throwable => () }
     println(contract)
   }
 }

@@ -398,13 +398,17 @@ object Similarity {
     * `blocks` (pick blocks ≈ √(2·executors) at scale; 100 TB of
     * embeddings at 1000 executors → blocks ≈ 45 → ~1k tiles). No
     * cartesian or nested-loop node anywhere in the plan
-    * (PlanGuardSpec-enforced). */
+    * (PlanGuardSpec-enforced). Block assignment hashes the id
+    * (xxhash64) rather than casting it: type-agnostic and ANSI-safe
+    * for non-numeric ids (a cast would throw), and balanced even when
+    * ids are clustered. Null ids never emit a pair — the `ia < ib` /
+    * least/greatest orientation is null-rejecting by design. */
   def tiledNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, blocks: Int = 8): DataFrame = {
     val session = emb.sparkSession
     import session.implicits._
     val base = PlanCache.reuse(emb.select(col(idCol), col(vecCol),
-      pmod(col(idCol).cast("long"), lit(blocks.toLong)).as("blk")))
+      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).as("blk")))
     val tiles = (for (i <- 0 until blocks; j <- i until blocks)
       yield (i.toLong, j.toLong)).toDF("ba", "bb")
     val a = base.select(col("blk").as("ba"), col(idCol).as("ia"),

@@ -34,6 +34,31 @@ object DocQueries {
        |        i_ -> array_to_string($wordsSql[i_:i_+${n - 1}], ' '))
        | ELSE [] END""".stripMargin
 
+  /** Twin of [[graft.operators.Dedup.lineDedup]] at segment grain `w`
+    * tokens — shared by the line (w=10) and paragraph (w=50) rows. */
+  private def lineDedupSql(w: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $wordsSql AS t FROM documents),
+       |lines AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5('line|' ||
+       |      array_to_string(t[(i-1)*$w+1:i*$w], ' ')), 1, 15) AS BIGINT)
+       |      AS h,
+       |    len(t[(i-1)*$w+1:i*$w]) AS ntok
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, (len(t)+${w - 1})//$w + 1)) AS i FROM toks)),
+       |hot AS (SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+       |  WHERE nd >= 2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_dup_lines,
+       |  CAST(SUM(CASE WHEN hot.h IS NULL THEN ntok ELSE 0 END)
+       |       AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |       // COUNT(*) AS BIGINT) AS removed_permille
+       |FROM lines LEFT JOIN hot ON lines.h = hot.h
+       |GROUP BY doc_id""".stripMargin
+
   /** Mirror of TextOps.simHash: 16 bit-votes over per-word 16-bit md5
     * sketches. */
   private val simHashSql: String = {
@@ -181,6 +206,16 @@ object DocQueries {
     * segment grain, hot = a line in ≥ 2 distinct documents. */
   def pipeLineDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Paragraph-grain twin of [[pipeLineDedup]] (RefinedWeb §4.2 runs
+    * BOTH grains — line and paragraph removal): 50-token segments,
+    * same ≥ 2-distinct-docs hot rule. Shares the tokenized doc frame
+    * with the line-grain row via PlanCache ([[Dedup.lineFrame]] reuses
+    * the grain-independent tokenize projection), so the second grain
+    * costs only its own segment explode + hash shuffle. */
+  def pipeParaDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text",
+                    segTokens = 50)
 
   /** Gopher REPETITION panel (Rae et al. 2021 table A1, the repetition
     * block [[textGopherRules]] doesn't cover): per-source violation
@@ -1218,6 +1253,7 @@ object DocQueries {
     "text_gopher_rules"   -> (textGopherRules _),
     "text_gopher_repetition" -> (textGopherRepetition _),
     "pipe_line_dedup"     -> (pipeLineDedup _),
+    "pipe_para_dedup"     -> (pipeParaDedup _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
@@ -1803,30 +1839,10 @@ object DocQueries {
          |  FROM documents)
          |GROUP BY source""".stripMargin
     },
-    // line grain = 10-token segments, mirroring Dedup.lineFrame; the
-    // hot set is lines in >= 2 DISTINCT docs (C4/RefinedWeb rule)
-    "pipe_line_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, $wordsSql AS t FROM documents),
-         |lines AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5('line|' ||
-         |      array_to_string(t[(i-1)*10+1:i*10], ' ')), 1, 15) AS BIGINT)
-         |      AS h,
-         |    len(t[(i-1)*10+1:i*10]) AS ntok
-         |  FROM (SELECT doc_id, t,
-         |          unnest(range(1, (len(t)+9)//10 + 1)) AS i FROM toks)),
-         |hot AS (SELECT h FROM (
-         |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
-         |  WHERE nd >= 2)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-         |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
-         |       AS BIGINT) AS n_dup_lines,
-         |  CAST(SUM(CASE WHEN hot.h IS NULL THEN ntok ELSE 0 END)
-         |       AS BIGINT) AS kept_tokens,
-         |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) * 1000
-         |       // COUNT(*) AS BIGINT) AS removed_permille
-         |FROM lines LEFT JOIN hot ON lines.h = hot.h
-         |GROUP BY doc_id""".stripMargin,
+    // segment grain mirrors Dedup.lineFrame (10-token "lines",
+    // 50-token "paragraphs"); hot = >= 2 DISTINCT docs (C4/RefinedWeb)
+    "pipe_line_dedup" -> lineDedupSql(10),
+    "pipe_para_dedup" -> lineDedupSql(50),
     "text_gopher_repetition" -> {
       val segs = (w: Int) =>
         s"""[array_to_string(t[(i_-1)*$w+1:i_*$w], ' ')

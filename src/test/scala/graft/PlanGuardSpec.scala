@@ -68,8 +68,8 @@ class PlanGuardSpec extends SparkSpec {
     "evt_cuped",              // 1-row midpoint + 1-row theta broadcasts
     "rel_cross_matrix",       // DELIBERATE cross join (contingency table
                               //   with zero cells — the §2.3 cross-join row)
-    "sim_topk_brute",         // labeled all-pairs correctness baseline
-                              //   (16-row query side broadcast — bounded)
+    "sim_topk_brute",         // brute-force ground-truth baseline: its
+                              //   16-row query side broadcasts (bounded)
     "sim_semantic_dedup_incr",// frozen k-means centroid broadcasts (c=8)
     "sim_matryoshka_recall",  // 16-row query broadcast + truth side
     "sim_mrl_funnel",         // 16-row query broadcast, both stages

@@ -500,4 +500,31 @@ class TextDedupSpec extends SparkSpec {
     // sequence(1,0) descending-array trap would fabricate 2 lines)
     assert(!strict.contains(4L))
   }
+
+  test("line dedup: hot-side broadcast is size-guarded (VERDICT r9 #1)") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      // isolate the EXPLICIT broadcast hint from stats-based auto
+      // conversion: with the threshold off, a BroadcastHashJoin in the
+      // plan can only come from lineDedup's own guard decision
+      spark.conf.set(key, "-1")
+      val guarded = Dedup.lineDedup(corpus, "doc_id", "text", segTokens = 3)
+      assert(guarded.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // past the row bound the probe must flip to a shuffle join on the
+      // line hash (web-scale blocklists don't fit a broadcast)
+      val flipped = Dedup.lineDedup(corpus, "doc_id", "text", segTokens = 3,
+          hotBroadcastMaxRows = 0L)
+      assert(!flipped.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // both strategies compute the identical report
+      val a = guarded.as[(Long, Long, Long, Long, Long)].collect().sorted
+      val b = flipped.as[(Long, Long, Long, Long, Long)].collect().sorted
+      assert(a.sameElements(b) && a.nonEmpty)
+    } finally spark.conf.set(key, old)
+  }
 }
