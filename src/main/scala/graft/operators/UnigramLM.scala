@@ -48,8 +48,15 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLM {
 
-  /** DP positions per word — words longer than this raise. */
-  val MaxWord = 10
+  /** DP positions per word — words longer than this raise. Raised
+    * 10 → 16 (VERDICT r9 #4): the ceiling is a compile-time unroll
+    * bound, and 16 is the largest value the 4-bit backpointer slot
+    * supports (j ≤ MaxWord−1 = 15 < [[Slot]]); widening further means
+    * Slot = 32 and re-deriving the [[Inf]] width budget
+    * (MaxWord·Inf·Slot = 16·10¹⁵·16 ≈ 2.6·10¹⁷ ≪ 2⁶³ today). Plan
+    * width stays linear in MaxWord — the DP advances one column per
+    * stacked projection on both engines. */
+  val MaxWord = 16
   /** Maximum piece length (SentencePiece `max_sentencepiece_length`,
     * set below the fixture word length so training exercises real
     * sub-word sharing rather than degenerating to whole words). */
@@ -106,12 +113,14 @@ object UnigramLM {
     counts.map { case (p, c) => p -> (qln(c) - t) }.toMap
   }
 
-  /** One Viterbi E-step over the distinct-word frame: per-piece usage
-    * counts (word-count weighted) under the given piece scores. The DP
+  /** Viterbi DP + backtrack over the distinct-word frame under the
+    * given piece scores: returns the word frame extended with the
+    * path-piece columns `p1..pMaxWord` (null beyond the path). The DP
     * is generated as stacked projections (CollapseProject keeps
     * multiply-referenced cells split, so the expression tree stays
-    * linear in [[MaxWord]]). */
-  def viterbiCounts(wf: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    * linear in [[MaxWord]]). Shared by the train E-step
+    * ([[viterbiCounts]]) and the encode pass ([[encodeStats]]). */
+  def viterbiPaths(wf: DataFrame, vocab: Map[String, Long]): DataFrame = {
     // ONE Literal node of MapType (a CreateMap of 2·|vocab| child
     // literals would be duplicated into every span lookup and push
     // Catalyst analysis into minutes at a few hundred pieces)
@@ -144,11 +153,17 @@ object UnigramLM {
           when(col(s"e$k") >= 1, expr(s"substr(word, s$k + 1, e$k - s$k)")))
       if (k < MaxWord) d = d.withColumn(s"e${k + 1}", col(s"s$k"))
     }
-    d.select(col("cnt"),
+    d
+  }
+
+  /** One Viterbi E-step: per-piece usage counts (word-count weighted)
+    * under the given piece scores. */
+  def viterbiCounts(wf: DataFrame, vocab: Map[String, Long]): DataFrame =
+    viterbiPaths(wf, vocab)
+      .select(col("cnt"),
         explode(array((1 to MaxWord).map(k => col(s"p$k")): _*)).as("piece"))
       .filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
-  }
 
   /** Full training run: seed → [[Rounds]] × (E-step, prune+re-score).
     * Returns the final round's usage table
@@ -168,6 +183,48 @@ object UnigramLM {
       col("c").as("n_uses"))
   }
 
+  /** ENCODE pass — the train→apply symmetry the BPE family has
+    * ([[TextOps.bpeEncodeStats]]): train the model (seed +
+    * [[Rounds]] hard-EM rounds, final survivors re-scored), then
+    * Viterbi-segment the corpus under the trained scores and report
+    * per-document piece statistics: word count, piece count, char
+    * count, and pieces-per-1000-chars (the compression ratio,
+    * integer permille).
+    *
+    * Scale shape (100 TB): training is [[train]]'s shape (one
+    * word-frequency shuffle; vocab-bound collects). The apply half
+    * segments each DISTINCT word once (the same dictionary-encoding
+    * observation as BPE encode) and joins the per-word piece count
+    * back onto the token stream — one corpus shuffle on the word key
+    * with map-side-combinable rollup to the doc key after. The model
+    * crosses into the plan as ONE `typedlit` map literal, never a
+    * corpus-side structure. */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wf = PlanCache.reuse(wordFreq(df, textCol))
+    def collect2(d: DataFrame): Seq[(String, Long)] =
+      d.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    var vocab = lpMap(collect2(seedFreq(wf)))
+    // one extra collect vs train(): the FINAL round's usage counts are
+    // re-scored into the encode model (oracle twin: the v[Rounds] CTE)
+    for (_ <- 1 to Rounds) vocab = lpMap(collect2(viterbiCounts(wf, vocab)))
+    val npc = (1 to MaxWord)
+      .map(k => when(col(s"p$k").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val np = viterbiPaths(wf, vocab)
+      .select(col("word"), npc.cast("long").as("np"))
+    val tok = graft.sources.Tables.spread(df)
+      .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("word"))
+    tok.join(np, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("np")).as("n_pieces"),
+           sum(length(col("word")).cast("long")).as("n_chars"))
+      // ANSI: DIV by a zero-char doc (all-empty tokens) must not throw
+      .withColumn("pieces_permille",
+        when(col("n_chars") > 0, expr("n_pieces * 1000 DIV n_chars"))
+          .otherwise(lit(0L)))
+  }
+
   // ---------------------------------------------------------- oracle SQL
 
   /** DuckDB twin of [[train]], fully unrolled: span costs land in
@@ -179,8 +236,8 @@ object UnigramLM {
     * never finishes binding); across subquery layers the references
     * stay plain columns and binding is linear. Multiply-referenced
     * CTEs are MATERIALIZED; single-use layers are left inlinable. */
-  def chainSql(docsRel: String = "documents", textCol: String = "text"):
-      String = {
+  def chainSql(docsRel: String = "documents", textCol: String = "text",
+               encode: Boolean = false): String = {
     val spansValues = spanPairs
       .map { case (j, i) => s"($j, $i)" }.mkString(", ")
     def qlnSql(x: String): String =
@@ -235,26 +292,57 @@ object UnigramLM {
          |    - (SELECT ${qlnSql("SUM(c)")} FROM cnt$r) AS lp6
          |  FROM cnt$r)""".stripMargin
     }
-    val rounds = (1 to Rounds)
-      .map(r => roundSql(r, if (r == 1) "v0" else s"v${r - 1}"))
-      .mkString(",\n")
-    s"""WITH wf AS MATERIALIZED (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
-       |        FROM $docsRel)
-       |  GROUP BY 1),
-       |seedf AS MATERIALIZED (
-       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
-       |  FROM (SELECT cnt, substr(word, j + 1, i - j) AS piece, i - j AS l
-       |        FROM wf CROSS JOIN (VALUES $spansValues) AS spn(j, i))
-       |  WHERE length(piece) = l GROUP BY 1),
-       |v0 AS MATERIALIZED (
-       |  SELECT piece, ${qlnSql("f")}
-       |    - (SELECT ${qlnSql("SUM(f)")} FROM seedf) AS lp6
-       |  FROM seedf),
-       |$rounds
-       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
-       |  c AS n_uses
-       |FROM cnt$Rounds""".stripMargin
+    def withBody(lastRound: Int): String = {
+      val rounds = (1 to lastRound)
+        .map(r => roundSql(r, if (r == 1) "v0" else s"v${r - 1}"))
+        .mkString(",\n")
+      s"""WITH wf AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
+         |        FROM $docsRel)
+         |  GROUP BY 1),
+         |seedf AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f
+         |  FROM (SELECT cnt, substr(word, j + 1, i - j) AS piece, i - j AS l
+         |        FROM wf CROSS JOIN (VALUES $spansValues) AS spn(j, i))
+         |  WHERE length(piece) = l GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, ${qlnSql("f")}
+         |    - (SELECT ${qlnSql("SUM(f)")} FROM seedf) AS lp6
+         |  FROM seedf),
+         |$rounds""".stripMargin
+    }
+    if (!encode)
+      s"""${withBody(Rounds)}
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+         |  c AS n_uses
+         |FROM cnt$Rounds""".stripMargin
+    else {
+      // the ENCODE round: one more DP unroll against the FINAL
+      // re-scored vocab v[Rounds] (roundSql emits it every round), then
+      // per-word piece counts joined back onto the token stream
+      val er = Rounds + 1
+      val npExpr = (1 to MaxWord)
+        .map(k => s"CASE WHEN p$k IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""${withBody(er)},
+         |np AS (SELECT word, CAST($npExpr AS BIGINT) AS np
+         |       FROM d${er}_${3 * MaxWord}),
+         |tok AS (SELECT doc_id, unnest(string_split($textCol, ' ')) AS word
+         |        FROM $docsRel)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(np.np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(length(tok.word)) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN SUM(length(tok.word)) > 0
+         |       THEN SUM(np.np) * 1000 // SUM(length(tok.word))
+         |       ELSE 0 END AS BIGINT) AS pieces_permille
+         |FROM tok JOIN np ON tok.word = np.word
+         |GROUP BY doc_id""".stripMargin
+    }
   }
+
+  /** DuckDB twin of [[encodeStats]] — the [[chainSql]] training chain
+    * plus one encode-round DP and the doc-grain rollup. */
+  def encodeSql(docsRel: String = "documents", textCol: String = "text"):
+      String = chainSql(docsRel, textCol, encode = true)
 }

@@ -401,6 +401,43 @@ object DocQueries {
       .withColumn("hit_permille", expr("n_hits * 1000 DIV n_fprints"))
   }
 
+  /** GPT-3-style exact 13-gram decontamination (Brown et al. 2020,
+    * appendix C): a corpus document is flagged when ANY of its 13-gram
+    * shingles appears in the held-out benchmark slice (doc_id % 10 ==
+    * 0, the same split the other contamination rows use). Completes
+    * the contamination triad: winnowing locality
+    * ([[pipeContaminationWinnow]]) × BM25 retrieval ([[docBm25TopK]])
+    * × exact n-gram overlap (this row). Grams ride the oracle-
+    * replayable md5-60 hash idiom, so the probe set is packed longs.
+    *
+    * Scale shape (100 TB): eval suites are MBs while corpora are TBs —
+    * the distinct benchmark-gram set is broadcast/bloom sized and the
+    * probe is a LEFT SEMI join, never a corpus-side shuffle; totals
+    * and hits are one doc-keyed hash aggregate each over the shared
+    * (PlanCache) gram frame. Docs with < 13 tokens have no grams and
+    * surface as clean via the left-join coalesce. */
+  def pipeContaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val g = PlanCache.reuse(
+      docs.select(col("doc_id"),
+          explode(TextOps.wordShingles(col("text"), 13)).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("g13|"), col("g")).cast("binary")),
+                         1, 15), 16, 10).cast("long").as("h")))
+    val bench = g.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+    val corpus = g.filter(col("doc_id") % 10 =!= 0)
+    val hits = corpus.join(bench, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") > 0, 1L).otherwise(0L))
+  }
+
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
     * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
@@ -1248,6 +1285,7 @@ object DocQueries {
     "text_bigram_nll"     -> (textBigramNll _),
     "text_winnowing"      -> (textWinnowing _),
     "pipe_contamination_winnow" -> (pipeContaminationWinnow _),
+    "pipe_contamination_ngram" -> (pipeContaminationNgram _),
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
@@ -1259,6 +1297,8 @@ object DocQueries {
     "text_bpe_encode"     -> (textBpeEncode _),
     "text_unigram_tokenizer" -> ((s: SparkSession, d: String) =>
       UnigramLM.train(Tables.documents(s, d), "text")),
+    "text_unigram_encode" -> ((s: SparkSession, d: String) =>
+      UnigramLM.encodeStats(Tables.documents(s, d), "doc_id", "text")),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1766,6 +1806,7 @@ object DocQueries {
     "text_bpe_merges" -> bpeMergesSql(BpeSteps, BpeBatchK),
     "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
     "text_unigram_tokenizer" -> UnigramLM.chainSql(),
+    "text_unigram_encode" -> UnigramLM.encodeSql(),
     // formula strings are the SAME Scala vals the Spark plan parses —
     // the two engines cannot drift structurally
     "doc_bm25_topk" ->
@@ -1985,6 +2026,29 @@ object DocQueries {
          |FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fprints
          |      FROM corpus GROUP BY 1) t
          |LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+    // GPT-3 13-gram decontamination: same bench split, md5-60 gram keys
+    "pipe_contamination_ngram" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
+         |        FROM documents)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+         |corpus AS MATERIALIZED (SELECT doc_id, h FROM g
+         |                        WHERE doc_id % 10 <> 0),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |        FROM corpus GROUP BY 1),
+         |hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |        FROM corpus WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN COALESCE(hit.n_hits, 0) > 0 THEN 1 ELSE 0 END
+         |       AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

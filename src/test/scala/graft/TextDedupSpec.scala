@@ -445,6 +445,79 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size < seed.size)
   }
 
+  test("unigram-LM encode: per-doc piece stats match an independent encoder") {
+    import graft.operators.UnigramLM
+    val sentences = Seq(
+      "tokenize the token tokens ize size resize",
+      "tokenize tokenize the the the size wise",
+      "resize rewise wise ize token")
+    val corpus = sentences.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // independent reference: train as in the trainer spec, but carry
+    // the FINAL re-score (encode model = re-scored round-R survivors)
+    val words: Map[String, Long] = sentences.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    def lp(m: Map[String, Long]): Map[String, Long] = {
+      val t = UnigramLM.qln(m.values.sum)
+      m.map { case (p, c) => p -> (UnigramLM.qln(c) - t) }
+    }
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- words; j <- 0 until w.length;
+         l <- 1 to math.min(UnigramLM.MaxPiece, w.length - j))
+      seed(w.substring(j, j + l)) += c
+    var vocab = lp(seed.toMap)
+    def segPieces(w: String): Long = {
+      val L = w.length
+      val b = Array.fill(L + 1)(0L)
+      for (i <- 1 to L)
+        b(i) = (math.max(0, i - UnigramLM.MaxPiece) until i).map { j =>
+          val cost = vocab.get(w.substring(j, i)).map(-_)
+            .getOrElse(UnigramLM.Inf)
+          (b(j) / UnigramLM.Slot + cost) * UnigramLM.Slot + j
+        }.min
+      var (e, n) = (L, 0L)
+      while (e >= 1) { n += 1; e = (b(e) % UnigramLM.Slot).toInt }
+      n
+    }
+    for (_ <- 1 to UnigramLM.Rounds) {
+      val cm = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- words) {
+        val L = w.length
+        val b = Array.fill(L + 1)(0L)
+        for (i <- 1 to L)
+          b(i) = (math.max(0, i - UnigramLM.MaxPiece) until i).map { j =>
+            val cost = vocab.get(w.substring(j, i)).map(-_)
+              .getOrElse(UnigramLM.Inf)
+            (b(j) / UnigramLM.Slot + cost) * UnigramLM.Slot + j
+          }.min
+        var e = L
+        while (e >= 1) {
+          val s = (b(e) % UnigramLM.Slot).toInt
+          cm(w.substring(s, e)) += c
+          e = s
+        }
+      }
+      vocab = lp(cm.toMap)
+    }
+    val expected = sentences.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      val pieces = ws.map(segPieces).sum
+      val chars = ws.map(_.length.toLong).sum
+      i.toLong -> ((i.toLong, ws.size.toLong, pieces, chars,
+                    pieces * 1000 / chars))
+    }.toMap
+
+    val got = UnigramLM.encodeStats(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == expected)
+    // encode really sub-segments: more pieces than words somewhere
+    assert(got.values.exists(r => r._3 > r._2))
+  }
+
   test("unigram-LM tokenizer: MaxWord guard raises loudly") {
     val bad = Seq(Tuple1("short " + "x" * (graft.operators.UnigramLM.MaxWord + 1)))
       .toDF("text")
