@@ -345,14 +345,26 @@ object DocQueries {
 
   /** BPE merge-table training steps and per-recount batch size run by
     * [[textBpeMerges]] — the same constants parameterize the generated
-    * DuckDB oracle so the two sides cannot drift. 256 steps at 32 per
-    * recount = at most 8 pair-count jobs: real-vocab geometry (driver
+    * DuckDB oracle so the two sides cannot drift. 512 steps at 32 per
+    * recount = at most 16 pair-count jobs: real-vocab geometry (driver
     * round-trips stay steps/batchK regardless of vocabulary size, plan
     * depth stays ≤ batchK replaces between checkpoint truncations).
-    * The fixture corpus exhausts its merge space below 256, so this
-    * config also exercises the ragged-tail/exhaustion regime on the
-    * fixed batch grid (spec-pinned against the in-JVM trainer). */
-  val BpeSteps = 256
+    * The fixture corpus exhausts its merge space well below the step
+    * bound (139 merges at sf0.01), so the trainer's empty-recount
+    * early-stop caps the ACTUAL driver jobs at ⌈exhaustion/batchK⌉,
+    * and steps past exhaustion cost the ENGINE nothing.
+    *
+    * 512 is the ORACLE-replayability frontier, not an engine limit
+    * (measured, r10): the unrolled chain is one `replace` CTE per
+    * step, and DuckDB 1.0's binder (a) hard-fails past its default
+    * max_expression_depth=1000 — 1024 steps throw BinderException,
+    * and the driver's harness does not SET the limit up — and (b)
+    * grows super-linearly below it (two-query oracle wall at sf0.01:
+    * 22 s @ 256, 79 s @ 512, 218 s @ 896). A 30k-merge production
+    * run keeps the same engine shape (steps/batchK recount jobs) and
+    * would pin correctness by the in-JVM trainer spec instead of SQL
+    * replay. Full analysis: SURVEY §8. */
+  val BpeSteps = 512
   val BpeBatchK = 32
 
   /** Iterative BPE tokenizer training (see [[TextOps.bpeMerges]]): the
