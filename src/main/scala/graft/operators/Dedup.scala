@@ -526,14 +526,50 @@ object Dedup {
     * needs a 60-bit collision against a hot line. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 segTokens: Int = 10, minDocs: Int = 2,
-                hotBroadcastMaxRows: Long = 500000L): DataFrame = {
-    val lines = lineFrame(df, idCol, textCol, segTokens)
-    val hot = reused(lines.groupBy(col("h"))
+                hotBroadcastMaxRows: Long = 500000L): DataFrame =
+    lineRollup(lineFrame(df, idCol, textCol, segTokens),
+               hotLines(df, idCol, textCol, segTokens, minDocs),
+               idCol, hotBroadcastMaxRows)
+
+  /** The standing hot-line BLOCKLIST artifact behind [[lineDedup]]:
+    * one `h` row per line hash occurring in ≥ `minDocs` distinct
+    * documents. This is what a production pipeline PERSISTS between
+    * runs — the incremental gate ([[lineDedupIncrement]]) probes new
+    * docs against it without rescanning the corpus (the
+    * `pipe_incr_dedup` signature-artifact contract). Rides the shared
+    * [[lineFrame]], so building it next to the full report costs no
+    * extra corpus pass. */
+  def hotLines(df: DataFrame, idCol: String, textCol: String,
+               segTokens: Int = 10, minDocs: Int = 2): DataFrame =
+    lineFrame(df, idCol, textCol, segTokens)
+      .groupBy(col("h"))
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("h"), lit(1L).as("dup")))
-    val hotSide = if (hot.count() <= hotBroadcastMaxRows) broadcast(hot)
-                  else hot
+      .select(col("h"))
+
+  /** Incremental line-dedup gate: NEW documents probed against a
+    * standing [[hotLines]] blocklist — same per-doc report as
+    * [[lineDedup]], but the corpus contributes only its persisted
+    * artifact; only the batch is segmented fresh. Streamed form:
+    * [[graft.streaming.StreamOps.lineDedupGateBatch]] runs this per
+    * micro-batch (foreachBatch), and because each document's report
+    * depends only on (doc, blocklist), streamed ≡ batch over any
+    * micro-batch partitioning (spec-pinned). */
+  def lineDedupIncrement(blocklist: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         segTokens: Int = 10,
+                         hotBroadcastMaxRows: Long = 500000L): DataFrame =
+    lineRollup(lineFrame(batch, idCol, textCol, segTokens),
+               blocklist.select(col("h")), idCol, hotBroadcastMaxRows)
+
+  /** Shared probe + doc rollup: left join the line stream against the
+    * size-guarded hot set, then one doc-keyed aggregation. */
+  private def lineRollup(lines: DataFrame, hot: DataFrame, idCol: String,
+                         hotBroadcastMaxRows: Long): DataFrame = {
+    val marked = reused(hot.select(col("h"), lit(1L).as("dup")))
+    val hotSide = if (marked.count() <= hotBroadcastMaxRows)
+                    broadcast(marked)
+                  else marked
     lines.join(hotSide, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),

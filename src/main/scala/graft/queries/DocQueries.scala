@@ -35,8 +35,13 @@ object DocQueries {
        | ELSE [] END""".stripMargin
 
   /** Twin of [[graft.operators.Dedup.lineDedup]] at segment grain `w`
-    * tokens — shared by the line (w=10) and paragraph (w=50) rows. */
-  private def lineDedupSql(w: Int): String =
+    * tokens — shared by the line (w=10) and paragraph (w=50) rows.
+    * `hotWhere` restricts which docs BUILD the blocklist and
+    * `reportWhere` which docs are reported — TRUE/TRUE is the full
+    * self-dedup; a corpus/batch split is the incremental gate
+    * ([[graft.operators.Dedup.lineDedupIncrement]]). */
+  private def lineDedupSql(w: Int, hotWhere: String = "TRUE",
+                           reportWhere: String = "TRUE"): String =
     s"""WITH toks AS (SELECT doc_id, $wordsSql AS t FROM documents),
        |lines AS MATERIALIZED (
        |  SELECT doc_id,
@@ -47,7 +52,8 @@ object DocQueries {
        |  FROM (SELECT doc_id, t,
        |          unnest(range(1, (len(t)+${w - 1})//$w + 1)) AS i FROM toks)),
        |hot AS (SELECT h FROM (
-       |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+       |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM lines
+       |    WHERE $hotWhere GROUP BY 1)
        |  WHERE nd >= 2)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
        |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
@@ -57,6 +63,7 @@ object DocQueries {
        |  CAST(SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) * 1000
        |       // COUNT(*) AS BIGINT) AS removed_permille
        |FROM lines LEFT JOIN hot ON lines.h = hot.h
+       |WHERE $reportWhere
        |GROUP BY doc_id""".stripMargin
 
   /** Mirror of TextOps.simHash: 16 bit-votes over per-word 16-bit md5
@@ -216,6 +223,19 @@ object DocQueries {
   def pipeParaDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text",
                     segTokens = 50)
+
+  /** Incremental line-dedup gate row: NEW docs (doc_id % 5 == 0, the
+    * [[pipeIncrDedup]] split) probed against the standing hot-line
+    * blocklist built from the CORPUS slice only ([[Dedup.hotLines]]) —
+    * the batch-probes-persisted-artifacts contract; the streaming twin
+    * ([[graft.streaming.StreamOps.lineDedupGateBatch]]) runs the same
+    * probe per micro-batch, spec-pinned streamed ≡ batch. */
+  def pipeLineDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.lineDedupIncrement(
+      Dedup.hotLines(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
 
   /** Gopher REPETITION panel (Rae et al. 2021 table A1, the repetition
     * block [[textGopherRules]] doesn't cover): per-source violation
@@ -1304,6 +1324,7 @@ object DocQueries {
     "text_gopher_repetition" -> (textGopherRepetition _),
     "pipe_line_dedup"     -> (pipeLineDedup _),
     "pipe_para_dedup"     -> (pipeParaDedup _),
+    "pipe_line_dedup_incr" -> (pipeLineDedupIncr _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
@@ -1896,6 +1917,9 @@ object DocQueries {
     // 50-token "paragraphs"); hot = >= 2 DISTINCT docs (C4/RefinedWeb)
     "pipe_line_dedup" -> lineDedupSql(10),
     "pipe_para_dedup" -> lineDedupSql(50),
+    "pipe_line_dedup_incr" ->
+      lineDedupSql(10, hotWhere = "doc_id % 5 <> 0",
+                   reportWhere = "doc_id % 5 = 0"),
     "text_gopher_repetition" -> {
       val segs = (w: Int) =>
         s"""[array_to_string(t[(i_-1)*$w+1:i_*$w], ' ')

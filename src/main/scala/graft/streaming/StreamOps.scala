@@ -151,6 +151,30 @@ object StreamOps {
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Streaming LINE-DEDUP gate: each micro-batch of new documents is
+    * probed against a STANDING hot-line blocklist artifact
+    * ([[graft.operators.Dedup.hotLines]], persisted by the previous
+    * batch run) and the per-doc boilerplate report is handed to
+    * `sink`. The corpus is never rescanned — the stream-static join
+    * touches only the blocklist (broadcast under the size guard) and
+    * the micro-batch's own lines; state is EXTERNAL (the artifact),
+    * so the query itself is stateless and trivially scales. Because a
+    * document's report depends only on (doc, blocklist), the union of
+    * streamed outputs equals one batch [[graft.operators.Dedup
+    * .lineDedupIncrement]] over the same docs for ANY micro-batch
+    * partitioning (StreamingSpec pins this). */
+  def lineDedupGateBatch(newDocs: DataFrame, blocklist: DataFrame,
+                         segTokens: Int = 10)
+                        (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Dedup.lineDedupIncrement(
+               blocklist, batch, "doc_id", "text", segTokens), batchId)
+      }
+      .start()
+
   // ------------------------------------------------------- upsert sink
 
   /** Streaming MERGE: maintain a keyed current-state table from a change

@@ -105,6 +105,44 @@ class StreamingSpec extends SparkSpec {
     assert(dec(2L) == "drop" && dec(3L) == "drop")
   }
 
+  test("streaming line-dedup gate equals the batch increment (artifact probe)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Dedup, PlanCache}
+    // standing corpus: the cookie-banner line is hot (2 distinct docs)
+    val corpus = Seq(
+      (1L, "accept all cookies alpha beta gamma"),
+      (2L, "accept all cookies delta epsilon zeta"),
+      (3L, "unique corpus words only here")).toDF("doc_id", "text")
+    val blocklist = PlanCache.reuse(
+      Dedup.hotLines(corpus, "doc_id", "text", segTokens = 3))
+    val b1 = Seq((10L, "accept all cookies fresh words here"))
+    val b2 = Seq((11L, "totally new content nothing shared"),
+                 (12L, "accept all cookies accept all cookies"))
+    val mem = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val q = StreamOps.lineDedupGateBatch(
+        mem.toDF().toDF("doc_id", "text"), blocklist, segTokens = 3) {
+      (df, _) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+           r.getLong(4)))
+        buf.synchronized { buf ++= rows }; ()
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.toSet
+    val batch = Dedup.lineDedupIncrement(blocklist,
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", segTokens = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    // the artifact really fires across the batch split
+    val dups = streamed.map(t => t._1 -> t._3).toMap
+    assert(dups(10L) == 1L && dups(11L) == 0L && dups(12L) == 2L)
+  }
+
   test("built-in session windows over MemoryStream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
