@@ -354,9 +354,10 @@ object RelationalQueries {
   /** Key-skew estimation: lineitem's l_orderkey second moment by the
     * AMS tug-of-war sketch ([[graft.operators.Sketch.amsF2]]) against
     * the exact Σ count², with a ±20% bound boolean (measured error
-    * 0.04-2.4% across fixture scales at width 4096 — the bound is
-    * ~10σ). F2/n² is the salt-or-not signal `rel_salted_join` acts on,
-    * here measured in one bounded pass instead of a per-key shuffle. */
+    * 0.3-3.1% across fixture scales at width 4096 under the r10
+    * one-digest slice family — the bound is ~9σ). F2/n² is the
+    * salt-or-not signal `rel_salted_join` acts on, here measured in
+    * one bounded pass instead of a per-key shuffle. */
   def skewF2Est(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("string").as("k"))
@@ -1517,17 +1518,17 @@ object RelationalQueries {
          |FROM exact CROSS JOIN est""".stripMargin
     },
     "rel_skew_f2_est" ->
+      // ONE digest per key; estimator r reads its disjoint 5-hex slice
+      // (4 hex bucket, 1 hex sign) — mirrors Sketch.amsF2 exactly
       s"""WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
          |keys AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-         |hashed AS (
-         |  SELECT r, md5(CAST(r AS VARCHAR) || '|' || k) AS m
-         |  FROM keys CROSS JOIN rs),
+         |hashed AS (SELECT md5('f2|' || k) AS m FROM keys),
          |cells AS (
-         |  SELECT r, CAST('0x' || substr(m, 1, 8) AS BIGINT) % 4096
-         |      AS bucket,
-         |    CAST(SUM(CASE WHEN CAST('0x' || substr(m, 9, 1) AS INTEGER)
-         |      % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cell
-         |  FROM hashed GROUP BY 1, 2),
+         |  SELECT r,
+         |    CAST('0x' || substr(m, 5*r + 1, 4) AS BIGINT) % 4096 AS bucket,
+         |    CAST(SUM(CASE WHEN CAST('0x' || substr(m, 5*r + 5, 1)
+         |        AS INTEGER) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cell
+         |  FROM hashed CROSS JOIN rs GROUP BY 1, 2),
          |ests AS (SELECT r, CAST(SUM(cell * cell) AS BIGINT) AS est_r
          |         FROM cells GROUP BY 1),
          |est AS (SELECT list(est_r ORDER BY est_r)[2] AS est_f2 FROM ests),

@@ -130,8 +130,8 @@ class TextDedupSpec extends SparkSpec {
 
   test("AMS F2: exact on a collision-free multiset") {
     // keys [a,a,a,b]: F2 = 3^2 + 1^2 = 10. Two keys in 256 buckets are
-    // collision-free in at least 3 of 4 rows (deterministic md5 layout),
-    // and cell^2 is sign-invariant, so the lower median is exactly 10
+    // collision-free in all 4 rows (deterministic one-digest slice
+    // layout), and cell^2 is sign-invariant, so the median is exactly 10
     val keys = Seq("a", "a", "a", "b").toDF("k")
     val f2 = Sketch.amsF2(keys, "k", depth = 4, width = 256)
       .as[Long].head()
