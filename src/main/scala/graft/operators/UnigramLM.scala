@@ -68,10 +68,32 @@ object UnigramLM {
   /** Unreachable-cell cost; MaxWord·Inf·Slot stays far below 2⁶³. */
   val Inf = 1000000000000000L
 
-  /** (predecessor j, position i) span pairs of the unrolled DP. */
-  val spanPairs: Seq[(Int, Int)] =
-    for { i <- 1 to MaxWord; j <- math.max(0, i - MaxPiece) until i }
+  /** (predecessor j, position i) span pairs of a `maxW`-position DP. */
+  def spanPairsFor(maxW: Int): Seq[(Int, Int)] =
+    for { i <- 1 to maxW; j <- math.max(0, i - MaxPiece) until i }
       yield (j, i)
+
+  /** Span pairs at the full [[MaxWord]] bound — what the static oracle
+    * chain unrolls. */
+  val spanPairs: Seq[(Int, Int)] = spanPairsFor(MaxWord)
+
+  /** Observed DP bound: the longest DISTINCT word, capped by
+    * [[MaxWord]] — the engine-side unroll SELF-SIZES from the data
+    * (the iterative-partitioner precedent: size from an observed
+    * count, cap at the compile-time bound). DP cells past the longest
+    * word are provably dead — backtrack starts at e₁ = |word| — so
+    * truncating them changes nothing, while every dropped layer saves
+    * real driver-side plan machinery (the r9→r10 MaxWord raise 10→16
+    * measured 2.1× on the whole row when unrolled unconditionally,
+    * on a fixture whose longest word is 10). The ORACLE keeps the
+    * full static [[MaxWord]] unroll — its extra cells are equally
+    * dead, and DuckDB binds them linearly. One 1-row aggregate on the
+    * cached word frame. */
+  def effMaxWord(wf: DataFrame): Int = {
+    val r = wf.agg(max(length(col("word")))).head()
+    if (r.isNullAt(0)) 1
+    else math.min(MaxWord, math.max(1, r.getInt(0)))
+  }
 
   private def qlnCol(c: Column): Column =
     round(log(c.cast("double")) * lit(1e6)).cast("long")
@@ -94,8 +116,8 @@ object UnigramLM {
   /** Seed piece frequencies: every in-bounds substring span of every
     * distinct word, word-count weighted, overlapping occurrences
     * counted. */
-  def seedFreq(wf: DataFrame): DataFrame = {
-    val spans = spanPairs.map { case (j, i) =>
+  def seedFreq(wf: DataFrame, maxW: Int = MaxWord): DataFrame = {
+    val spans = spanPairsFor(maxW).map { case (j, i) =>
       struct(lit(i - j).as("l"),
              expr(s"substr(word, ${j + 1}, ${i - j})").as("piece"))
     }
@@ -118,9 +140,12 @@ object UnigramLM {
     * path-piece columns `p1..pMaxWord` (null beyond the path). The DP
     * is generated as stacked projections (CollapseProject keeps
     * multiply-referenced cells split, so the expression tree stays
-    * linear in [[MaxWord]]). Shared by the train E-step
-    * ([[viterbiCounts]]) and the encode pass ([[encodeStats]]). */
-  def viterbiPaths(wf: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    * linear in the unroll bound). `maxW` is the layer count —
+    * callers pass [[effMaxWord]]'s observed bound so dead layers are
+    * never built. Shared by the train E-step ([[viterbiCounts]]) and
+    * the encode pass ([[encodeStats]]). */
+  def viterbiPaths(wf: DataFrame, vocab: Map[String, Long],
+                   maxW: Int = MaxWord): DataFrame = {
     // ONE Literal node of MapType (a CreateMap of 2·|vocab| child
     // literals would be duplicated into every span lookup and push
     // Catalyst analysis into minutes at a few hundred pieces)
@@ -128,7 +153,7 @@ object UnigramLM {
     var d = wf
       .withColumn("L", length(col("word")).cast("int"))
       .withColumn("b0", lit(0L))
-    for (i <- 1 to MaxWord) {
+    for (i <- 1 to maxW) {
       val branches = (math.max(0, i - MaxPiece) until i).map { j =>
         (expr(s"b$j DIV $Slot") +
           coalesce(-try_element_at(m,
@@ -141,27 +166,28 @@ object UnigramLM {
     // backtrack: e₁ = word length, sₖ = backpointer(eₖ), piece ₖ =
     // word[sₖ, eₖ); a zero endpoint means the path ended earlier
     def bp(e: Column): Column =
-      (1 to MaxWord).foldLeft(lit(0L)) { (acc, p) =>
+      (1 to maxW).foldLeft(lit(0L)) { (acc, p) =>
         when(e === p, col(s"b$p") % lit(Slot)).otherwise(acc)
       }.cast("int")
     d = d.withColumn("e1", col("L"))
-    for (k <- 1 to MaxWord) {
+    for (k <- 1 to maxW) {
       d = d
         .withColumn(s"s$k",
           when(col(s"e$k") >= 1, bp(col(s"e$k"))).otherwise(lit(0)))
         .withColumn(s"p$k",
           when(col(s"e$k") >= 1, expr(s"substr(word, s$k + 1, e$k - s$k)")))
-      if (k < MaxWord) d = d.withColumn(s"e${k + 1}", col(s"s$k"))
+      if (k < maxW) d = d.withColumn(s"e${k + 1}", col(s"s$k"))
     }
     d
   }
 
   /** One Viterbi E-step: per-piece usage counts (word-count weighted)
     * under the given piece scores. */
-  def viterbiCounts(wf: DataFrame, vocab: Map[String, Long]): DataFrame =
-    viterbiPaths(wf, vocab)
+  def viterbiCounts(wf: DataFrame, vocab: Map[String, Long],
+                    maxW: Int = MaxWord): DataFrame =
+    viterbiPaths(wf, vocab, maxW)
       .select(col("cnt"),
-        explode(array((1 to MaxWord).map(k => col(s"p$k")): _*)).as("piece"))
+        explode(array((1 to maxW).map(k => col(s"p$k")): _*)).as("piece"))
       .filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
 
@@ -170,12 +196,13 @@ object UnigramLM {
     * (piece, piece_len, n_uses) — all integers. */
   def train(df: DataFrame, textCol: String): DataFrame = {
     val wf = PlanCache.reuse(wordFreq(df, textCol))
+    val maxW = effMaxWord(wf)
     def collect2(d: DataFrame): Seq[(String, Long)] =
       d.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-    var vocab = lpMap(collect2(seedFreq(wf)))
+    var vocab = lpMap(collect2(seedFreq(wf, maxW)))
     var counts: DataFrame = null
     for (r <- 1 to Rounds) {
-      counts = viterbiCounts(wf, vocab)
+      counts = viterbiCounts(wf, vocab, maxW)
       if (r < Rounds) vocab = lpMap(collect2(counts))
     }
     counts.select(col("piece"),
@@ -201,16 +228,18 @@ object UnigramLM {
     * corpus-side structure. */
   def encodeStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wf = PlanCache.reuse(wordFreq(df, textCol))
+    val maxW = effMaxWord(wf)
     def collect2(d: DataFrame): Seq[(String, Long)] =
       d.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-    var vocab = lpMap(collect2(seedFreq(wf)))
+    var vocab = lpMap(collect2(seedFreq(wf, maxW)))
     // one extra collect vs train(): the FINAL round's usage counts are
     // re-scored into the encode model (oracle twin: the v[Rounds] CTE)
-    for (_ <- 1 to Rounds) vocab = lpMap(collect2(viterbiCounts(wf, vocab)))
-    val npc = (1 to MaxWord)
+    for (_ <- 1 to Rounds)
+      vocab = lpMap(collect2(viterbiCounts(wf, vocab, maxW)))
+    val npc = (1 to maxW)
       .map(k => when(col(s"p$k").isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)
-    val np = viterbiPaths(wf, vocab)
+    val np = viterbiPaths(wf, vocab, maxW)
       .select(col("word"), npc.cast("long").as("np"))
     val tok = graft.sources.Tables.spread(df)
       .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("word"))
