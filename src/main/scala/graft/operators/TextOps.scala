@@ -336,6 +336,85 @@ object TextOps {
           .as("nll"))
   }
 
+  /** ln(0.4) on the 1e-6 grid — the stupid-backoff discount, one
+    * constant shared by the Spark plan and the generated oracle SQL. */
+  val Qln04: Long = math.round(math.log(0.4) * 1e6)
+
+  /** Stupid-backoff trigram scorer (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4 — the score web-scale
+    * LM filters actually use, CCNet-style): documents in `score` get a
+    * mean negative-log-score under trigram counts TRAINED on a
+    * separate corpus slice, so unseen n-grams genuinely back off:
+    *
+    *   S(w₃|w₁w₂) = c₃/c₂(w₁w₂)            if the trigram was seen
+    *              = 0.4 · c₂(w₂w₃)/c₁(w₂)   else if the bigram was
+    *              = 0.4² · (c₁(w₃)+1)/(N+V) else (add-one unigram
+    *                floor, the [[unigramNll]] convention, so OOV
+    *                words score finitely)
+    *
+    * Per-doc output counts how often each backoff level fired
+    * (`n_bo_bigram`, `n_bo_unigram`) — the observable that separates
+    * in-domain from out-of-domain text. Exactness: every per-TYPE log
+    * term lands on the 1e-6 integer grid (ln quantization, the
+    * sanctioned transcendental rule) and the per-doc reduction sums
+    * exact BIGINTs; the only float is the final mean, rounded to 6.
+    *
+    * Scale shape (100 TB): n-gram count tables are VOCAB-bound with
+    * map-side combine (three aggregations over the train slice);
+    * scoring is per distinct trigram TYPE (five vocab-keyed left
+    * joins on the types table, never per occurrence), then ONE
+    * corpus-scale join keyed on the trigram + the doc rollup — the
+    * [[bigramNll]] shape one order up, plus the backoff CASE. */
+  def trigramBackoffNll(train: org.apache.spark.sql.DataFrame,
+                        score: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def q(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val t3 = train.select(explode(wordShingles(col(textCol), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    val t2 = PlanCache.reuse(
+      train.select(explode(wordShingles(col(textCol), 2)).as("g2"))
+        .groupBy(col("g2")).agg(count(lit(1)).as("c2")))
+    val t1 = PlanCache.reuse(
+      train.select(explode(tokenize(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val nv = t1.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val occ = PlanCache.reuse(
+      score.select(col(idCol), explode(wordShingles(col(textCol), 3)).as("g")))
+    val types = occ.select(col("g")).distinct()
+      .withColumn("ws", split(col("g"), " "))
+      .withColumn("g12", concat_ws(" ", col("ws").getItem(0), col("ws").getItem(1)))
+      .withColumn("g23", concat_ws(" ", col("ws").getItem(1), col("ws").getItem(2)))
+      .join(t3, Seq("g"), "left")
+      .join(t2.select(col("g2").as("g12"), col("c2").as("c12")), Seq("g12"), "left")
+      .join(t2.select(col("g2").as("g23"), col("c2").as("c23")), Seq("g23"), "left")
+      .join(t1.select(col("w").as("w2t"), col("c1").as("cu2")),
+            col("ws").getItem(1) === col("w2t"), "left")
+      .join(t1.select(col("w").as("w3t"), col("c1").as("cu3")),
+            col("ws").getItem(2) === col("w3t"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("g"),
+        when(col("c3").isNotNull, q(col("c3")) - q(col("c12")))
+          .when(col("c23").isNotNull,
+            lit(Qln04) + q(col("c23")) - q(col("cu2")))
+          .otherwise(lit(2 * Qln04)
+            + q(coalesce(col("cu3"), lit(0L)) + lit(1))
+            - q(col("n") + col("v"))).as("s6"),
+        when(col("c3").isNotNull, 0).when(col("c23").isNotNull, 1)
+          .otherwise(2).as("lvl"))
+    occ.join(types, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+           sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_bo_bigram"),
+           sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bo_unigram"),
+           sum(col("s6")).as("s6"))
+      .select(col(idCol), col("n_trigrams"), col("n_bo_bigram"),
+        col("n_bo_unigram"),
+        round(-(col("s6").cast("double") / lit(1e6)) / col("n_trigrams"), 6)
+          .as("nll"))
+  }
+
   // ------------------------------------------------------- BPE training
 
   /** Byte-pair-encoding merge training over the corpus — the real

@@ -66,6 +66,57 @@ object DocQueries {
        |WHERE $reportWhere
        |GROUP BY doc_id""".stripMargin
 
+  /** Shared CTE chain of the stupid-backoff scorer oracles (twin of
+    * [[TextOps.trigramBackoffNll]] at the doc_id % 2 train/score
+    * split): ends at a `scored` CTE with the per-doc output columns.
+    * The backoff discount rides [[TextOps.Qln04]] so the constant
+    * cannot drift between engines. */
+  private val trigramScoredSql: String = {
+    def qln(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+    val q04 = TextOps.Qln04
+    s"""tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+       |t3 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS c3
+       |  FROM (SELECT unnest(${sqlShingles(3)}) AS g FROM tr) GROUP BY 1),
+       |t2 AS MATERIALIZED (SELECT g2, CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM (SELECT unnest(${sqlShingles(2)}) AS g2 FROM tr) GROUP BY 1),
+       |t1 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest($wordsSql) AS w FROM tr) GROUP BY 1),
+       |nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+       |              CAST(COUNT(*) AS BIGINT) AS v FROM t1),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${sqlShingles(3)}) AS g
+       |  FROM documents WHERE doc_id % 2 <> 0),
+       |types AS MATERIALIZED (
+       |  SELECT dg.g,
+       |    CASE WHEN t3.c3 IS NOT NULL
+       |           THEN ${qln("t3.c3")} - ${qln("b12.c2")}
+       |         WHEN b23.c2 IS NOT NULL
+       |           THEN ($q04) + ${qln("b23.c2")} - ${qln("u2.c1")}
+       |         ELSE (${2 * q04}) + ${qln("COALESCE(u3.c1, 0) + 1")}
+       |           - ${qln("nv.n + nv.v")}
+       |    END AS s6,
+       |    CASE WHEN t3.c3 IS NOT NULL THEN 0
+       |         WHEN b23.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+       |  FROM (SELECT DISTINCT g FROM occ) dg
+       |  CROSS JOIN nv
+       |  LEFT JOIN t3 ON t3.g = dg.g
+       |  LEFT JOIN t2 b12 ON b12.g2 =
+       |    split_part(dg.g, ' ', 1) || ' ' || split_part(dg.g, ' ', 2)
+       |  LEFT JOIN t2 b23 ON b23.g2 =
+       |    split_part(dg.g, ' ', 2) || ' ' || split_part(dg.g, ' ', 3)
+       |  LEFT JOIN t1 u2 ON u2.w = split_part(dg.g, ' ', 2)
+       |  LEFT JOIN t1 u3 ON u3.w = split_part(dg.g, ' ', 3)),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |    CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bo_bigram,
+       |    CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bo_unigram,
+       |    round(-(CAST(SUM(s6) AS BIGINT) / 1000000.0) / COUNT(*), 6) AS nll
+       |  FROM occ JOIN types USING (g) GROUP BY doc_id)""".stripMargin
+  }
+
   /** Mirror of TextOps.simHash: 16 bit-votes over per-word 16-bit md5
     * sketches. */
   private val simHashSql: String = {
@@ -431,6 +482,54 @@ object DocQueries {
       .select(col("doc_id"), col("n_fprints"),
               coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("hit_permille", expr("n_hits * 1000 DIV n_fprints"))
+  }
+
+  /** Shared stupid-backoff scorer frame (see
+    * [[TextOps.trigramBackoffNll]]): trigram counts trained on the
+    * EVEN doc_id slice, the ODD slice scored — the train/score split
+    * that makes backoff genuinely fire (scoring the training corpus
+    * never backs off: every occurring trigram was seen). PlanCache-
+    * shared by [[textTrigramBackoff]] and [[pipeCcnetBuckets]]. */
+  private def trigramScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    PlanCache.reuse(TextOps.trigramBackoffNll(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+  }
+
+  /** Stupid-backoff trigram LM scoring row: per held-out doc, the mean
+    * negative log-score plus how often each backoff level fired. */
+  def textTrigramBackoff(s: SparkSession, dir: String): DataFrame =
+    trigramScored(s, dir)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): docs
+    * are split per LANGUAGE into head/middle/tail terciles of the
+    * trigram stupid-backoff score — the standard LM-quality filter
+    * (keep head, usually drop tail). Cutpoints are EXACT percentiles
+    * (cross-engine-identical interpolation over the round-6 doc
+    * scores, the `evt_value_deciles` precedent); bucket counts are
+    * integers. Scale shape: the scorer's shape plus one lang-keyed
+    * 2-percentile aggregate (array form — one buffer) and a
+    * broadcast-sized cutpoint join back. */
+  def pipeCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = trigramScored(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(nll, array(cast(1 as double)/3, " +
+                "cast(2 as double)/3))").as("cs"))
+      .select(col("lang"), col("cs").getItem(0).as("cut33"),
+              col("cs").getItem(1).as("cut67"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .groupBy(col("lang"), col("cut33"), col("cut67"))
+      .agg(sum(when(col("nll") <= col("cut33"), 1L).otherwise(0L))
+             .as("n_head"),
+           sum(when(col("nll") > col("cut33") && col("nll") <= col("cut67"),
+                    1L).otherwise(0L)).as("n_middle"),
+           sum(when(col("nll") > col("cut67"), 1L).otherwise(0L))
+             .as("n_tail"))
+      .select(col("lang"), col("n_head"), col("n_middle"), col("n_tail"),
+              col("cut33"), col("cut67"))
   }
 
   /** GPT-3-style exact 13-gram decontamination (Brown et al. 2020,
@@ -1332,6 +1431,8 @@ object DocQueries {
       UnigramLM.train(Tables.documents(s, d), "text")),
     "text_unigram_encode" -> ((s: SparkSession, d: String) =>
       UnigramLM.encodeStats(Tables.documents(s, d), "doc_id", "text")),
+    "text_trigram_backoff" -> (textTrigramBackoff _),
+    "pipe_ccnet_buckets"  -> (pipeCcnetBuckets _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1871,6 +1972,31 @@ object DocQueries {
          |        ORDER BY score6 DESC, doc_id ASC) AS rank
          |      FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "text_trigram_backoff" ->
+      s"""WITH $trigramScoredSql
+         |SELECT doc_id, n_trigrams, n_bo_bigram, n_bo_unigram, nll
+         |FROM scored""".stripMargin,
+    "pipe_ccnet_buckets" ->
+      s"""WITH $trigramScoredSql,
+         |sl AS MATERIALIZED (
+         |  SELECT s.doc_id, s.nll, d.lang
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang,
+         |    percentile_cont(CAST(1 AS DOUBLE)/3)
+         |      WITHIN GROUP (ORDER BY nll) AS cut33,
+         |    percentile_cont(CAST(2 AS DOUBLE)/3)
+         |      WITHIN GROUP (ORDER BY nll) AS cut67
+         |  FROM sl GROUP BY 1)
+         |SELECT sl.lang,
+         |  CAST(SUM(CASE WHEN nll <= cut33 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_head,
+         |  CAST(SUM(CASE WHEN nll > cut33 AND nll <= cut67 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_middle,
+         |  CAST(SUM(CASE WHEN nll > cut67 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tail,
+         |  cut33, cut67
+         |FROM sl JOIN cuts USING (lang)
+         |GROUP BY sl.lang, cut33, cut67""".stripMargin,
     "text_bigram_nll" ->
       // same 1e-6-grid quantization discipline as text_unigram_nll; the
       // bigram table (`big`) feeds both the type counts and the per-doc

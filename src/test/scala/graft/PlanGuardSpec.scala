@@ -64,6 +64,8 @@ class PlanGuardSpec extends SparkSpec {
     "rel_idle_customers",     // Q22 avg-acctbal scalar subquery
     "text_unigram_nll",       // 1-row (T, V) corpus-totals broadcast
     "text_bigram_nll",        // 1-row vocab-size broadcast (V scalar)
+    "text_trigram_backoff",   // 1-row (N, V) train-totals broadcast
+    "pipe_ccnet_buckets",     // same scorer chain + 1-row totals
     "pipe_dsir_weights",      // 1-row corpus-constant broadcast (c6)
     "evt_cuped",              // 1-row midpoint + 1-row theta broadcasts
     "rel_cross_matrix",       // DELIBERATE cross join (contingency table

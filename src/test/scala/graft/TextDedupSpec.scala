@@ -445,6 +445,57 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size < seed.size)
   }
 
+  test("stupid-backoff trigram scorer matches an independent in-JVM scorer") {
+    import graft.operators.TextOps
+    // train corpus: repeated pattern so trigrams/bigrams have counts;
+    // score docs hit all three levels: seen trigram, bigram backoff,
+    // unigram backoff incl. a genuinely OOV word
+    val trainRows = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the cat sat on a chair"),
+      (4L, "a dog sat on the mat"))
+    val scoreRows = Seq(
+      (1L, "the cat sat on the mat"),    // all trigrams seen
+      (3L, "the cat ate on the mat"),    // 'cat ate'/'ate on' unseen
+      (5L, "zebra quagga sat on it"))    // OOV words
+    val train = trainRows.toDF("doc_id", "text")
+    val score = scoreRows.toDF("doc_id", "text")
+
+    def grams(ws: Seq[String], n: Int): Seq[Seq[String]] =
+      if (ws.length < n) Seq.empty else ws.sliding(n).toSeq
+    val tws = trainRows.map(_._2.split(" ").toSeq)
+    def countOf[K](xs: Seq[K]): Map[K, Long] =
+      xs.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val c3 = countOf(tws.flatMap(grams(_, 3)))
+    val c2 = countOf(tws.flatMap(grams(_, 2)))
+    val c1 = countOf(tws.flatten)
+    val n = c1.values.sum; val v = c1.size.toLong
+    def qln(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    def s6(t: Seq[String]): (Long, Int) =
+      if (c3.contains(t)) (qln(c3(t)) - qln(c2(t.take(2))), 0)
+      else if (c2.contains(t.drop(1)))
+        (TextOps.Qln04 + qln(c2(t.drop(1))) - qln(c1(t(1))), 1)
+      else (2 * TextOps.Qln04 + qln(c1.getOrElse(t(2), 0L) + 1)
+              - qln(n + v), 2)
+    val expected = scoreRows.map { case (id, txt) =>
+      val ts = grams(txt.split(" ").toSeq, 3).map(s6)
+      val nll = BigDecimal(-(ts.map(_._1).sum.toDouble / 1e6) / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((id, ts.size.toLong, ts.count(_._2 == 1).toLong,
+              ts.count(_._2 == 2).toLong, nll))
+    }.toMap
+
+    val got = TextOps.trigramBackoffNll(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == expected)
+    // the split exercises every level
+    assert(got(1L)._3 == 0 && got(1L)._4 == 0)
+    assert(got(3L)._3 + got(3L)._4 > 0 && got(5L)._4 > 0)
+    // higher backoff usage must cost more (quality signal ordering)
+    assert(got(5L)._5 > got(1L)._5)
+  }
+
   test("unigram-LM encode: per-doc piece stats match an independent encoder") {
     import graft.operators.UnigramLM
     val sentences = Seq(
