@@ -614,4 +614,56 @@ object Graphs {
     alive.unpersist(blocking = false)
     out
   }
+
+  /** Label-propagation community detection (Raghavan et al., Phys. Rev.
+    * E 2007), in the deterministic synchronous-with-self-vote form:
+    * labels start as node ids; each round every node adopts the most
+    * frequent label among its neighbors PLUS ITSELF, ties broken toward
+    * the smallest label. The self-vote is the standard stabilizer for
+    * the synchronous schedule (without it bipartite structures — stars,
+    * bridges — oscillate period-2 forever); with it the triangle/clique
+    * cases converge in one round and a fixed round count is the
+    * cross-engine contract, exactly the [[kCore]] discipline. The
+    * asynchronous variant the paper favors is order-dependent and so
+    * unreplayable in oracle SQL — synchronous + deterministic tie-break
+    * is the curation-pipeline form (community = candidate dedup/spam
+    * cluster grain).
+    *
+    * Per-round argmax rides ONE hash aggregation via the composite-
+    * BIGINT max `votes·2^41 + (2^41−1−label)` (most votes, then
+    * smallest label) — width budget: node ids < 2^41, votes (degree+1)
+    * < 2^22. Each round costs the label-join shuffle + the vote
+    * aggregation; the vote union references the round's label frame
+    * twice, so labels are localCheckpoint-materialized per round (the
+    * round-2 union-branch re-execution trap), and the symmetric edge
+    * view is materialized once for all rounds. Nothing touches the
+    * driver.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds ≥ 1, got $rounds")
+    val e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = e.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(e.select(col("b").as("s"), col("a").as("d")))
+      .distinct().localCheckpoint()
+    val C = 1L << 41
+    var labels = sym.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels, sym("s") === labels("node"))
+        .select(sym("d"), labels("label"))
+        .unionAll(labels.select(col("node").as("d"), col("label")))
+        .groupBy(col("d"), col("label")).agg(count(lit(1)).as("n"))
+      labels = votes
+        .groupBy(col("d").as("node"))
+        .agg(max(col("n") * C + (lit(C - 1L) - col("label"))).as("m"))
+        .select(col("node"), (lit(C - 1L) - col("m") % C).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -180,4 +180,85 @@ object Sketch {
       .groupBy(probeCols: _*)
       .agg(min(coalesce(col("cell_n"), lit(0L))).as("cms_n"))
   }
+
+  /** Deterministic HyperLogLog registers (Flajolet et al. 2007) per
+    * group: bucket = the first 2 hex of a seeded md5, rank ρ = leading
+    * zero bits of the NEXT 40 hash bits + 1 (∈ [1, 41]), register =
+    * max(ρ). No RNG anywhere — the same digest slices replay in oracle
+    * SQL, so the full register STATE is cross-engine hash-exact (the
+    * estimate itself involves a harmonic mean and stays out of compared
+    * columns per the transcendental rule; accuracy is spec-asserted
+    * in-JVM from the integer state).
+    *
+    * Scale shape: ONE shuffle keyed (group…, bucket) with map-side max
+    * combine; the exchange carries ≤ width rows per group per map
+    * partition regardless of corpus size. Registers are MAX-mergeable:
+    * `merge(hll(A), hll(B)) == hll(A ∪ B)` exactly (spec-pinned), which
+    * is what lets 100 TB pre-aggregate per day/shard and answer sliding
+    * windows by merging ≤ width·7 rows instead of re-scanning the raw
+    * key table — see the `evt_hll_wau` registered twin of the exact
+    * `evt_dau_wau` fan-out.
+    *
+    * ρ is computed on the hex STRING (leading-'0' run × 4 + a 15-way
+    * nibble CASE), not via log/bit_length — both engines share the
+    * identical string algebra. Truncating the rank domain to 40 bits
+    * caps ρ at 41, so the scaled harmonic term 2^(41−ρ) is an exact
+    * BIGINT and Σ over ≤ 256 buckets stays < 2^49 — integer overflow
+    * can't occur and the estimate ladder is replayable without floats. */
+  def hllRegisters(keys: DataFrame, keyCol: String, groupCols: Seq[String],
+                   width: Int): DataFrame = {
+    require(width >= 2 && width <= 256 && (width & (width - 1)) == 0,
+      s"hllRegisters needs a power-of-two width in [2, 256], got $width")
+    val m = md5(concat(lit("hll|"), col(keyCol)))
+    val t = ltrim(substring(m, 3, 10), "0")
+    val c = substring(t, 1, 1)
+    val lz = when(c === "1", 3).when(c.isin("2", "3"), 2)
+      .when(c.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rho = when(t === "", lit(41))
+      .otherwise((lit(10) - length(t)) * 4 + lz + 1)
+    keys
+      .groupBy(groupCols.map(col) :+
+        (conv(substring(m, 1, 2), 16, 10).cast("long") % width).as("bucket"): _*)
+      .agg(max(rho.cast("long")).as("reg"))
+  }
+
+  /** Union of register sets by bucket-wise max — the HLL merge law.
+    * Grouping is by every column except `reg`, so callers can re-key
+    * (e.g. day → window) before merging. */
+  def hllMerge(regs: DataFrame*): DataFrame = {
+    val keys = regs.head.columns.filterNot(_ == "reg").toSeq
+    regs.reduce(_ unionAll _)
+      .groupBy(keys.map(col): _*).agg(max(col("reg")).as("reg"))
+  }
+
+  /** Integer register-state digest per group: register count, Σρ, a
+    * modular (bucket, ρ) checksum, and the scaled harmonic-mean
+    * denominator T = Σ 2^(41−ρ) with absent buckets contributing 2^41
+    * (ρ = 0) — everything the HLL estimate needs, as exact BIGINTs.
+    * est = α_m·m²·2^41 / T (linear-counting correction from the
+    * zero-register count width − n_regs); the float division happens
+    * in specs, never in compared columns. */
+  def hllState(regs: DataFrame, groupCols: Seq[String], width: Int): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"),
+           sum(col("reg")).as("sum_rho"),
+           sum((col("bucket") * 64L + col("reg")) % 1000003L).as("chk"),
+           (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - reg AS INT))")) +
+             (lit(width.toLong) - count(lit(1))) * (1L << 41)).as("t_scaled"))
+
+  /** The HLL estimate from one [[hllState]] row — driver-side math for
+    * specs and callers that want the number (α_m from Flajolet et al.
+    * 2007 §4; linear counting below 2.5·m when empty buckets remain). */
+  def hllEstimate(width: Int, nRegs: Long, tScaled: Long): Double = {
+    val m = width.toDouble
+    val alpha =
+      if (width >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (width >= 64) 0.709
+      else if (width >= 32) 0.697
+      else 0.673
+    val raw = alpha * m * m * math.pow(2.0, 41) / tScaled.toDouble
+    val zeros = width - nRegs
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)
+    else raw
+  }
 }

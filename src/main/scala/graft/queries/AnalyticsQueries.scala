@@ -491,6 +491,41 @@ object AnalyticsQueries {
       .withColumn("stickiness", col("dau").cast(DoubleType) / col("wau"))
   }
 
+  /** HLL-sketched WAU twin of [[dauWau]] — the pre-aggregable form the
+    * exact fan-out can't give you at 100 TB. Per-day HyperLogLog
+    * registers of the user set ([[graft.operators.Sketch.hllRegisters]],
+    * width 64, seeded md5, no RNG), then each trailing 7-day window's
+    * register set is the bucket-wise MAX merge of its member days
+    * ([[graft.operators.Sketch.hllMerge]]) — ≤ 64·7 register rows per
+    * window versus the exact query's re-scan of raw user-days. Output is
+    * the integer register STATE per window day
+    * ([[graft.operators.Sketch.hllState]]: n_regs, Σρ, checksum, scaled
+    * harmonic denominator — all exact BIGINTs), cross-engine hash-exact;
+    * the float estimate stays out of compared columns (transcendental
+    * rule) and its accuracy is spec-pinned in-JVM.
+    *
+    * Scale: ONE corpus shuffle keyed (day, bucket) with map-side MAX
+    * combine — no distinct-user pre-shuffle needed, duplicate events
+    * collapse inside the max; the 7× fan-out and merge act on the
+    * register table (≤ 64 rows/day), not the corpus. */
+  def hllWau(s: SparkSession, dir: String): DataFrame = {
+    val w = 64
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
+    val regs = graft.operators.Sketch.hllRegisters(days, "user_id",
+                                                   Seq("day"), w)
+    val spine = regs.select(col("day")).distinct()
+      .withColumnRenamed("day", "d")
+    val fanned = regs
+      .select(col("day"), col("bucket"), col("reg"),
+              explode(sequence(lit(0L), lit(6L))).as("off"))
+      .select((col("day") + col("off")).as("day"), col("bucket"), col("reg"))
+      .join(broadcast(spine), col("day") === col("d"))
+      .select(col("day"), col("bucket"), col("reg"))
+    graft.operators.Sketch.hllState(
+      graft.operators.Sketch.hllMerge(fanned), Seq("day"), w)
+  }
+
   /** Time-hierarchy ROLLUP: (year, quarter, month) subtotal ladder in
     * one pass, grouping_id disambiguating natural NULLs. */
   def rollupTime(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +585,7 @@ object AnalyticsQueries {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_ks_mannwhitney"   -> (ksMannWhitney _),
     "evt_dau_wau"        -> (dauWau _),
+    "evt_hll_wau"        -> (hllWau _),
     "rel_rollup_time"    -> (rollupTime _),
     "rel_fk_audit"       -> (fkAudit _),
     "evt_daily_gapfill"  -> (dailyGapfill _),
@@ -704,6 +740,38 @@ object AnalyticsQueries {
          |SELECT day, dau, wau,
          |  CAST(dau AS DOUBLE) / wau AS stickiness
          |FROM dau JOIN wau USING (day)""".stripMargin,
+    // HLL register state replay: the same seeded-md5 slices (2-hex
+    // bucket, leading-zero rank of the next 40 bits) rebuilt with
+    // DuckDB string algebra; every compared column is an exact BIGINT
+    // (HUGEINT sums re-cast per the round-2 gotcha).
+    "evt_hll_wau" ->
+      s"""WITH r AS MATERIALIZED (
+         |  SELECT day, CAST('0x' || substr(m, 1, 2) AS BIGINT) % 64 AS bucket,
+         |    MAX(CASE WHEN t = '' THEN 41
+         |        ELSE (10 - length(t)) * 4 + 1 +
+         |          CASE WHEN substr(t, 1, 1) = '1' THEN 3
+         |               WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
+         |               WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+         |               ELSE 0 END END) AS reg
+         |  FROM (
+         |    SELECT $usExpr // $DayUs AS day,
+         |      md5('hll|' || CAST(user_id AS VARCHAR)) AS m,
+         |      ltrim(substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 10),
+         |            '0') AS t
+         |    FROM events)
+         |  GROUP BY 1, 2),
+         |spine AS (SELECT DISTINCT day AS d FROM r),
+         |w AS (
+         |  SELECT s.d AS day, bucket, MAX(reg) AS reg
+         |  FROM r JOIN spine s ON s.d BETWEEN r.day AND r.day + 6
+         |  GROUP BY 1, 2)
+         |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  CAST(SUM(reg) AS BIGINT) AS sum_rho,
+         |  CAST(SUM((bucket * 64 + reg) % 1000003) AS BIGINT) AS chk,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - reg AS INTEGER))
+         |       + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 41) AS BIGINT)
+         |    AS t_scaled
+         |FROM w GROUP BY 1""".stripMargin,
     "rel_rollup_time" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
          |  CAST(quarter(o_orderdate) AS INTEGER) AS q,

@@ -820,6 +820,25 @@ object RelationalQueries {
       .select(col("node").as("part_node"), col("deg").as("core_deg"))
   }
 
+  /** Label-propagation communities of the same co-purchase graph as
+    * [[relKCore]] (parts co-ordered with quantity > 40), 4 synchronous
+    * rounds with the deterministic self-vote + smallest-label tie-break
+    * ([[Graphs.labelPropagation]]) — the community grain curation
+    * pipelines use to block candidate dup/spam clusters. The oracle
+    * unrolls the identical 4 rounds; each round's label frame is
+    * referenced twice (neighbor join + self vote), so every round CTE
+    * is MATERIALIZED (round-7 DuckDB inlining gotcha). */
+  def relLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    Graphs.labelPropagation(edges, "a", "b", rounds = 4)
+      .select(col("node").as("part_node"), col("label").as("community"))
+  }
+
   /** 2-D skyline (pareto frontier): parts no other part dominates on
     * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
     * et al. 2001). NOT computed with a global sort: prices bucket into
@@ -938,6 +957,7 @@ object RelationalQueries {
     "rel_fuzzy_match"       -> (fuzzyMatch _),
     "rel_fuzzy_clusters"    -> (fuzzyClusters _),
     "rel_kcore"             -> (relKCore _),
+    "rel_label_prop"        -> (relLabelProp _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1029,6 +1049,40 @@ object RelationalQueries {
        |${rs.mkString(",\n")}
        |SELECT v AS part_node, CAST(deg AS BIGINT) AS core_deg
        |FROM a$rounds""".stripMargin
+  }
+
+  /** 4-round synchronous label-propagation unroll for rel_label_prop,
+    * over the same co-purchase base as [[kCoreSql]]. Per round: votes =
+    * neighbor labels ⊎ the node's own label, argmax by the composite
+    * BIGINT `n·2^41 + (2^41−1−label)` (most votes, then smallest label)
+    * — COUNT(*)·2^41 stays in BIGINT because votes ≤ degree+1 < 2^22.
+    * Label frames are referenced twice per round → MATERIALIZED. */
+  private val labelPropSql: String = {
+    val rounds = 4
+    val C = 1L << 41
+    val rs = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT d AS node,
+         |    ${C - 1} - MAX(n * $C + (${C - 1} - label)) % $C AS label
+         |  FROM (
+         |    SELECT d, label, COUNT(*) AS n FROM (
+         |      SELECT e.d, l.label FROM sym e JOIN l${r - 1} l ON e.s = l.node
+         |      UNION ALL SELECT node AS d, label FROM l${r - 1})
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+       |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |  WHERE l1.l_partkey < l2.l_partkey
+       |    AND l1.l_quantity > 40 AND l2.l_quantity > 40),
+       |sym AS MATERIALIZED (SELECT a AS s, b AS d FROM base
+       |                     UNION ALL SELECT b, a FROM base),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(s AS BIGINT) AS node, CAST(s AS BIGINT) AS label
+       |  FROM sym),
+       |${rs.mkString(",\n")}
+       |SELECT node AS part_node, label AS community FROM l$rounds""".stripMargin
   }
 
   /** 3-hop deterministic-walk unroll for rel_graph_walks: the same
@@ -1156,6 +1210,7 @@ object RelationalQueries {
          |  n_parts
          |FROM names LEFT JOIN clusters ON names.p_name = clusters.id""".stripMargin,
     "rel_kcore" -> kCoreSql,
+    "rel_label_prop" -> labelPropSql,
     "rel_approx_pct_bound" ->
       s"""SELECT l_returnflag,
          |percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)

@@ -261,4 +261,54 @@ class GraphsSpec extends SparkSpec {
     assert(core(chain, 2, 1) == Map(2L -> 2L, 3L -> 2L, 4L -> 2L))
     assert(core(chain, 2, 4).isEmpty)
   }
+
+  private def lp(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Independent in-JVM synchronous LPA — self-vote, most-votes-then-
+    * smallest-label tie-break — as the reference implementation. */
+  private def lpRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds)
+      labels = adj.map { case (n, nbrs) =>
+        n -> (nbrs.map(labels) :+ labels(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    labels
+  }
+
+  test("labelPropagation: bridged triangles split into two communities") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                     4L -> 4L, 5L -> 4L, 6L -> 4L)
+    assert(lp(g, 4) == expect)
+    assert(lpRef(g, 4) == expect)   // and it IS the converged fixpoint
+    assert(lp(g, 6) == expect)
+  }
+
+  test("labelPropagation: self-vote stabilizes the star in one round") {
+    // without the self-vote the synchronous schedule oscillates
+    // period-2 on any star; with it everything adopts the hub's label
+    val star = (2L to 6L).map(i => (1L, i))
+    assert(lp(star, 1) == (1L to 6L).map(_ -> 1L).toMap)
+    assert(lp(star, 2) == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("labelPropagation: matches the in-JVM reference round by round") {
+    // barbell + pendant chain — asymmetric degrees, a bridge, a tail
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L),
+                (8L, 9L), (9L, 10L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    for (r <- 1 to 3) assert(lp(g, r) == lpRef(g, r), s"round $r")
+  }
+
+  test("labelPropagation: duplicate, reversed, self-loop edges don't skew votes") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L))
+    assert(lp(g, 2) == lpRef(Seq((1L, 2L), (2L, 3L)), 2))
+  }
 }
