@@ -666,4 +666,49 @@ object Graphs {
     }
     labels
   }
+
+  /** Newman-Girvan modularity of a community assignment (Newman 2004),
+    * in the exact-integer form `Q·4m²`: per community c the term
+    * `4m·L_c − d_c²` (L_c = intra-community edges, d_c = degree sum,
+    * m = undirected edge count), so Q = Σ q_term / 4m² — every compared
+    * column is an exact BIGINT and the float division stays with the
+    * caller (the [[Sketch.hllState]] discipline). Width budget:
+    * 4m·L_c ≤ 4m² and d_c² ≤ 4m², so BIGINT holds to m ≈ 1.5·10⁹
+    * undirected edges per component of the computation.
+    *
+    * Scale shape: the canonical edge set is materialized once and
+    * consumed by three aggregations (edge count, degree fan-out,
+    * intra-community filter); labels join on node keys (two renames of
+    * one checkpointed frame); m rides a 1-row broadcast cross join
+    * (PlanGuard-allowlisted scalar). No step is more than one shuffle
+    * over the edge table.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+              greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint()
+    val lab = labels.select(col("node"), col("label"))
+    val mframe = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val la = lab.select(col("node").as("a"), col("label").as("la"))
+    val lb = lab.select(col("node").as("b"), col("label").as("lb"))
+    val lc = und.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_in"))
+    val ds = deg.join(lab, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("d_sum"))
+    ds.join(lc, Seq("community"), "left")
+      .crossJoin(broadcast(mframe))
+      .select(col("community"), col("n_nodes"),
+              coalesce(col("l_in"), lit(0L)).as("l_in"), col("d_sum"),
+              (lit(4L) * col("m") * coalesce(col("l_in"), lit(0L)) -
+               col("d_sum") * col("d_sum")).as("q_term"))
+  }
 }

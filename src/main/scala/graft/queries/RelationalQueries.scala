@@ -828,15 +828,31 @@ object RelationalQueries {
     * unrolls the identical 4 rounds; each round's label frame is
     * referenced twice (neighbor join + self vote), so every round CTE
     * is MATERIALIZED (round-7 DuckDB inlining gotcha). */
-  def relLabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The [[relKCore]] co-purchase edge list (parts co-ordered with
+    * quantity > 40, a < b), shared by the LPA/modularity rows. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
       .select(col("l_orderkey"), col("l_partkey"))
     val l1 = li.select(col("l_orderkey"), col("l_partkey").as("a"))
     val l2 = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
+    l1.join(l2, "l_orderkey").filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-    Graphs.labelPropagation(edges, "a", "b", rounds = 4)
+  }
+
+  def relLabelProp(s: SparkSession, dir: String): DataFrame =
+    Graphs.labelPropagation(coPurchaseEdges(s, dir), "a", "b", rounds = 4)
       .select(col("node").as("part_node"), col("label").as("community"))
+
+  /** Modularity audit of the [[relLabelProp]] communities — per
+    * community the exact-integer `Q·4m²` term ([[Graphs.modularity]]):
+    * the quality score by which a curation pipeline decides whether
+    * LPA's clusters are real structure or noise, with the float
+    * division left to the consumer so every compared column stays
+    * BIGINT. Oracle shares the 4-round LPA unroll CTEs. */
+  def relModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
+    val labels = Graphs.labelPropagation(edges, "a", "b", rounds = 4)
+    Graphs.modularity(edges, "a", "b", labels)
   }
 
   /** 2-D skyline (pareto frontier): parts no other part dominates on
@@ -958,6 +974,7 @@ object RelationalQueries {
     "rel_fuzzy_clusters"    -> (fuzzyClusters _),
     "rel_kcore"             -> (relKCore _),
     "rel_label_prop"        -> (relLabelProp _),
+    "rel_modularity"        -> (relModularity _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1057,10 +1074,14 @@ object RelationalQueries {
     * BIGINT `n·2^41 + (2^41−1−label)` (most votes, then smallest label)
     * — COUNT(*)·2^41 stays in BIGINT because votes ≤ degree+1 < 2^22.
     * Label frames are referenced twice per round → MATERIALIZED. */
-  private val labelPropSql: String = {
-    val rounds = 4
+  private val lpaRounds = 4
+
+  /** The shared 4-round LPA unroll CTE block (base co-purchase edges →
+    * symmetric view → l0..l4 label frames), composed by both
+    * [[labelPropSql]] and [[modularitySql]]. */
+  private val lpaCtes: String = {
     val C = 1L << 41
-    val rs = (1 to rounds).map { r =>
+    val rs = (1 to lpaRounds).map { r =>
       s"""l$r AS MATERIALIZED (
          |  SELECT d AS node,
          |    ${C - 1} - MAX(n * $C + (${C - 1} - label)) % $C AS label
@@ -1071,7 +1092,7 @@ object RelationalQueries {
          |    GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
     }
-    s"""WITH base AS MATERIALIZED (
+    s"""base AS MATERIALIZED (
        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
        |  WHERE l1.l_partkey < l2.l_partkey
@@ -1081,9 +1102,31 @@ object RelationalQueries {
        |l0 AS MATERIALIZED (
        |  SELECT DISTINCT CAST(s AS BIGINT) AS node, CAST(s AS BIGINT) AS label
        |  FROM sym),
-       |${rs.mkString(",\n")}
-       |SELECT node AS part_node, label AS community FROM l$rounds""".stripMargin
+       |${rs.mkString(",\n")}""".stripMargin
   }
+
+  private val labelPropSql: String =
+    s"""WITH $lpaCtes
+       |SELECT node AS part_node, label AS community FROM l$lpaRounds""".stripMargin
+
+  /** Modularity terms over the l4 communities: m from base, degrees
+    * from sym, intra-community edges from base joined to l4 twice —
+    * every projected column an exact BIGINT (HUGEINT sums re-cast). */
+  private val modularitySql: String =
+    s"""WITH $lpaCtes,
+       |deg AS (SELECT s AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+       |mm AS (SELECT COUNT(*) AS m FROM base),
+       |lc AS (SELECT la.label AS community, COUNT(*) AS l_in
+       |       FROM base e JOIN l$lpaRounds la ON e.a = la.node
+       |                   JOIN l$lpaRounds lb ON e.b = lb.node
+       |       WHERE la.label = lb.label GROUP BY 1),
+       |ds AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |              CAST(SUM(dg) AS BIGINT) AS d_sum
+       |       FROM deg JOIN l$lpaRounds l ON deg.node = l.node GROUP BY 1)
+       |SELECT community, n_nodes,
+       |  CAST(COALESCE(l_in, 0) AS BIGINT) AS l_in, d_sum,
+       |  4 * m * CAST(COALESCE(l_in, 0) AS BIGINT) - d_sum * d_sum AS q_term
+       |FROM ds LEFT JOIN lc USING (community) CROSS JOIN mm""".stripMargin
 
   /** 3-hop deterministic-walk unroll for rel_graph_walks: the same
     * co-purchase base as [[kCoreSql]] (no quantity-filter drift), id-
@@ -1211,6 +1254,7 @@ object RelationalQueries {
          |FROM names LEFT JOIN clusters ON names.p_name = clusters.id""".stripMargin,
     "rel_kcore" -> kCoreSql,
     "rel_label_prop" -> labelPropSql,
+    "rel_modularity" -> modularitySql,
     "rel_approx_pct_bound" ->
       s"""SELECT l_returnflag,
          |percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)

@@ -311,4 +311,40 @@ class GraphsSpec extends SparkSpec {
     val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L))
     assert(lp(g, 2) == lpRef(Seq((1L, 2L), (2L, 3L)), 2))
   }
+
+  // rows: (community, n_nodes, l_in, d_sum, q_term)
+  private def mod(edges: Seq[(Long, Long)],
+                  labels: Map[Long, Long]): Set[(Long, Long, Long, Long, Long)] =
+    Graphs.modularity(edges.toDF("a", "b"), "a", "b",
+                      labels.toSeq.toDF("node", "label"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("modularity: bridged triangles — exact integer terms and Q") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val rows = mod(g, lp(g, 4))
+    // m = 7; each triangle: L_c = 3 intra edges, d_c = 7, so
+    // q_term = 4·7·3 − 49 = 35; Q = (35 + 35) / (4·49) = 5/14
+    assert(rows == Set((1L, 3L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L)))
+    val m = 7L
+    assert(rows.toSeq.map(_._5).sum.toDouble / (4 * m * m) == 5.0 / 14)
+  }
+
+  test("modularity: one clique as one community scores exactly zero") {
+    // L = m and d_sum = 2m → q_term = 4m·m − 4m² = 0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(mod(k4, lp(k4, 2)) == Set((1L, 4L, 6L, 12L, 0L)))
+  }
+
+  test("modularity: bookkeeping laws — Σd_sum = 2m, Σl_in ≤ m, dups ignored") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 4L),
+                (4L, 5L), (5L, 6L), (6L, 4L), (2L, 3L))
+    val rows = mod(g, lp(g, 3))
+    val m = 6L                        // canonical undirected edges
+    assert(rows.toSeq.map(_._4).sum == 2 * m)
+    assert(rows.toSeq.map(_._3).sum <= m)
+    rows.foreach { case (_, _, lIn, dSum, q) =>
+      assert(q == 4 * m * lIn - dSum * dSum)
+    }
+  }
 }

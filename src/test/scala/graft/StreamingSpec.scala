@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("HLL registers over MemoryStream equal the batch sketch") {
+    // like the CMS cells, HLL registers are a pure MAX aggregation —
+    // bounded state (width rows per group) no matter how long the
+    // stream runs, and the streamed state merges with any batch/day
+    // register artifact by the same bucket-wise max (Sketch.hllMerge)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    mem.addData(rows: _*)
+    val q = Sketch.hllRegisters(
+        mem.toDF().select($"event_type".as("g"), $"user_id".as("k")),
+        "k", Seq("g"), 32)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hll_regs").collect().toSet
+    val batch = Sketch.hllRegisters(
+        rows.toDF().select($"event_type".as("g"), $"user_id".as("k")),
+        "k", Seq("g"), 32)
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("online unigram-LM scoring equals batch NLL (trained artifact shipped)") {
     implicit val sq = spark.sqlContext
     val docRows = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c c b"))
