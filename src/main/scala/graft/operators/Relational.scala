@@ -194,4 +194,34 @@ object Relational {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** One-scan column profiler — the schema-quality audit an ingest
+    * pipeline runs before training: per numeric column the row count,
+    * null count, exact distinct count, min/max, and exact sum.
+    *
+    * Shape: the table is unpivoted FIRST (`stack` — one projection that
+    * KEEPS nulls, ×C rows, no second scan) and every metric rides ONE
+    * groupBy(col_name): count/min/max/sum combine map-side, and the
+    * exact distinct count plans as the standard two-phase
+    * partial-distinct aggregate, so the post-shuffle volume is
+    * C × |distinct values|, never the table. Sums run in DECIMAL(38,4)
+    * — lossless for the fixtures' ≤4-decimal measures and exact for
+    * integer keys (< 2^53 after the double widening; 34 integer digits
+    * of headroom) — and export through the correctly-rounded
+    * decimal→double cast (Canon.sqlToDouble parity on the DuckDB side).
+    * Columns must be numeric: strings would force a SortAggregate
+    * min/max (round-1 gotcha) and timestamps don't share a cast grid.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    val stackArgs =
+      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+           (count(lit(1)) - count(col("v"))).as("n_null"),
+           count_distinct(col("v")).as("ndv"),
+           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+           sum(col("v").cast(dec)).cast("double").as("sum_v"))
+  }
 }

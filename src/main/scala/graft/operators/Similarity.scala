@@ -616,4 +616,42 @@ object Similarity {
       .groupBy(col(labelCol), col("cand").as("pred_label"))
       .agg(count(lit(1)).as("n_vecs"))
   }
+
+  /** Exact Gram matrix G = XᵀX over an embedding column — the d×d
+    * second-moment table that whitening / PCA-prep / feature-correlation
+    * audits start from. Emitted as the upper triangle (dim_i ≤ dim_j,
+    * d(d+1)/2 rows) with the term count and G[i,j] on the 1e-7 grid.
+    *
+    * Exactness: components quantize to the [[meanPool]] 1e-7 integer
+    * grid, each qi·qj ≤ ~1e15 stays in BIGINT, and the cross-row sum
+    * runs in DECIMAL(38,0) (≡ DuckDB HUGEINT — room for ~1e8 rows per
+    * cell even at full |q| ≈ 1e7 magnitudes) so the only double is the
+    * final correctly-rounded export divided by the grid² constant on
+    * bit-identical inputs.
+    *
+    * Scale shape: this is the standard SQL GEMM — the exploded
+    * component frame is built ONCE ([[PlanCache.reuse]]; d rows per
+    * vector), the self-equi-join on the row id is co-partitioned (one
+    * exchange feeds both sides via Spark's exchange reuse), and the
+    * d²-cell aggregation combines map-side, so the shuffle after the
+    * join carries at most (partitions × d²) partial rows regardless of
+    * corpus size. No broadcast, no cartesian; output is d(d+1)/2 rows.
+    */
+  def gramMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = PlanCache.reuse(
+      df.select(col(idCol).as("rid"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(col("rid"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double") * lit(1e7)).cast("long").as("qv")))
+    val a = q.select(col("rid"), col("dim").as("dim_i"), col("qv").as("qi"))
+    val b = q.select(col("rid"), col("dim").as("dim_j"), col("qv").as("qj"))
+    a.join(b, Seq("rid"))
+      .filter(col("dim_j") >= col("dim_i"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("qi").cast(dec38) * col("qj")).as("gq"))
+      .select(col("dim_i"), col("dim_j"), col("n_terms"),
+              (col("gq").cast("double") / lit(1e14)).as("gram"))
+  }
 }

@@ -855,6 +855,20 @@ object RelationalQueries {
     Graphs.modularity(edges, "a", "b", labels)
   }
 
+  /** The lineitem columns profiled by [[relProfileColumns]] — the
+    * numeric surface (strings/timestamps excluded by the
+    * [[Relational.profileColumns]] contract). */
+  private val ProfiledCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Numeric-column profile of lineitem — the pre-training
+    * schema-quality audit (count / nulls / exact NDV / min / max /
+    * exact sum per column) in one scan; see
+    * [[Relational.profileColumns]] for the unpivot-first shape. */
+  def relProfileColumns(s: SparkSession, dir: String): DataFrame =
+    Relational.profileColumns(Tables.lineitem(s, dir), ProfiledCols)
+
   /** 2-D skyline (pareto frontier): parts no other part dominates on
     * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
     * et al. 2001). NOT computed with a global sort: prices bucket into
@@ -975,6 +989,7 @@ object RelationalQueries {
     "rel_kcore"             -> (relKCore _),
     "rel_label_prop"        -> (relLabelProp _),
     "rel_modularity"        -> (relModularity _),
+    "rel_profile_columns"   -> (relProfileColumns _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1255,6 +1270,18 @@ object RelationalQueries {
     "rel_kcore" -> kCoreSql,
     "rel_label_prop" -> labelPropSql,
     "rel_modularity" -> modularitySql,
+    "rel_profile_columns" -> {
+      val branches = ProfiledCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+      s"""WITH u AS (
+         |${branches.mkString("", "\nUNION ALL\n", "")})
+         |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+         |  MIN(v) AS min_v, MAX(v) AS max_v,
+         |  ${Canon.sqlToDouble("SUM(CAST(v AS DECIMAL(38,4)))")} AS sum_v
+         |FROM u GROUP BY col_name""".stripMargin
+    },
     "rel_approx_pct_bound" ->
       s"""SELECT l_returnflag,
          |percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)

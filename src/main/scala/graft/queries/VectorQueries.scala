@@ -172,6 +172,13 @@ object VectorQueries {
     Similarity.centroidAssign(Tables.embeddings(s, dir), "vec_id",
                               "embedding", "label")
 
+  /** Exact upper-triangle Gram matrix XᵀX over the embedding corpus
+    * (see [[Similarity.gramMatrix]] for the 1e-7-grid / SQL-GEMM
+    * design) — the second-moment table whitening and correlation
+    * audits start from. */
+  def simGramMatrix(s: SparkSession, dir: String): DataFrame =
+    Similarity.gramMatrix(Tables.embeddings(s, dir), "vec_id", "embedding")
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -510,6 +517,7 @@ object VectorQueries {
     "sim_dim_minmax"    -> (simDimMinMax _),
     "sim_mean_pool"     -> (simMeanPool _),
     "sim_centroid_assign" -> (simCentroidAssign _),
+    "sim_gram_matrix"   -> (simGramMatrix _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -1072,6 +1080,17 @@ object VectorQueries {
          |CAST(MAX(code) AS INTEGER) AS max_code,
          |MAX(abs_err_bucket) AS max_err_millis
          |FROM recon GROUP BY dim""".stripMargin,
+    "sim_gram_matrix" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS rid, dim,
+         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000) AS BIGINT) AS qv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim))
+         |SELECT a.dim AS dim_i, b.dim AS dim_j,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  ${Canon.sqlToDouble("SUM(a.qv * b.qv)")} / 1e14 AS gram
+         |FROM q a JOIN q b ON a.rid = b.rid AND b.dim >= a.dim
+         |GROUP BY 1, 2""".stripMargin,
     "sim_centroid_assign" ->
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, label, dim,

@@ -65,4 +65,18 @@ class RelationalSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
   }
+
+  test("profileColumns: unpivot keeps nulls; ndv/min/max/sum exact") {
+    val df = Seq(
+      (Option(1L), Option(1.5)),
+      (Option(2L), Option(1.5)),
+      (Option(3L), None: Option[Double]),
+      (None: Option[Long], Option(2.25))
+    ).toDF("k", "x")
+    val rows = Relational.profileColumns(df, Seq("k", "x"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("k") == (("k", 4L, 1L, 3L, 1.0, 3.0, 6.0)))
+    assert(rows("x") == (("x", 4L, 1L, 2L, 1.5, 2.25, 5.25)))
+  }
 }

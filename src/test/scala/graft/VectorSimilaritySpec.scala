@@ -332,4 +332,25 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(naivePlan.contains("CartesianProduct") ||
            naivePlan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("gramMatrix: upper triangle of X^T X, exact on the 1e-7 grid") {
+    val X = Seq((0L, Array(1.0f, 2.0f)),
+                (1L, Array(3.0f, -4.0f))).toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(X, "vec_id", "embedding")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // X^T X = [[1+9, 2-12], [·, 4+16]]
+    assert(g == Map((1, 1) -> ((2L, 10.0)), (1, 2) -> ((2L, -10.0)),
+                    (2, 2) -> ((2L, 20.0))))
+  }
+
+  test("gramMatrix: ragged rows contribute only the cells they reach") {
+    val X = Seq((0L, Array(1.0f, 2.0f)),
+                (1L, Array(3.0f))).toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(X, "vec_id", "embedding")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(g == Map((1, 1) -> ((2L, 10.0)), (1, 2) -> ((1L, 2.0)),
+                    (2, 2) -> ((1L, 4.0))))
+  }
 }
