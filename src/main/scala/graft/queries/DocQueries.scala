@@ -1431,6 +1431,9 @@ object DocQueries {
       UnigramLM.train(Tables.documents(s, d), "text")),
     "text_unigram_encode" -> ((s: SparkSession, d: String) =>
       UnigramLM.encodeStats(Tables.documents(s, d), "doc_id", "text")),
+    "text_wordpiece_encode" -> ((s: SparkSession, d: String) =>
+      graft.operators.WordPiece.encodeStats(Tables.documents(s, d),
+                                            "doc_id", "text")),
     "text_trigram_backoff" -> (textTrigramBackoff _),
     "pipe_ccnet_buckets"  -> (pipeCcnetBuckets _),
   )
@@ -1941,6 +1944,7 @@ object DocQueries {
     "text_bpe_encode" -> bpeEncodeSql(BpeSteps, BpeBatchK),
     "text_unigram_tokenizer" -> UnigramLM.chainSql(),
     "text_unigram_encode" -> UnigramLM.encodeSql(),
+    "text_wordpiece_encode" -> graft.operators.WordPiece.encodeSql(),
     // formula strings are the SAME Scala vals the Spark plan parses —
     // the two engines cannot drift structurally
     "doc_bm25_topk" ->

@@ -698,4 +698,49 @@ class TextDedupSpec extends SparkSpec {
     val tinyEst = Sketch.hllEstimate(64, tiny._2, tiny._5)
     assert(math.abs(tinyEst - 20) <= 4, s"linear-counting est $tinyEst")
   }
+
+  test("wordpiece: greedy segments match an independent encoder") {
+    import graft.operators.WordPiece
+    val init = Map("t" -> 1, "to" -> 2, "tok" -> 3, "toke" -> 4,
+                   "a" -> 1, "ab" -> 2)
+    val cont = Map("n" -> 1, "en" -> 2, "ken" -> 3, "e" -> 1, "b" -> 1)
+    def ref(w: String): (Long, Boolean) = {
+      var pos = 0; var np = 0L; val L = w.length
+      while (pos < L) {
+        val m = if (pos == 0) init else cont
+        (math.min(WordPiece.MaxPiece, L - pos) to 1 by -1)
+          .find(l => m.contains(w.substring(pos, pos + l))) match {
+          case Some(l) => np += 1; pos += l
+          case None => return (1L, true)
+        }
+      }
+      (np, false)
+    }
+    // "token" = toke+n; "toke" hits the end-of-word truncated lookups;
+    // "tokens" goes UNK at the trailing s; "" is the empty token
+    val words = Seq("token", "toke", "ab", "abe", "t", "tokens", "x", "")
+    val got = WordPiece.greedySegments(
+        words.map(w => (w, 1L)).toDF("word", "cnt"), init, cont, 6)
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == words.map(w => w -> ref(w)).toMap)
+    assert(got("token") == ((2L, false)) && got("tokens") == ((1L, true)))
+  }
+
+  test("wordpiece encode: train-even/encode-odd stats, UNK fires") {
+    import graft.operators.WordPiece
+    val corpus = Seq(
+      (0L, "abc abd a"), (2L, "abc"),          // train slice
+      (1L, "abc abq z a"), (3L, "abd abd")     // encode slice
+    ).toDF("doc_id", "text")
+    // tiny corpus → every train substring is in the top-160 vocab, so
+    // greedy = longest train-substring match: "abc"→abc, "abq"→ab then
+    // q unseen → UNK, "z"→UNK, "a"→a, "abd"→abd
+    val got = WordPiece.encodeStats(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got == Map(
+      1L -> ((1L, 4L, 4L, 2L, 8L, 500L)),
+      3L -> ((3L, 2L, 2L, 0L, 6L, 333L))))
+  }
 }
