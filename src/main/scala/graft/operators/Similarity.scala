@@ -637,13 +637,20 @@ object Similarity {
     * join carries at most (partitions × d²) partial rows regardless of
     * corpus size. No broadcast, no cartesian; output is d(d+1)/2 rows.
     */
-  def gramMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val q = PlanCache.reuse(
+  /** The 1e-7-grid exploded component frame shared by [[gramState]]
+    * and [[corrMatrix]]'s per-dim sums (PlanCache sameResult dedup). */
+  private def qGrid(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    PlanCache.reuse(
       df.select(col(idCol).as("rid"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .select(col("rid"), (col("pos") + 1).as("dim"),
           round(col("x").cast("double") * lit(1e7)).cast("long").as("qv")))
+
+  /** Integer Gram state: (dim_i ≤ dim_j, n_terms, gq) with gq the
+    * exact DECIMAL(38,0) Σ qvᵢ·qvⱼ on the grid² scale. */
+  def gramState(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = qGrid(df, idCol, vecCol)
     val a = q.select(col("rid"), col("dim").as("dim_i"), col("qv").as("qi"))
     val b = q.select(col("rid"), col("dim").as("dim_j"), col("qv").as("qj"))
     a.join(b, Seq("rid"))
@@ -651,7 +658,49 @@ object Similarity {
       .groupBy(col("dim_i"), col("dim_j"))
       .agg(count(lit(1)).as("n_terms"),
            sum(col("qi").cast(dec38) * col("qj")).as("gq"))
+  }
+
+  def gramMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    gramState(df, idCol, vecCol)
       .select(col("dim_i"), col("dim_j"), col("n_terms"),
               (col("gq").cast("double") / lit(1e14)).as("gram"))
+
+  /** Pearson correlation per dimension pair (dim_i < dim_j) — the
+    * feature-correlation audit, derived from the SAME integer moments
+    * as [[gramMatrix]]: corr = (n·Sij − Si·Sj) / √((n·Sii − Si²)(n·Sjj
+    * − Sj²)) with every S an exact grid sum (the 1e-7 grid factors
+    * cancel in the ratio). The moments cross into doubles through the
+    * correctly-rounded decimal→double cast and the final arithmetic is
+    * identical IEEE ops on bit-identical inputs on both engines;
+    * zero-variance dims guard to 0. Requires fixed-width vectors (the
+    * per-cell n is the cell's own term count).
+    *
+    * Scale shape: the pair moments are [[gramState]]'s GEMM; the
+    * per-dim frame is d rows (broadcast), so everything after the one
+    * Gram aggregation is dimension-bound. */
+  def corrMatrix(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = PlanCache.reuse(gramState(df, idCol, vecCol))
+    val s = qGrid(df, idCol, vecCol)
+      .groupBy(col("dim")).agg(sum(col("qv").cast(dec38)).as("sd"))
+    val diag = st.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dim"), col("gq").as("ssd"))
+    val dstats = s.join(diag, Seq("dim"))
+      .select(col("dim"), col("sd").cast("double").as("sv"),
+              col("ssd").cast("double").as("ssv"))
+    val di = dstats.select(col("dim").as("dim_i"), col("sv").as("si"),
+                           col("ssv").as("ssi"))
+    val dj = dstats.select(col("dim").as("dim_j"), col("sv").as("sj"),
+                           col("ssv").as("ssj"))
+    val n = col("n_terms").cast("double")
+    val den = (n * col("ssi") - col("si") * col("si")) *
+              (n * col("ssj") - col("sj") * col("sj"))
+    st.filter(col("dim_i") < col("dim_j"))
+      .join(broadcast(di), Seq("dim_i"))
+      .join(broadcast(dj), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("n_terms"),
+        when(den > 0,
+          (n * col("gq").cast("double") - col("si") * col("sj")) / sqrt(den))
+          .otherwise(lit(0.0)).as("corr"))
   }
 }

@@ -179,6 +179,12 @@ object VectorQueries {
   def simGramMatrix(s: SparkSession, dir: String): DataFrame =
     Similarity.gramMatrix(Tables.embeddings(s, dir), "vec_id", "embedding")
 
+  /** Pearson correlation per dimension pair (see
+    * [[Similarity.corrMatrix]]) — the feature-correlation audit over
+    * the same integer moments as the Gram row (PlanCache-shared). */
+  def simCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    Similarity.corrMatrix(Tables.embeddings(s, dir), "vec_id", "embedding")
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -518,6 +524,7 @@ object VectorQueries {
     "sim_mean_pool"     -> (simMeanPool _),
     "sim_centroid_assign" -> (simCentroidAssign _),
     "sim_gram_matrix"   -> (simGramMatrix _),
+    "sim_corr_matrix"   -> (simCorrMatrix _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -1091,6 +1098,33 @@ object VectorQueries {
          |  ${Canon.sqlToDouble("SUM(a.qv * b.qv)")} / 1e14 AS gram
          |FROM q a JOIN q b ON a.rid = b.rid AND b.dim >= a.dim
          |GROUP BY 1, 2""".stripMargin,
+    "sim_corr_matrix" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS rid, dim,
+         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000) AS BIGINT) AS qv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim)),
+         |st AS MATERIALIZED (
+         |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    ${Canon.sqlToDouble("SUM(a.qv * b.qv)")} AS gqd
+         |  FROM q a JOIN q b ON a.rid = b.rid AND b.dim >= a.dim
+         |  GROUP BY 1, 2),
+         |ds AS MATERIALIZED (
+         |  SELECT s.dim, ${Canon.sqlToDouble("SUM(s.qv)")} AS sv, dg.ssv
+         |  FROM q s JOIN (SELECT dim_i AS dim, gqd AS ssv FROM st
+         |                 WHERE dim_i = dim_j) dg USING (dim)
+         |  GROUP BY s.dim, dg.ssv)
+         |SELECT st.dim_i, st.dim_j, st.n_terms,
+         |  CASE WHEN (CAST(st.n_terms AS DOUBLE) * di.ssv - di.sv * di.sv) *
+         |            (CAST(st.n_terms AS DOUBLE) * dj.ssv - dj.sv * dj.sv) > 0
+         |       THEN (CAST(st.n_terms AS DOUBLE) * st.gqd - di.sv * dj.sv) /
+         |            sqrt((CAST(st.n_terms AS DOUBLE) * di.ssv - di.sv * di.sv) *
+         |                 (CAST(st.n_terms AS DOUBLE) * dj.ssv - dj.sv * dj.sv))
+         |       ELSE 0.0 END AS corr
+         |FROM st JOIN ds di ON di.dim = st.dim_i
+         |        JOIN ds dj ON dj.dim = st.dim_j
+         |WHERE st.dim_i < st.dim_j""".stripMargin,
     "sim_centroid_assign" ->
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, label, dim,

@@ -344,6 +344,22 @@ class VectorSimilaritySpec extends SparkSpec {
                     (2, 2) -> ((2L, 20.0))))
   }
 
+  test("corrMatrix: linear/anti-linear/constant dims; zero-variance guard") {
+    // d2 = 2·d1, d3 = −d1, d4 constant
+    val X = Seq((0L, Array(1.0f, 2.0f, -1.0f, 5.0f)),
+                (1L, Array(2.0f, 4.0f, -2.0f, 5.0f)),
+                (2L, Array(3.0f, 6.0f, -3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.corrMatrix(X, "vec_id", "embedding")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(c.keySet == Set((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+    assert(math.abs(c((1, 2)) - 1.0) < 1e-12)
+    assert(math.abs(c((1, 3)) + 1.0) < 1e-12)
+    assert(math.abs(c((2, 3)) + 1.0) < 1e-12)
+    // zero-variance partner guards to exactly 0
+    assert(c((1, 4)) == 0.0 && c((2, 4)) == 0.0 && c((3, 4)) == 0.0)
+  }
+
   test("gramMatrix: ragged rows contribute only the cells they reach") {
     val X = Seq((0L, Array(1.0f, 2.0f)),
                 (1L, Array(3.0f))).toDF("vec_id", "embedding")
