@@ -150,4 +150,24 @@ object Multimodal {
       }
     }(Encoders.product[Frame])
   }
+
+  /** Windowed audio-energy features over a PCM sample frame
+    * (media_id, t, sample): per fixed-size window the sample count,
+    * peak |amplitude|, and integer mean square (Σs² DIV n — the RMS²
+    * an audio-quality / silence-detection gate thresholds on, kept in
+    * BIGINT so the oracle replays it exactly; callers sqrt at the
+    * edge if they want true RMS). One shuffle on (media, window) with
+    * map-side combine; sample magnitude ≤ 2¹⁵ (s16 PCM) keeps Σs²
+    * under BIGINT for any window a pipeline would use (< 2³³ samples
+    * per window).
+    */
+  def windowEnergy(samples: DataFrame, idCol: String, tCol: String,
+                   sCol: String, window: Int): DataFrame =
+    samples
+      .groupBy(col(idCol),
+               expr(s"CAST($tCol AS BIGINT) DIV $window").as("win"))
+      .agg(count(lit(1)).as("n_samples"),
+           max(abs(col(sCol).cast("long"))).as("peak"),
+           sum(col(sCol).cast("long") * col(sCol)).as("sum_sq"))
+      .withColumn("mean_sq", expr("sum_sq DIV n_samples"))
 }

@@ -208,6 +208,30 @@ object MediaQueries {
            sum(col("chk") % lit(1000003L)).as("chk"))
   }
 
+  /** Synthetic-PCM length and RMS window for [[mmAudioEnergy]]. */
+  val AudioSamples = 1024
+  val AudioWindow = 256
+
+  /** Windowed audio energy over an in-plan manufactured s16 PCM track
+    * per document (the [[RasterQueries.tiffBlobCorpus]] precedent: no
+    * audio fixtures exist, so the waveform derives from pure integer
+    * arithmetic over (doc_id, t) and the oracle replays the formula) —
+    * the silence-detection / loudness-gate shape of an audio pipeline:
+    * [[Multimodal.windowEnergy]] emits per-window sample count, peak
+    * |amplitude|, and integer mean square. The sample fan-out rides
+    * `crossJoin(broadcast(range))` (round-5 gotcha: one codegen copy,
+    * n× rows — never an in-plan union) and the one shuffle is the
+    * (media, window) aggregation with map-side combine. */
+  def mmAudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    val ts = s.range(AudioSamples).select(col("id").as("t"))
+    val pcm = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(ts))
+      .select(col("doc_id"), col("t"),
+        (pmod(col("doc_id") * 7349 + col("t") * 131, lit(4096)) - 2048)
+          .as("s"))
+    Multimodal.windowEnergy(pcm, "doc_id", "t", "s", AudioWindow)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),
@@ -216,11 +240,23 @@ object MediaQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_phash_pairs"     -> (mmPhashPairs _),
     "mm_phash_incr"      -> (mmPhashIncr _),
+    "mm_audio_energy"    -> (mmAudioEnergy _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_energy" ->
+      s"""SELECT doc_id, t // $AudioWindow AS win,
+         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |  CAST(MAX(abs(s)) AS BIGINT) AS peak,
+         |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         |  CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS mean_sq
+         |FROM (SELECT doc_id, t,
+         |        (doc_id * 7349 + t * 131) % 4096 - 2048 AS s
+         |      FROM documents
+         |      CROSS JOIN (SELECT unnest(range(0, $AudioSamples)) AS t))
+         |GROUP BY 1, 2""".stripMargin,
     "mm_modality_mix" ->
       s"""SELECT COALESCE(source, '(no_text)') AS source,
          |COUNT(*) AS n_records,

@@ -69,4 +69,20 @@ class MultimodalSpec extends SparkSpec {
     val bytes = Array[Byte](1, 2, 3, -1)
     assert(Multimodal.FakeCodec.decode(bytes).toSeq == bytes.toSeq)
   }
+
+  test("windowEnergy: exact integer windows, ragged tail, negative peaks") {
+    import spark.implicits._
+    // media 1: samples 3, -4, 2, 2, -5 with window 2 → ragged last window
+    val pcm = Seq((1L, 0L, 3L), (1L, 1L, -4L), (1L, 2L, 2L),
+                  (1L, 3L, 2L), (1L, 4L, -5L),
+                  (2L, 0L, 0L), (2L, 1L, 0L)).toDF("m", "t", "s")
+    val got = Multimodal.windowEnergy(pcm, "m", "t", "s", 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toSet
+    assert(got.toMap == Map(
+      (1L, 0L) -> ((2L, 4L, 25L, 12L)),   // 9+16=25, 25 DIV 2 = 12
+      (1L, 1L) -> ((2L, 2L, 8L, 4L)),
+      (1L, 2L) -> ((1L, 5L, 25L, 25L)),   // ragged tail window
+      (2L, 0L) -> ((2L, 0L, 0L, 0L))))    // digital silence
+  }
 }

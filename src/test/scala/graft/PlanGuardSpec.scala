@@ -48,6 +48,7 @@ class PlanGuardSpec extends SparkSpec {
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars
     "rel_kmv_intersect",      // year-flag pair table (7 rows) + sketch
     "rel_modularity",         // undirected-edge-count m 1-row broadcast
+    "mm_audio_energy",        // 1024-row PCM sample-index broadcast fan-out
     "pipe_weighted_sample",   // total-weight 1-row broadcast
     "text_lang_confusion",    // total-count scalar share
     "sim_recall_eval", "sim_ivf_recall", "sim_ivfpq_recall", // k scalars
