@@ -19,21 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Triangle census of an undirected simple graph given as (a, b) edge
-    * rows (self-loops and duplicate/reversed edges tolerated — the edge
-    * set is canonicalized first). Returns one row:
-    * n_vertices, n_edges, n_wedges, n_triangles. */
-  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = PlanCache.reuse(edges
+  /** Canonical undirected simple edge set as (u < v) rows — self-loops
+    * and duplicate/reversed edges removed, materialized once (consumed
+    * by 2+ subtrees in every caller). */
+  private def canonEdges(edges: DataFrame, aCol: String,
+                         bCol: String): DataFrame =
+    PlanCache.reuse(edges
       .select(least(col(aCol), col(bCol)).as("u"),
               greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+
+  /** Per-vertex degree of a [[canonEdges]] frame: (x, deg). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-    // orient u→v iff (deg, id) of u precedes (deg, id) of v — a total
-    // order, so exactly one direction survives per edge
-    val oriented = PlanCache.reuse(e
+
+  /** Degree orientation: u→v iff (deg, id) of u precedes (deg, id) of
+    * v — a total order, so exactly one direction survives per edge and
+    * every vertex's out-degree is O(√|E|) (see object scaladoc). */
+  private def orient(e: DataFrame, deg: DataFrame): DataFrame =
+    PlanCache.reuse(e
       .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
@@ -43,6 +49,10 @@ object Graphs {
           .otherwise(struct(col("v").as("src"), col("u").as("dst")))
           .as("o"))
       .select(col("o.src"), col("o.dst")))
+
+  /** Each triangle exactly once as (c1, c2, c3) — c1 the wedge corner
+    * (minimum under the orientation order), c2 < c3 its out-neighbors. */
+  private def triangleRows(oriented: DataFrame): DataFrame = {
     // wedges at the oriented source; dst pair ordered by id so each
     // unordered out-neighbor pair appears once
     val wedges = oriented.select(col("src"), col("dst").as("w1"))
@@ -52,9 +62,18 @@ object Graphs {
     val closing = oriented
       .select(least(col("src"), col("dst")).as("cu"),
               greatest(col("src"), col("dst")).as("cv"))
-    val triangles = wedges
-      .join(closing, col("w1") === col("cu") && col("w2") === col("cv"))
-    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    wedges.join(closing, col("w1") === col("cu") && col("w2") === col("cv"))
+      .select(col("src").as("c1"), col("w1").as("c2"), col("w2").as("c3"))
+  }
+
+  /** Triangle census of an undirected simple graph given as (a, b) edge
+    * rows (self-loops and duplicate/reversed edges tolerated — the edge
+    * set is canonicalized first). Returns one row:
+    * n_vertices, n_edges, n_wedges, n_triangles. */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonEdges(edges, aCol, bCol)
+    val deg = degrees(e)
+    val nTri = triangleRows(orient(e, deg)).agg(count(lit(1)).as("n_triangles"))
     val nWedge = deg.agg(
       sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"),
       count(lit(1)).as("n_vertices"))
@@ -710,5 +729,78 @@ object Graphs {
               coalesce(col("l_in"), lit(0L)).as("l_in"), col("d_sum"),
               (lit(4L) * col("m") * coalesce(col("l_in"), lit(0L)) -
                col("d_sum") * col("d_sum")).as("q_term"))
+  }
+
+  /** Per-vertex local clustering coefficient (Watts-Strogatz): the
+    * fraction of a vertex's neighbor pairs that are themselves adjacent,
+    * emitted as the exact scaled integer
+    * `lcc_ppm = 2·n_tri·10⁶ DIV (deg·(deg−1))` (0 for deg < 2) so no
+    * float division enters compared columns. The cohesion audit behind
+    * "is this node's neighborhood a community or a hub's spokes".
+    *
+    * Scale shape: triangles are enumerated ONCE via the same
+    * degree-oriented wedge join as [[triangleCensus]] (per-vertex
+    * fan-out O(√|E|), skew-safe); each triangle then fans out exactly 3
+    * corner rows into one map-side-combined count, and the final
+    * degree⋈triangle join is co-partitioned on the vertex id. Width:
+    * 2·n_tri·10⁶ needs n_tri < 4.6·10¹² per vertex (deg ≲ 3·10⁶) —
+    * far above any real neighborhood. */
+  def localClustering(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = canonEdges(edges, aCol, bCol)
+    val deg = degrees(e)
+    val tri = triangleRows(orient(e, deg))
+    val perVertex = tri.select(col("c1").as("x"))
+      .unionAll(tri.select(col("c2").as("x")))
+      .unionAll(tri.select(col("c3").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("x"), "left")
+      .withColumn("nt", coalesce(col("n_tri"), lit(0L)))
+      .select(col("x").as("node"), col("deg"), col("nt").as("n_tri"),
+              when(col("deg") >= 2,
+                   expr("2 * nt * 1000000 DIV (deg * (deg - 1))"))
+                .otherwise(lit(0L)).as("lcc_ppm"))
+  }
+
+  /** Common-neighbor link prediction: for every non-adjacent vertex
+    * pair at distance 2, the number of shared neighbors and the exact
+    * neighborhood-Jaccard `cn·10⁶ DIV (deg_u + deg_v − cn)`; the top-k
+    * candidate edges under the full deterministic
+    * (n_common, jaccard, u, v) order. The "which parts co-purchase
+    * next" / entity-resolution-candidate shape.
+    *
+    * Scale shape: distance-2 pairs are generated by self-joining the
+    * symmetric adjacency on the CENTER vertex, so per-center fan-out is
+    * deg² — unbounded at a hub. Centers with deg > `maxCenterDeg` are
+    * excluded from pair GENERATION (their endpoints keep their full
+    * degree for the Jaccard denominator): the standard hub cap — a
+    * shared celebrity neighbor carries ~no link signal (the same reason
+    * Adamic-Adar downweights by 1/log deg), and it bounds the wedge
+    * shuffle at maxCenterDeg²·|hubs| instead of Σdeg². The cap is part
+    * of the operator's contract and mirrored in the oracle. Top-k is a
+    * TakeOrdered (per-partition heads + driver merge), never a global
+    * sort. */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+                  maxCenterDeg: Long = 128L, topK: Int = 50): DataFrame = {
+    val e = canonEdges(edges, aCol, bCol)
+    val deg = PlanCache.reuse(degrees(e))
+    val sym = e.select(col("u").as("ctr"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("ctr"), col("u").as("nb")))
+    val capped = sym.join(deg.select(col("x").as("ctr"), col("deg")), Seq("ctr"))
+      .filter(col("deg") <= maxCenterDeg)
+      .select(col("ctr"), col("nb"))
+    val cand = capped.select(col("ctr"), col("nb").as("u"))
+      .join(capped.select(col("ctr"), col("nb").as("v")), Seq("ctr"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+      .join(e, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("x").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"),
+              expr("n_common * 1000000 DIV (deg_u + deg_v - n_common)")
+                .as("jaccard_ppm"))
+      .orderBy(col("n_common").desc, col("jaccard_ppm").desc,
+               col("u").asc, col("v").asc)
+      .limit(topK)
   }
 }

@@ -1016,6 +1016,34 @@ object DocQueries {
       "(CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * " +
       "CAST(n_docs AS DOUBLE)) / CAST(sdl AS DOUBLE)))) AS BIGINT)"
 
+  /** The [[bm25Scored]] oracle twin: CTE chain (no WITH keyword) ending
+    * in `scored(query_id, doc_id, score6, n_terms_hit)` — shared by the
+    * doc_bm25_topk oracle and the sim_rrf_fusion oracle so the two SQL
+    * replays cannot drift from one another. */
+  private[queries] val bm25ScoredCte: String =
+    s"""d AS MATERIALIZED (SELECT doc_id, $wordsSql AS toks,
+       |    CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
+       |tf AS MATERIALIZED (SELECT doc_id, dl, term,
+       |    CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1),
+       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |           CAST(SUM(dl) AS BIGINT) AS sdl FROM d),
+       |q AS (SELECT doc_id AS query_id,
+       |        unnest(list_distinct(toks[1:4])) AS term
+       |      FROM d WHERE doc_id % 50 = 0),
+       |joined AS (SELECT query_id, tf.doc_id, tf.tf, tf.dl, dfq.df,
+       |             consts.n_docs, consts.sdl
+       |           FROM q JOIN tf USING (term) JOIN dfq USING (term)
+       |           CROSS JOIN consts),
+       |w6 AS (SELECT *, $bm25Idf6 AS idf6 FROM joined),
+       |scored AS (SELECT query_id, doc_id,
+       |    CAST(SUM($bm25C6) AS BIGINT) AS score6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |  FROM w6 GROUP BY 1, 2)""".stripMargin
+
   /** BM25 top-k retrieval — the benchmark-contamination search shape:
     * every doc_id % 50 == 0 document's first 4 distinct tokens form a
     * "benchmark query", and the corpus is ranked against each by BM25
@@ -1028,7 +1056,18 @@ object DocQueries {
     * is an inverted-index probe that touches only matching terms'
     * postings; corpus constants (N, Σdl) are a 1-row broadcast. Top-k
     * is a per-query window over the scored candidates only. */
-  def docBm25TopK(s: SparkSession, dir: String): DataFrame = {
+  def docBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(bm25Scored(s, dir), Seq("query_id"),
+        Seq(col("score6").desc, col("doc_id").asc), 5, "rank")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("doc_id"), col("n_terms_hit"), col("score6"))
+
+  /** The [[docBm25TopK]] pipeline up through the per-(query, doc) BM25
+    * score — shared with the hybrid-fusion row
+    * ([[VectorQueries.simRrfFusion]]), which re-ranks the same scored
+    * frame at a deeper k. Returns (query_id, doc_id, score6,
+    * n_terms_hit). */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val docs = PlanCache.reuse(
       Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
@@ -1042,7 +1081,7 @@ object DocQueries {
     val queries = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"),
               explode(array_distinct(slice(col("toks"), 1, 4))).as("term"))
-    val scored = queries
+    queries
       .join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(consts))
@@ -1050,10 +1089,6 @@ object DocQueries {
       .withColumn("c6", expr(bm25C6))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_terms_hit"))
-    graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("score6").desc, col("doc_id").asc), 5, "rank")
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-              col("doc_id"), col("n_terms_hit"), col("score6"))
   }
 
   /** Duplicate clusters: connected components over the ≥0.5-Jaccard pair
@@ -1948,28 +1983,7 @@ object DocQueries {
     // formula strings are the SAME Scala vals the Spark plan parses —
     // the two engines cannot drift structurally
     "doc_bm25_topk" ->
-      s"""WITH d AS MATERIALIZED (SELECT doc_id, $wordsSql AS toks,
-         |    CAST(len($wordsSql) AS BIGINT) AS dl FROM documents),
-         |tf AS MATERIALIZED (SELECT doc_id, dl, term,
-         |    CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
-         |  GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY 1),
-         |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |           CAST(SUM(dl) AS BIGINT) AS sdl FROM d),
-         |q AS (SELECT doc_id AS query_id,
-         |        unnest(list_distinct(toks[1:4])) AS term
-         |      FROM d WHERE doc_id % 50 = 0),
-         |joined AS (SELECT query_id, tf.doc_id, tf.tf, tf.dl, dfq.df,
-         |             consts.n_docs, consts.sdl
-         |           FROM q JOIN tf USING (term) JOIN dfq USING (term)
-         |           CROSS JOIN consts),
-         |w6 AS (SELECT *, $bm25Idf6 AS idf6 FROM joined),
-         |scored AS (SELECT query_id, doc_id,
-         |    CAST(SUM($bm25C6) AS BIGINT) AS score6,
-         |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-         |  FROM w6 GROUP BY 1, 2)
+      s"""WITH $bm25ScoredCte
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
          |  n_terms_hit, score6
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -439,18 +439,38 @@ object RelationalQueries {
     * a DISTINCT (part, day, supplier) projection on its (part, day) key —
     * bounded per-key fan-out, then the census's orientation bounds the
     * wedge join. Integer-only output. */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    Graphs.triangleCensus(coShipEdges(s, dir), "sa", "sb")
+
+  /** The [[triangleCount]] supplier co-shipping edge list: suppliers
+    * adjacent when they ship the same part on the same day. */
+  private def coShipEdges(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_shipdate"), col("l_suppkey")).distinct()
-    val edges = ps
-      .select(col("l_partkey"), col("l_shipdate"), col("l_suppkey").as("sa"))
+    ps.select(col("l_partkey"), col("l_shipdate"), col("l_suppkey").as("sa"))
       .join(ps.select(col("l_partkey"), col("l_shipdate"),
                       col("l_suppkey").as("sb")),
             Seq("l_partkey", "l_shipdate"))
       .filter(col("sa") < col("sb"))
       .select(col("sa"), col("sb"))
-    graft.operators.Graphs.triangleCensus(edges, "sa", "sb")
   }
+
+  /** Per-vertex local clustering coefficient of the same supplier
+    * co-shipping graph as [[triangleCount]] — which suppliers sit in
+    * tightly-knit shipping cliques vs star hubs
+    * ([[graft.operators.Graphs.localClustering]]: degree-oriented
+    * triangle enumeration, 3-corner fan-out, one co-partitioned join;
+    * every compared column an exact BIGINT). */
+  def relClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    Graphs.localClustering(coShipEdges(s, dir), "sa", "sb")
+
+  /** Common-neighbor link prediction over the [[relKCore]] co-purchase
+    * graph — the top-50 part pairs never co-ordered but sharing the
+    * most co-purchase neighbors ([[graft.operators.Graphs.linkPredict]]:
+    * hub-capped wedge generation, full-degree Jaccard denominators,
+    * exact scaled-integer scores, TakeOrdered top-k). */
+  def relLinkPredict(s: SparkSession, dir: String): DataFrame =
+    Graphs.linkPredict(coPurchaseEdges(s, dir), "a", "b")
 
   /** NULL-semantics suite (the fixtures ship no NULLs, so they are
     * manufactured with nullif): COUNT skips NULLs, AVG ignores them,
@@ -989,6 +1009,8 @@ object RelationalQueries {
     "rel_kcore"             -> (relKCore _),
     "rel_label_prop"        -> (relLabelProp _),
     "rel_modularity"        -> (relModularity _),
+    "rel_clustering_coeff"  -> (relClusteringCoeff _),
+    "rel_link_predict"      -> (relLinkPredict _),
     "rel_profile_columns"   -> (relProfileColumns _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
@@ -1270,6 +1292,62 @@ object RelationalQueries {
     "rel_kcore" -> kCoreSql,
     "rel_label_prop" -> labelPropSql,
     "rel_modularity" -> modularitySql,
+    "rel_clustering_coeff" ->
+      s"""WITH ps AS (
+         |  SELECT DISTINCT l_partkey, l_shipdate, l_suppkey FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+         |  FROM ps a JOIN ps b
+         |  ON a.l_partkey = b.l_partkey AND a.l_shipdate = b.l_shipdate
+         |  WHERE a.l_suppkey < b.l_suppkey),
+         |deg AS MATERIALIZED (
+         |  SELECT x, COUNT(*) AS d FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+         |  GROUP BY 1),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tc AS (
+         |  SELECT x, COUNT(*) AS nt FROM (
+         |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT deg.x AS node, CAST(d AS BIGINT) AS deg,
+         |  CAST(COALESCE(nt, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d >= 2
+         |       THEN 2 * COALESCE(nt, 0) * 1000000 // (d * (d - 1))
+         |       ELSE 0 END AS BIGINT) AS lcc_ppm
+         |FROM deg LEFT JOIN tc ON deg.x = tc.x""".stripMargin,
+    "rel_link_predict" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+         |  FROM lineitem l1 JOIN lineitem l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |  WHERE l1.l_partkey < l2.l_partkey
+         |    AND l1.l_quantity > 40 AND l2.l_quantity > 40),
+         |sym AS MATERIALIZED (
+         |  SELECT u AS ctr, v AS nb FROM base
+         |  UNION ALL SELECT v, u FROM base),
+         |deg AS MATERIALIZED (
+         |  SELECT ctr AS x, COUNT(*) AS d FROM sym GROUP BY 1),
+         |capped AS MATERIALIZED (
+         |  SELECT s.ctr, s.nb FROM sym s JOIN deg ON s.ctr = deg.x
+         |  WHERE deg.d <= 128),
+         |cn AS (
+         |  SELECT s1.nb AS u, s2.nb AS v, COUNT(*) AS n_common
+         |  FROM capped s1 JOIN capped s2 ON s1.ctr = s2.ctr
+         |  WHERE s1.nb < s2.nb GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT cn.u, cn.v, cn.n_common FROM cn
+         |  LEFT JOIN base ON cn.u = base.u AND cn.v = base.v
+         |  WHERE base.u IS NULL)
+         |SELECT c.u, c.v, CAST(c.n_common AS BIGINT) AS n_common,
+         |  CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+         |  CAST(c.n_common * 1000000 // (du.d + dv.d - c.n_common)
+         |       AS BIGINT) AS jaccard_ppm
+         |FROM cand c JOIN deg du ON c.u = du.x JOIN deg dv ON c.v = dv.x
+         |ORDER BY n_common DESC, jaccard_ppm DESC, c.u, c.v
+         |LIMIT 50""".stripMargin,
     "rel_profile_columns" -> {
       val branches = ProfiledCols.map(c =>
         s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")

@@ -67,6 +67,50 @@ object VectorQueries {
                               queryPred, 5)
   }
 
+  /** Reciprocal-rank fusion of lexical (BM25) and dense (exact cosine)
+    * retrieval — the standard hybrid-search ranker (Cormack et al. 2009):
+    * each system contributes `10⁶ DIV (60 + rank)` for its top-20, the
+    * fused top-5 per query is ranked by the summed integer score. Query
+    * set = the BM25 row's doc_id % 50 eval stand-in (doc_id ≡ vec_id in
+    * the fixtures); self-hits are excluded on BOTH sides so the two
+    * systems rank the same retrieval problem.
+    *
+    * Scale shape: the lexical side re-ranks the SAME scored frame as
+    * `doc_bm25_topk` (PlanCache-shared tf/doc chain — one corpus
+    * shuffle, inverted-index probe); the dense side is the brute
+    * ground-truth broadcast (eval queries are broadcast-sized; swap in
+    * the IVF probe for production k); fusion itself touches only
+    * 2·k·|queries| rows — a full-outer join on (query, doc) plus one
+    * per-query window, independent of corpus size. RRF needs no score
+    * calibration between systems (rank-only), which is exactly why it
+    * is the default hybrid combiner. */
+  def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val deepK = 20
+    val lex = graft.operators.Relational.topKPerGroup(
+        DocQueries.bm25Scored(s, dir).filter(col("doc_id") =!= col("query_id")),
+        Seq("query_id"), Seq(col("score6").desc, col("doc_id").asc),
+        deepK, "lex_rank")
+      .select(col("query_id"), col("doc_id"),
+              col("lex_rank").cast("long").as("rank_lex"))
+    val dense = Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") % 50 === 0, deepK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+              col("rank").cast("long").as("rank_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+              coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+              coalesce(col("rank_dense"), lit(0L)).as("rank_dense"))
+      .withColumn("rrf6",
+        expr("CASE WHEN rank_lex > 0 THEN 1000000 DIV (60 + rank_lex) " +
+             "ELSE 0 END + CASE WHEN rank_dense > 0 THEN " +
+             "1000000 DIV (60 + rank_dense) ELSE 0 END"))
+    graft.operators.Relational.topKPerGroup(fused, Seq("query_id"),
+        Seq(col("rrf6").desc, col("doc_id").asc), 5, "fused_rank")
+      .select(col("query_id"), col("fused_rank").cast("long").as("fused_rank"),
+              col("doc_id"), col("rank_lex"), col("rank_dense"), col("rrf6"))
+  }
+
   /** LSH-blocked approximate top-3 (8 sign planes, deterministic). */
   def simTopKLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -530,6 +574,7 @@ object VectorQueries {
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
     "sim_ivfpq_recall"  -> (simIvfPqRecall _),
     "sim_topk_brute"    -> (simTopKBrute _),
+    "sim_rrf_fusion"    -> (simRrfFusion _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_lsh_multiprobe" -> (simTopKLshMultiprobe _),
     "sim_multiprobe_recall"   -> (simMultiprobeRecall _),
@@ -1188,6 +1233,49 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "sim_rrf_fusion" ->
+      s"""WITH ${DocQueries.bm25ScoredCte},
+         |$embnCte,
+         |lex AS (
+         |  SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |        PARTITION BY query_id
+         |        ORDER BY score6 DESC, doc_id ASC) AS lex_rank
+         |    FROM scored WHERE doc_id <> query_id)
+         |  WHERE lex_rank <= 20),
+         |dq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+         |       FROM embn WHERE vec_id % 50 = 0),
+         |dscored AS (
+         |  SELECT dq.query_id, e.vec_id AS doc_id,
+         |         ${sqlCosN(sqlDot("dq.qv", "e.embedding"),
+                             "dq.qnrm", "e.nrm")} AS cosine
+         |  FROM embn e, dq WHERE e.vec_id <> dq.query_id),
+         |dense AS (
+         |  SELECT query_id, doc_id, drank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |        PARTITION BY query_id
+         |        ORDER BY cosine DESC, doc_id ASC) AS drank
+         |    FROM dscored)
+         |  WHERE drank <= 20),
+         |fused AS (
+         |  SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+         |         COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |         CAST(COALESCE(lex.lex_rank, 0) AS BIGINT) AS rank_lex,
+         |         CAST(COALESCE(dense.drank, 0) AS BIGINT) AS rank_dense
+         |  FROM lex FULL OUTER JOIN dense
+         |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+         |sc AS (
+         |  SELECT *, CAST(
+         |    CASE WHEN rank_lex > 0 THEN 1000000 // (60 + rank_lex)
+         |         ELSE 0 END +
+         |    CASE WHEN rank_dense > 0 THEN 1000000 // (60 + rank_dense)
+         |         ELSE 0 END AS BIGINT) AS rrf6
+         |  FROM fused)
+         |SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+         |  rank_lex, rank_dense, rrf6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf6 DESC, doc_id ASC) AS fused_rank FROM sc)
+         |WHERE fused_rank <= 5""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             ${sqlBucket("embedding", 8)} AS bucket,

@@ -37,6 +37,70 @@ class GraphsSpec extends SparkSpec {
     assert(census(g) == ((4L, 4L, 5L, 1L)))
   }
 
+  private def lcc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graphs.localClustering(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> ((d, t, c)) }.toMap
+
+  test("local clustering: triangle with a pendant") {
+    // 1-2-3 closed, 4 hangs off 1: lcc(1) = 1/C(3,2) = 1/3,
+    // lcc(2) = lcc(3) = 1, pendant deg 1 → 0 by convention
+    val m = lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(m(1L) == ((3L, 1L, 333333L)))
+    assert(m(2L) == ((2L, 1L, 1000000L)))
+    assert(m(3L) == ((2L, 1L, 1000000L)))
+    assert(m(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("local clustering: K4 is all-ones, star center is zero") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(lcc(k4).values.forall(_ == ((3L, 3L, 1000000L))))
+    val star = (2L to 5L).map(i => (1L, i))
+    assert(lcc(star)(1L) == ((4L, 0L, 0L)))
+  }
+
+  test("local clustering: sum of per-vertex triangles is 3x the census") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+                (1L, 5L))
+    val nTri = census(g)._4
+    assert(lcc(g).values.map(_._2).sum == 3 * nTri)
+  }
+
+  private def predict(edges: Seq[(Long, Long)], cap: Long = 128L) =
+    Graphs.linkPredict(edges.toDF("a", "b"), "a", "b", maxCenterDeg = cap)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("link predict: path endpoints share the middle, adjacents excluded") {
+    // path 1-2-3: only candidate is (1,3) via center 2; jaccard
+    // 1/(1+1-1) = 1. The existing edges never appear.
+    assert(predict(Seq((1L, 2L), (2L, 3L))) ==
+           Seq((1L, 3L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("link predict: square ranks diagonals by common-neighbor count") {
+    // 4-cycle 1-2-3-4: diagonals (1,3) and (2,4) each have 2 common
+    // neighbors, jaccard 2/(2+2-2) = 1
+    val r = predict(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(r.toSet == Set((1L, 3L, 2L, 2L, 2L, 1000000L),
+                          (2L, 4L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("link predict: hub cap removes hub-mediated candidates only") {
+    // star center 1 with leaves 2..5 plus edge 2-3: with the cap below
+    // deg(1)=4 the only remaining centers are 2 and 3 (deg 2), whose
+    // wedges propose (1,3)? no — (1,3) is adjacent; wedge at 2 gives
+    // (1,3) adjacent, at 3 gives (1,2) adjacent → no candidates at all
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+    assert(predict(g, cap = 3L).isEmpty)
+    // uncapped: leaves pair through the hub; (2,3) is adjacent so 5
+    // remaining leaf pairs, each cn=1; e.g. (4,5): jaccard 1/(1+1-1)
+    val full = predict(g)
+    assert(full.size == 5 && !full.exists(r => r._1 == 2L && r._2 == 3L))
+    assert(full.contains((4L, 5L, 1L, 1L, 1L, 1000000L)))
+    // deg_u/deg_v stay FULL degrees under the cap: 2-3 edge removed →
+    // (2,3) becomes a candidate through center 1 only when uncapped
+  }
+
   private def ranks(edges: Seq[(String, String, Long)],
                     iters: Int): Map[String, Long] =
     Graphs.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)

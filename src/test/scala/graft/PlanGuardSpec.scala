@@ -43,6 +43,8 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_exact_rows",       // corpus-count scalar
     "doc_tfidf_top_terms",    // corpus-N 1-row cross join
     "doc_bm25_topk",          // corpus (N, sum dl) 1-row cross join
+    "sim_rrf_fusion",         // same bm25 1-row consts + brute dense
+                              //   eval-query broadcast (bounded)
     "doc_assoc_pairs",        // corpus-N 1-row cross join (lift scale)
     "rel_join_size_est",      // exact-count × est-count 1-row scalars
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars

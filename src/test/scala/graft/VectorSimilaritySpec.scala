@@ -369,4 +369,30 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(g == Map((1, 1) -> ((2L, 10.0)), (1, 2) -> ((1L, 2.0)),
                     (2, 2) -> ((1L, 4.0))))
   }
+
+  test("rrf fusion: score law, no self-hits, at most 5 per query") {
+    val rows = graft.queries.VectorQueries
+      .simRrfFusion(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, frank, docId, rankLex, rankDense, rrf6) =>
+      assert(docId != qid, "self-hits excluded on both sides")
+      assert(frank >= 1L && frank <= 5L)
+      // the fused score is exactly the two reciprocal-rank terms
+      val want = (if (rankLex > 0) 1000000L / (60L + rankLex) else 0L) +
+        (if (rankDense > 0) 1000000L / (60L + rankDense) else 0L)
+      assert(rrf6 == want && rrf6 > 0L,
+             "every fused doc came from at least one system")
+      assert(rankLex >= 0L && rankLex <= 20L && rankDense >= 0L &&
+             rankDense <= 20L)
+    }
+    // within a query, fused ranks are dense 1..n and ordered by score
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to g.size.toLong))
+      assert(sorted.map(r => (-r._6, r._3)) ==
+             sorted.map(r => (-r._6, r._3)).sorted,
+             "fused order is (rrf6 desc, doc_id asc)")
+    }
+  }
 }
