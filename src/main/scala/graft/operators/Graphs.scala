@@ -803,4 +803,55 @@ object Graphs {
                col("u").asc, col("v").asc)
       .limit(topK)
   }
+
+  /** HITS hubs & authorities (Kleinberg) over a weighted digraph, as an
+    * exact integer fixed point so the scores are hash-comparable: each
+    * round computes raw authority `Σ_{u→v} hub(u)·w` and raw hub
+    * `Σ_{u→v} auth(v)·w`, then L1-normalizes each onto the `scale` grid
+    * with truncating division (`raw·scale DIV Σraw` — the integer
+    * analogue of the usual norm step, which is what keeps the recurrence
+    * from overflowing across rounds: post-normalization every score is
+    * ≤ scale).
+    *
+    * Scale shape: both half-steps are ONE map-side-combined aggregation
+    * over the edge table joined to the |V|-sized score frame; the L1
+    * total enters the plan as a 1-row broadcast cross join (PlanGuard
+    * scalar-allowlist shape), never an eager driver action. Width
+    * budget: raw ≤ scale·W (W = total edge weight) and the norm step
+    * computes raw·scale, so scale²·W < 2⁶³ — at the default scale=10⁶
+    * that is W < 9.2·10⁶; callers with heavier graphs lower `scale`
+    * (the published scores only need the grid, not the headroom).
+    * Lineage is truncated per round (`localCheckpoint`) per the
+    * iterative-DataFrame rule ([[pageRankSql]]). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    val e = PlanCache.reuse(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                   col(weightCol).cast("long").as("w")))
+    val nodes = PlanCache.reuse(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    def l1Norm(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(rawCol)).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+                expr(s"coalesce($rawCol, 0L) * $scale DIV tot").as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth = nodes.select(col("node"), lit(scale).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = hub.select(col("node").as("src"), col("hub"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("hub * w")).as("araw"))
+      auth = l1Norm(araw, "araw", "auth").localCheckpoint()
+      val hraw = auth.select(col("node").as("dst"), col("auth"))
+        .join(e, "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(expr("auth * w")).as("hraw"))
+      hub = l1Norm(hraw, "hraw", "hub").localCheckpoint()
+    }
+    auth.join(hub, "node").select(col("node"), col("auth"), col("hub"))
+  }
 }

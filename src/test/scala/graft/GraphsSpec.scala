@@ -125,6 +125,44 @@ class GraphsSpec extends SparkSpec {
     assert(r == Map("a" -> 75000000L, "b" -> 138750000L))
   }
 
+  private def hitsMap(edges: Seq[(String, String, Long)],
+                      iters: Int): Map[String, (Long, Long)] =
+    Graphs.hits(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, a, h) => n -> (a, h) }.toMap
+
+  test("hits: two sources feeding one sink — sink is the sole authority") {
+    // round 1: araw(c) = 2e6 → auth(c) = 1e6, others 0; hraw(a) =
+    // hraw(b) = 1e6, tot 2e6 → hub = 500000 each, hub(c) = 0.
+    // A fixed point: iters 1 and 2 agree exactly.
+    val star = Seq(("a", "c", 1L), ("b", "c", 1L))
+    val expect = Map("a" -> (0L, 500000L), "b" -> (0L, 500000L),
+                     "c" -> (1000000L, 0L))
+    assert(hitsMap(star, 1) == expect)
+    assert(hitsMap(star, 2) == expect)
+  }
+
+  test("hits: edge weights split hub mass proportionally") {
+    // a→c w=3, b→c w=1: auth(c) = 1e6; hraw(a) = 3e6, hraw(b) = 1e6,
+    // tot 4e6 → hub(a) = 750000, hub(b) = 250000
+    val r = hitsMap(Seq(("a", "c", 3L), ("b", "c", 1L)), 2)
+    assert(r == Map("a" -> (0L, 750000L), "b" -> (0L, 250000L),
+                    "c" -> (1000000L, 0L)))
+  }
+
+  test("hits: L1 mass stays on the scale grid minus truncation loss") {
+    // hash-derived 200-node digraph: after each round Σauth and Σhub
+    // are ≤ 1e6 and lose < |V| to truncating division
+    val edges = (1 to 600).map { i =>
+      (s"n${i % 200}", s"n${(i * 7 + 3) % 200}", (i % 5 + 1).toLong)
+    }.filter { case (u, v, _) => u != v }
+    val r = hitsMap(edges, 2)
+    val sa = r.values.map(_._1).sum
+    val sh = r.values.map(_._2).sum
+    assert(sa <= 1000000L && sa > 1000000L - r.size)
+    assert(sh <= 1000000L && sh > 1000000L - r.size)
+  }
+
   test("shortest hops: chain distances, min over paths, frontier cutoff") {
     import org.apache.spark.sql.functions.col
     def hops(edges: Seq[(String, String)], rounds: Int): Map[String, Option[Long]] =

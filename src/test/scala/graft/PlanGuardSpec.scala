@@ -50,6 +50,7 @@ class PlanGuardSpec extends SparkSpec {
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars
     "rel_kmv_intersect",      // year-flag pair table (7 rows) + sketch
     "rel_modularity",         // undirected-edge-count m 1-row broadcast
+    "evt_hits",               // L1-total 1-row broadcasts (4: 2 rounds × 2)
     "mm_audio_energy",        // 1024-row PCM sample-index broadcast fan-out
     "pipe_weighted_sample",   // total-weight 1-row broadcast
     "text_lang_confusion",    // total-count scalar share
@@ -76,6 +77,8 @@ class PlanGuardSpec extends SparkSpec {
                               //   with zero cells — the §2.3 cross-join row)
     "sim_topk_brute",         // brute-force ground-truth baseline: its
                               //   16-row query side broadcasts (bounded)
+    "sim_mmr_rerank",         // same brute first stage (16-row broadcast);
+                              //   re-rank itself is candidate-bounded
     "sim_semantic_dedup_incr",// frozen k-means centroid broadcasts (c=8)
     "sim_matryoshka_recall",  // 16-row query broadcast + truth side
     "sim_mrl_funnel",         // 16-row query broadcast, both stages

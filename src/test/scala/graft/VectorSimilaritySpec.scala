@@ -395,4 +395,44 @@ class VectorSimilaritySpec extends SparkSpec {
              "fused order is (rrf6 desc, doc_id asc)")
     }
   }
+
+  test("mmrRerank: redundancy penalty demotes the near-duplicate") {
+    // q=1: a (rel .90) and b (rel .89) are near-identical (sim 1.0);
+    // c (rel .50) is orthogonal to both. Plain relevance would pick
+    // (a, b, c); MMR picks a, then c (b's penalized score
+    // .7*.89 - .3*1.0 = .323 < c's .35), then b.
+    val cand = Seq((1L, 10L, 0.90), (1L, 11L, 0.89), (1L, 12L, 0.50))
+      .toDF("query_id", "doc_id", "rel")
+    val pairs = Seq(
+      (1L, 10L, 11L, 1.0), (1L, 11L, 10L, 1.0),
+      (1L, 10L, 12L, 0.0), (1L, 12L, 10L, 0.0),
+      (1L, 11L, 12L, 0.0), (1L, 12L, 11L, 0.0))
+      .toDF("query_id", "a", "b", "sim")
+    val out = Similarity.mmrRerank(cand, pairs, 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._2).toSeq
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+    // pick-1 score is pure relevance; the duplicate's score carries
+    // the full sim-1.0 penalty when finally selected
+    assert(out(0)._5 == 0.7 * 0.90 - 0.3 * 0.0)
+    assert(out(1)._5 == 0.7 * 0.50 - 0.3 * 0.0)
+    assert(out(2)._5 == 0.7 * 0.89 - 0.3 * 1.0)
+  }
+
+  test("mmrRerank: k beyond pool size yields no null picks, stays per-query") {
+    // two queries, 2 candidates each, k=3: only 2 picks materialize per
+    // query (the empty third round selects nothing) and queries never mix
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.2),
+                   (2L, 20L, 0.8), (2L, 21L, 0.7))
+      .toDF("query_id", "doc_id", "rel")
+    val pairs = Seq((1L, 10L, 11L, 0.5), (1L, 11L, 10L, 0.5),
+                    (2L, 20L, 21L, 0.1), (2L, 21L, 20L, 0.1))
+      .toDF("query_id", "a", "b", "sim")
+    val out = Similarity.mmrRerank(cand, pairs, 3)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.size == 4)
+    assert(out.filter(_._1 == 1L).map(_._3).toSet == Set(10L, 11L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSet == Set(20L, 21L))
+    assert(out.map(_._2).toSet == Set(1L, 2L))
+  }
 }
