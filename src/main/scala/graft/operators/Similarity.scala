@@ -704,6 +704,83 @@ object Similarity {
           .otherwise(lit(0.0)).as("corr"))
   }
 
+  /** Top principal direction of the embedding second-moment matrix by
+    * L∞-normalized integer power iteration — the PCA-prep step that
+    * tells a curation pipeline which direction dominates its embedding
+    * space (anisotropy audit; Mu & Viswanath 2018 postprocessing). The
+    * recurrence is exact on both engines: u ← G·v over the shared
+    * integer Gram state ([[gramState]], DECIMAL(38,0) ≡ HUGEINT), then
+    * v ← (u + m)·scale DIV m − scale with m = max|u| — the shift keeps
+    * the DIV operand nonnegative, so truncating and floor division
+    * agree and the step is engine-agnostic even when components go
+    * negative. v₀ = all-`scale` (never orthogonal to the top
+    * eigenvector of a PSD matrix with nonneg diagonal dominance in
+    * practice; ties are impossible — pure arithmetic).
+    *
+    * Scale shape: the only corpus-scale work is the ONE Gram GEMM
+    * (shared with `sim_gram_matrix`/`sim_corr_matrix` via PlanCache);
+    * every round is a d²-row join + a d-row aggregate + a 1-row max
+    * broadcast (PlanGuard scalar-allowlist shape). Width budget:
+    * |G| ≤ n·grid² = n·10¹⁴ and each u term ≤ d·|G|·scale, so the
+    * shifted product (2·d·n·10¹⁴)·scale² needs n < ~10⁸ rows at
+    * d = 64, scale = 10⁶ — beyond that, drop a digit of scale. */
+  def powerIteration(df: DataFrame, idCol: String, vecCol: String,
+                     iters: Int, scale: Long = 1000000L): DataFrame = {
+    val st = PlanCache.reuse(gramState(df, idCol, vecCol))
+    val g = PlanCache.reuse(
+      st.select(col("dim_i").as("i"), col("dim_j").as("j"), col("gq"))
+        .unionAll(st.filter(col("dim_i") =!= col("dim_j"))
+          .select(col("dim_j").as("i"), col("dim_i").as("j"), col("gq"))))
+    var v = g.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(scale).as("vq"))
+    for (_ <- 1 to iters) {
+      val u = g.join(v.select(col("dim").as("j"), col("vq")), Seq("j"))
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("gq") * col("vq")).as("uq"))
+      val m = u.agg(max(abs(col("uq"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("dim"),
+                when(col("m") === 0, lit(0L)).otherwise(
+                  expr(s"((uq + m) * ${scale}L) div m") - scale).as("vq"))
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** Per-vector energy share along the dominant direction — the
+    * follow-on audit to [[powerIteration]] (Mu & Viswanath 2018: how
+    * much of each embedding lives in the common top component that
+    * all-but-the-top postprocessing would remove): share = cos²(x, v)
+    * on the ppm grid, `(x·v)²·10⁶ DIV (|x|²·|v|²)`, plus the projection
+    * sign. All inputs are exact grid integers (qv on 1e-7, vq on the
+    * power-iteration 1e-6 grid); the squares run in DECIMAL(38,0) ≡
+    * HUGEINT and the squared numerator makes the DIV operand
+    * nonnegative, so the division is engine-agnostic. Zero vectors (or
+    * a degenerate all-zero eigenvector) guard to share 0.
+    *
+    * Scale shape: the eigenvector is a d-row broadcast join into the
+    * shared component frame; the per-vector moments are ONE rid-keyed
+    * aggregation with map-side combine; |v|² rides a 1-row broadcast
+    * (PlanGuard scalar-allowlist shape). */
+  def anisoEnergy(df: DataFrame, idCol: String, vecCol: String,
+                  iters: Int): DataFrame = {
+    val v = PlanCache.reuse(powerIteration(df, idCol, vecCol, iters))
+    val q = qGrid(df, idCol, vecCol)
+    val dots = q.join(broadcast(v), Seq("dim"))
+      .groupBy(col("rid"))
+      .agg(sum(col("qv") * col("vq")).as("dot"),
+           sum(col("qv") * col("qv")).as("x2"))
+    val vn = v.agg(sum(col("vq") * col("vq")).as("v2"))
+    dots.crossJoin(broadcast(vn))
+      .select(col("rid").as(idCol), col("x2").as("nrm2_q"),
+        signum(col("dot")).cast("long").as("proj_sign"),
+        when(col("x2") === 0 || col("v2") === 0, lit(0L)).otherwise(
+          expr("""CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000
+                    AS DECIMAL(38,0))
+                  div (CAST(x2 AS DECIMAL(38,0)) * v2)"""))
+          .as("share_ppm"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
     * greedily select `k` of each query's candidates maximizing
     * `0.7·rel − 0.3·max_{s∈selected} sim(d, s)` — relevance traded

@@ -883,6 +883,65 @@ object DocQueries {
       Seq(col("rank").desc, col("node").asc), 30)
   }
 
+  /** Per-document character-distribution diversity — the cheap junk /
+    * binary / keyboard-mash filter a quality stack runs before any LM
+    * scoring: exact Gini-Simpson collision mass `Σ n_c²·10⁶ DIV n²`
+    * (low = diverse, 10⁶ = single repeated char) plus Shannon entropy
+    * in micro-bits. Entropy is transcendental, so it follows the
+    * corpus-LM recipe rather than the round-6 fallback: each log₂ term
+    * is computed once per (doc, char) TYPE, quantized onto the 1e-6
+    * integer grid, and the doc rollup `log₂(n)·10⁶ − (Σ n_c·lq) DIV n`
+    * is an exact integer sum — no order-dependent float summation in
+    * any compared column.
+    *
+    * Scale shape: one (doc, char) hash aggregation (alphabet-bounded
+    * per doc) with map-side combine, then a doc-keyed rollup — no
+    * joins, no broadcasts. */
+  def textCharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("nc"))
+      .withColumn("lq",
+        expr("CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("n_distinct"),
+           sum(expr("nc * nc")).as("s2"),
+           sum(expr("nc * lq")).as("slq"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        expr("s2 * 1000000 DIV (n * n)").as("simpson_ppm"),
+        (expr("CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+          - expr("slq DIV n")).as("entropy_micro"))
+
+  /** Segmental type-token ratio (Johnson 1944; the windowed form of
+    * lexical diversity MATTR approximates): tokens split into fixed
+    * 16-token segments by RAW split position (empty tokens occupy a
+    * slot but don't count — both engines segment on the same index),
+    * per-segment `TTR = n_types·10⁶ DIV n_toks`, then per doc the
+    * segment count, mean and min segment TTR — low TTR = looping /
+    * template text a repetition filter should drop. All exact
+    * integers.
+    *
+    * Scale shape: one (doc, seg, tok) projection into a (doc, seg)
+    * aggregation (the distinct count plans as the standard two-phase
+    * partial distinct), then a doc rollup — no joins. */
+  def textTtrSegmental(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), expr("pos DIV 16").as("seg"), col("tok"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_toks"),
+           countDistinct(col("tok")).as("n_types"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 DIV n_toks"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_toks")).as("n_tokens"), count(lit(1)).as("n_segs"),
+           sum(col("ttr_ppm")).as("sttr"), min(col("ttr_ppm")).as("min_ttr_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("n_segs"),
+              expr("sttr DIV n_segs").as("mean_ttr_ppm"),
+              col("min_ttr_ppm"))
+
   /** Regex scanning per language: total pattern occurrences + matching-
     * document counts. Patterns stay in the ASCII subset where Java
     * regex and RE2 agree (char classes, word boundaries, alternation —
@@ -1475,6 +1534,8 @@ object DocQueries {
     "doc_top_bigrams"     -> (docTopBigrams _),
     "doc_textrank_keywords" -> (docTextrankKeywords _),
     "text_regex_scan"     -> (textRegexScan _),
+    "text_char_entropy"   -> (textCharEntropy _),
+    "text_ttr_segmental"  -> (textTtrSegmental _),
     "pipe_stratified_sample" -> (pipeStratifiedSample _),
     "pipe_chunk_docs"     -> ((s: SparkSession, d: String) => pipeChunkDocs(s, d)),
     "pipe_pack_bins"      -> ((s: SparkSession, d: String) => pipePackBins(s, d)),
@@ -1920,6 +1981,40 @@ object DocQueries {
          |CAST(SUM(CASE WHEN regexp_matches(text, 'value [a-z]+ value')
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_vv
          |FROM documents GROUP BY lang""".stripMargin,
+    "text_char_entropy" ->
+      s"""WITH cc AS (
+         |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |        FROM documents)
+         |  WHERE len(c) > 0 GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(nc * nc) AS BIGINT) AS s2,
+         |  CAST(SUM(nc * CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000)
+         |    AS BIGINT)) AS BIGINT) AS slq
+         |  FROM cc GROUP BY 1)
+         |SELECT doc_id, n AS n_chars, n_distinct,
+         |  CAST(s2 * 1000000 // (n * n) AS BIGINT) AS simpson_ppm,
+         |  CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - slq // n AS entropy_micro
+         |FROM d""".stripMargin,
+    "text_ttr_segmental" ->
+      s"""WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS t
+         |             FROM documents),
+         |tk1 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+         |        FROM tk0),
+         |tk AS (SELECT doc_id, (i - 1) // 16 AS seg, t[i] AS tok
+         |       FROM tk1 WHERE len(t[i]) > 0),
+         |sg AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+         |       FROM tk GROUP BY 1, 2),
+         |st AS (SELECT doc_id, n_toks,
+         |         n_types * 1000000 // n_toks AS ttr_ppm FROM sg)
+         |SELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm,
+         |  CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm
+         |FROM st GROUP BY 1""".stripMargin,
     "pipe_chunk_docs" -> {
       val (chunk, overlap) = (64, 16)
       val stride = chunk - overlap

@@ -945,6 +945,46 @@ object RelationalQueries {
         .cast("long"))
   }
 
+  /** Pearson chi-square independence panel over two categorical pairs
+    * (returnflag × linestatus, returnflag × ship-year) — the
+    * label-vs-covariate drift audit run before training on a slice.
+    * Per cell the exact scaled contribution
+    * `(n·O − R·C)²·10⁶ DIV (n·R·C)` (the n-multiplied form of
+    * (O−E)²/E, so no float enters any compared column) plus the
+    * per-pair total. Numerators square up to n² so they run in
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT); width holds to n < 3·10⁹ rows
+    * per pair at ppm scale — past that, drop a scale digit.
+    *
+    * Scale shape: ONE corpus scan (2-branch explode) into a hash
+    * aggregation whose key space is the contingency grid (≤ 27 cells
+    * here); marginals and totals are windows over those cells, never a
+    * second scan or a scalar broadcast. */
+  def relChisqIndependence(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, dir)
+      .select(explode(array(
+          struct(lit("flag_status").as("pair"),
+                 col("l_returnflag").as("x"), col("l_linestatus").as("y")),
+          struct(lit("flag_year").as("pair"), col("l_returnflag").as("x"),
+                 year(col("l_shipdate")).cast("string").as("y"))
+        )).as("c"))
+      .groupBy(col("c.pair").as("pair"), col("c.x").as("x"),
+               col("c.y").as("y"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rr", sum(col("o")).over(w.partitionBy("pair", "x")))
+      .withColumn("cc", sum(col("o")).over(w.partitionBy("pair", "y")))
+      .withColumn("n", sum(col("o")).over(w.partitionBy("pair")))
+      .withColumn("chi_ppm",
+        expr("""CAST(CAST(n*o - rr*cc AS DECIMAL(38,0)) * (n*o - rr*cc)
+                  * 1000000 AS DECIMAL(38,0))
+                div (CAST(n AS DECIMAL(38,0)) * rr * cc)"""))
+      .select(col("pair"), col("x"), col("y"), col("o").as("n_obs"),
+              col("chi_ppm"),
+              sum(col("chi_ppm")).over(w.partitionBy("pair"))
+                .as("chi_total_ppm"))
+  }
+
   /** 2-D skyline (pareto frontier): parts no other part dominates on
     * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
     * et al. 2001). NOT computed with a global sort: prices bucket into
@@ -1069,6 +1109,7 @@ object RelationalQueries {
     "rel_link_predict"      -> (relLinkPredict _),
     "rel_profile_columns"   -> (relProfileColumns _),
     "rel_gini_split"        -> (relGiniSplit _),
+    "rel_chisq_independence" -> (relChisqIndependence _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1441,6 +1482,28 @@ object RelationalQueries {
          |SELECT feature, threshold_c, n_left, n_right, wgini_ppm,
          |  CAST(row_number() OVER (PARTITION BY feature
          |    ORDER BY wgini_ppm ASC, threshold_c ASC) AS BIGINT) AS rk
+         |FROM g""".stripMargin,
+    "rel_chisq_independence" ->
+      s"""WITH f AS (
+         |  SELECT 'flag_status' AS pair, l_returnflag AS x,
+         |    l_linestatus AS y FROM lineitem
+         |  UNION ALL
+         |  SELECT 'flag_year', l_returnflag,
+         |    CAST(year(l_shipdate) AS VARCHAR) FROM lineitem),
+         |cells AS (SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS o
+         |          FROM f GROUP BY 1, 2, 3),
+         |w AS (SELECT pair, x, y, o,
+         |  CAST(SUM(o) OVER (PARTITION BY pair, x) AS BIGINT) AS rr,
+         |  CAST(SUM(o) OVER (PARTITION BY pair, y) AS BIGINT) AS cc,
+         |  CAST(SUM(o) OVER (PARTITION BY pair) AS BIGINT) AS n
+         |  FROM cells),
+         |g AS (SELECT pair, x, y, o AS n_obs,
+         |  CAST(CAST(n*o - rr*cc AS HUGEINT) * (n*o - rr*cc) * 1000000
+         |    // (CAST(n AS HUGEINT) * rr * cc) AS BIGINT) AS chi_ppm
+         |  FROM w)
+         |SELECT pair, x, y, n_obs, chi_ppm,
+         |  CAST(SUM(chi_ppm) OVER (PARTITION BY pair) AS BIGINT)
+         |    AS chi_total_ppm
          |FROM g""".stripMargin,
     "rel_profile_columns" -> {
       val branches = ProfiledCols.map(c =>

@@ -261,6 +261,25 @@ object VectorQueries {
   def simCorrMatrix(s: SparkSession, dir: String): DataFrame =
     Similarity.corrMatrix(Tables.embeddings(s, dir), "vec_id", "embedding")
 
+  /** Top principal direction by 3 rounds of L∞-normalized integer
+    * power iteration over the PlanCache-shared Gram state (see
+    * [[Similarity.powerIteration]]) — the anisotropy audit of the
+    * embedding space; everything past the one Gram GEMM is
+    * dimension-bound and the oracle unrolls the identical shifted
+    * integer recurrence, so components replay hash-exactly. */
+  def simPowerIter(s: SparkSession, dir: String): DataFrame =
+    Similarity.powerIteration(Tables.embeddings(s, dir), "vec_id",
+                              "embedding", iters = 3)
+
+  /** Per-vector energy share along the dominant direction
+    * ([[Similarity.anisoEnergy]]) — the all-but-the-top anisotropy
+    * audit; consumes the PlanCache-shared power-iteration eigenvector
+    * and the shared component frame, so the marginal corpus cost is
+    * one rid-keyed aggregation. */
+  def simAnisoEnergy(s: SparkSession, dir: String): DataFrame =
+    Similarity.anisoEnergy(Tables.embeddings(s, dir), "vec_id",
+                           "embedding", iters = 3)
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -601,6 +620,8 @@ object VectorQueries {
     "sim_centroid_assign" -> (simCentroidAssign _),
     "sim_gram_matrix"   -> (simGramMatrix _),
     "sim_corr_matrix"   -> (simCorrMatrix _),
+    "sim_power_iter"    -> (simPowerIter _),
+    "sim_aniso_energy"  -> (simAnisoEnergy _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -640,6 +661,37 @@ object VectorQueries {
        |  SELECT vec_id, label, embedding,
        |    ${sqlDot("embedding", "embedding")} AS nrm
        |  FROM embeddings)""".stripMargin
+
+  /** Shared CTE body for the power-iteration family: the 1e-7 grid
+    * component frame `q`, the full integer Gram `g`, and the unrolled
+    * shifted L∞-normalized recurrence ending in `v3(dim, vq)` — same
+    * constants as `Similarity.powerIteration(iters = 3, scale = 1e6)`;
+    * HUGEINT throughout, the (u+m) shift keeps every `//` operand
+    * nonnegative so floor and truncating division agree. */
+  private val powerIterCtes: String = {
+    val base =
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id AS rid, dim,
+         |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 10000000) AS BIGINT) AS qv
+         |  FROM embeddings
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1})) AS INTEGER) AS dim)),
+         |g AS MATERIALIZED (
+         |  SELECT a.dim AS i, b.dim AS j,
+         |    SUM(CAST(a.qv AS HUGEINT) * b.qv) AS gq
+         |  FROM q a JOIN q b ON a.rid = b.rid GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS vq
+         |       FROM g)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""u$r AS (SELECT g.i AS dim, SUM(g.gq * v.vq) AS uq
+         |  FROM g JOIN v${r - 1} v ON g.j = v.dim GROUP BY 1),
+         |m$r AS (SELECT MAX(abs(uq)) AS m FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT dim, CASE WHEN m = 0 THEN 0
+         |    ELSE (uq + m) * 1000000 // m - 1000000 END AS vq
+         |  FROM u$r CROSS JOIN m$r)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   /** Shared CTE body for the IVF oracles: median centroids → probe →
     * within-cell scoring, ending in a `scored(query_id, neighbor_id,
@@ -1203,6 +1255,20 @@ object VectorQueries {
          |FROM st JOIN ds di ON di.dim = st.dim_i
          |        JOIN ds dj ON dj.dim = st.dim_j
          |WHERE st.dim_i < st.dim_j""".stripMargin,
+    "sim_power_iter" ->
+      s"WITH $powerIterCtes\nSELECT dim, CAST(vq AS BIGINT) AS vq FROM v3",
+    "sim_aniso_energy" ->
+      s"""WITH $powerIterCtes,
+         |vn AS (SELECT SUM(vq * vq) AS v2 FROM v3),
+         |d AS (SELECT q.rid, SUM(q.qv * v.vq) AS dot,
+         |        CAST(SUM(q.qv * q.qv) AS BIGINT) AS x2
+         |      FROM q JOIN v3 v ON q.dim = v.dim GROUP BY 1)
+         |SELECT rid AS vec_id, x2 AS nrm2_q,
+         |  CAST(sign(dot) AS BIGINT) AS proj_sign,
+         |  CAST(CASE WHEN x2 = 0 OR v2 = 0 THEN 0
+         |    ELSE CAST(dot AS HUGEINT) * dot * 1000000
+         |         // (CAST(x2 AS HUGEINT) * v2) END AS BIGINT) AS share_ppm
+         |FROM d CROSS JOIN vn""".stripMargin,
     "sim_centroid_assign" ->
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, label, dim,

@@ -79,6 +79,8 @@ class PlanGuardSpec extends SparkSpec {
                               //   16-row query side broadcasts (bounded)
     "sim_mmr_rerank",         // same brute first stage (16-row broadcast);
                               //   re-rank itself is candidate-bounded
+    "sim_power_iter",         // 1-row L∞-max broadcast per round (3)
+    "sim_aniso_energy",       // same 3 + the 1-row |v|² broadcast
     "sim_semantic_dedup_incr",// frozen k-means centroid broadcasts (c=8)
     "sim_matryoshka_recall",  // 16-row query broadcast + truth side
     "sim_mrl_funnel",         // 16-row query broadcast, both stages

@@ -396,6 +396,48 @@ class VectorSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("powerIteration: diagonal Gram converges onto the dominant axis") {
+    // vectors (1,0), (-1,0), (0,0.5) → G = diag(2e14, 2.5e13) on the
+    // grid² scale. Hand-unrolled shifted recurrence (scale 1e6):
+    // v1 = (1e6, 125000), v2 = (1e6, 15625), v3 = (1e6, 1953)
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+                 (3L, Array(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.powerIteration(df, "vec_id", "embedding", 3)
+      .as[(Int, Long)].collect().toMap
+    assert(r == Map(1 -> 1000000L, 2 -> 1953L))
+  }
+
+  test("powerIteration: rank-1 Gram is a fixed point; orthogonal start degenerates to 0") {
+    // two copies of (1,1): G is rank-1 with eigenvector (1,1) — v0 is
+    // already the eigenvector, all three rounds return it unchanged
+    val ones = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.powerIteration(ones, "vec_id", "embedding", 3)
+      .as[(Int, Long)].collect().toMap
+    assert(r1 == Map(1 -> 1000000L, 2 -> 1000000L))
+    // (1,-1): v0 = (S,S) is exactly orthogonal to the sole eigenvector
+    // (1,-1) → u = 0, m = 0, and the guard pins vq to 0 (not a crash)
+    val anti = Seq((1L, Array(1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val r2 = Similarity.powerIteration(anti, "vec_id", "embedding", 2)
+      .as[(Int, Long)].collect().toMap
+    assert(r2 == Map(1 -> 0L, 2 -> 0L))
+  }
+
+  test("anisoEnergy: axis-aligned mass carries ~all share, orthogonal ~none") {
+    // same geometry as the powerIteration spec: eigenvector ≈ dim 1,
+    // so (±1, 0) vectors have share → 1e6 (equal for both signs, with
+    // the sign in proj_sign) and (0, 0.5) nearly 0
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+                 (3L, Array(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.anisoEnergy(df, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L)._1 == 100000000000000L && r(3L)._1 == 25000000000000L)
+    assert(r(1L)._2 == 1L && r(2L)._2 == -1L && r(3L)._2 == 1L)
+    assert(r(1L)._3 == r(2L)._3 && r(1L)._3 > 990000L)
+    assert(r(3L)._3 < 10000L)
+  }
+
   test("mmrRerank: redundancy penalty demotes the near-duplicate") {
     // q=1: a (rel .90) and b (rel .89) are near-identical (sim 1.0);
     // c (rel .50) is orthogonal to both. Plain relevance would pick
