@@ -257,6 +257,31 @@ object TextOps {
     * transcendental spots (per-word ln, corpus-constant ln(T+V)) follow
     * the sanctioned round-6 quantization (CLAUDE.md).
     */
+  /** Per-document character-distribution diversity (the batch half of
+    * the `text_char_entropy` row; the streaming gate recomputes the
+    * same metrics per-row — `StreamOps.charDiversityGate` — and a spec
+    * pins the two implementations equal): exact Gini-Simpson collision
+    * mass `Σ n_c²·10⁶ DIV n²` and Shannon entropy in micro-bits with
+    * per-(doc, char)-TYPE log₂ terms quantized to the 1e-6 grid, so
+    * the rollup is an exact integer sum. Empty documents are excluded
+    * (no char rows) on every implementation. */
+  def charDiversity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("nc"))
+      .withColumn("lq",
+        expr("CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("n_distinct"),
+           sum(expr("nc * nc")).as("s2"),
+           sum(expr("nc * lq")).as("slq"))
+      .select(col(idCol), col("n").as("n_chars"), col("n_distinct"),
+        expr("s2 * 1000000 DIV (n * n)").as("simpson_ppm"),
+        (expr("CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+          - expr("slq DIV n")).as("entropy_micro"))
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = PlanCache.reuse(

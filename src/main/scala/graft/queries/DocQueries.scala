@@ -898,20 +898,8 @@ object DocQueries {
     * per doc) with map-side combine, then a doc-keyed rollup — no
     * joins, no broadcasts. */
   def textCharEntropy(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-      .filter(length(col("c")) > 0)
-      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("nc"))
-      .withColumn("lq",
-        expr("CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000) AS BIGINT)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("nc")).as("n"), count(lit(1)).as("n_distinct"),
-           sum(expr("nc * nc")).as("s2"),
-           sum(expr("nc * lq")).as("slq"))
-      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
-        expr("s2 * 1000000 DIV (n * n)").as("simpson_ppm"),
-        (expr("CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
-          - expr("slq DIV n")).as("entropy_micro"))
+    TextOps.charDiversity(Tables.spread(Tables.documents(s, dir)),
+                          "doc_id", "text")
 
   /** Segmental type-token ratio (Johnson 1944; the windowed form of
     * lexical diversity MATTR approximates): tokens split into fixed

@@ -288,6 +288,41 @@ object EventQueries {
     Graphs.hits(edges, "src", "dst", "w", iters = 2)
   }
 
+  /** CUSUM changepoint scan (Page 1954) over per-type daily volumes —
+    * the drift monitor a pipeline runs on ingest streams: for each
+    * event type, the day maximizing the n-scaled cumulative deviation
+    * `|n_days·prefix − t·total|` (≡ n·|prefix − (t/n)·total| — the
+    * classic CUSUM statistic cross-multiplied so no float enters any
+    * compared column). Emits the argmax day (ties to the earliest),
+    * its |CUSUM|, and the per-type totals.
+    *
+    * Scale shape: one corpus scan into a (type, day) hash aggregation
+    * with map-side combine; all CUSUM work is type-partitioned windows
+    * over those ≤ types·days cells — corpus-size-independent past the
+    * first aggregation. Width: n_days·total < 2⁶³ holds to ~2.5·10¹⁵
+    * events per type at a 10-year grid. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val daily = withTsUs(Tables.events(s, dir))
+      .withColumn("day", expr(s"ts_us DIV $DayUs"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    daily
+      .withColumn("p", sum(col("c")).over(wOrd))
+      .withColumn("t_idx", row_number().over(wOrd).cast("long"))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("s_abs",
+        abs(col("n_days") * col("p") - col("t_idx") * col("total")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("s_abs").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("total").as("n_events"),
+              col("day").as("cp_day"), col("s_abs").as("cusum_abs"))
+  }
+
   /** BFS reachability: hop distance from the `signup` event type over
     * the transition digraph ([[graft.operators.Graphs.shortestHops]],
     * 3 synchronous rounds — enough to saturate any reachable node in a
@@ -450,6 +485,7 @@ object EventQueries {
     "evt_transitions"      -> (transitions _),
     "evt_pagerank"         -> (pagerank _),
     "evt_hits"             -> (hitsScores _),
+    "evt_cusum_changepoint" -> (cusumChangepoint _),
     "evt_reach"            -> (reach _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
@@ -804,5 +840,26 @@ object EventQueries {
          |FROM (SELECT $usExpr // $DayUs AS day, event_type,
          |        COUNT(*) AS n_events
          |      FROM events GROUP BY 1, 2)""".stripMargin,
+    "evt_cusum_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, $usExpr // $DayUs AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |cs AS (SELECT event_type, day,
+         |  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day)
+         |    AS BIGINT) AS p,
+         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |    AS BIGINT) AS t_idx,
+         |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |    AS n_days,
+         |  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+         |  FROM daily),
+         |g AS (SELECT event_type, day, n_days, total,
+         |  abs(n_days * p - t_idx * total) AS s_abs FROM cs)
+         |SELECT event_type, n_days, total AS n_events, day AS cp_day,
+         |  s_abs AS cusum_abs
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY s_abs DESC, day ASC) AS rn FROM g)
+         |WHERE rn = 1""".stripMargin,
   )
 }

@@ -515,6 +515,31 @@ object VectorQueries {
       "vec_id", "embedding", "cell", queryPred, 3)
   }
 
+  /** Per-cell inertia of the trained quantizer — the training-quality
+    * audit next to the recall rows: cosine dispersion `1 − cos(x,
+    * centroid)` of every member against its SERVING centroid (the
+    * post-assignment median update [[Similarity.cellCentroids]] — the
+    * same table `ivfTopK` probes), quantized per vector onto the 1e-6
+    * grid so the cell rollup is an exact integer sum (no
+    * order-dependent float summation). High mean dispersion = the cell
+    * is incoherent and `c` is too small. Reuses the PlanCache-pinned
+    * assignment frame; one c·d-row broadcast join + one map pass. */
+  def simKmeansInertia(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val cells = Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+                                       "embedding", KmC, KmIters)
+    val cents = Similarity.cellCentroids(cells, "embedding", "cell")
+    cells.join(broadcast(cents), Seq("cell"))
+      .withColumn("cs",
+        VectorFunctions.cosineSim(col("embedding"), col("centroid")))
+      .select(col("cell"),
+        expr("CAST(round((1.0 - cs) * 1000000) AS BIGINT)").as("disp"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("disp")).as("inertia_micro"))
+      .select(col("cell"), col("n_members"), col("inertia_micro"),
+              expr("inertia_micro DIV n_members").as("mean_disp_micro"))
+  }
+
   /** Recall@3 of the trained-quantizer IVF path vs brute-force truth —
     * the quality proof that k-means cells serve as well as the oracle
     * labels (compare with [[simIvfRecall]]). */
@@ -636,6 +661,7 @@ object VectorQueries {
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_neardup_lsh"   -> (simNearDupLsh _),
     "sim_topk_ivf_trained"   -> (simTopKIvfTrained _),
+    "sim_kmeans_inertia"     -> (simKmeansInertia _),
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
@@ -1110,6 +1136,19 @@ object VectorQueries {
          |    SELECT 1 FROM sd_pairs p WHERE p.dup_id = k.vec_id)
          |    THEN 0 ELSE 1 END AS BIGINT) AS keep
          |FROM kfinal k""".stripMargin,
+    "sim_kmeans_inertia" ->
+      s"""WITH $kmTrainedCte,
+         |${kmCentroidCtes("kfinal", "ikc", "icent")},
+         |d AS (SELECT f.cell,
+         |  CAST(round((1.0 - ${sqlCosN(sqlDot("f.embedding", "c.centroid"),
+                                        "f.nrm", "c.nrm")}) * 1000000)
+         |    AS BIGINT) AS disp
+         |  FROM kfinal f JOIN icent c ON f.cell = c.cell)
+         |SELECT CAST(cell AS INTEGER) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(disp) AS BIGINT) AS inertia_micro,
+         |  CAST(SUM(disp) // COUNT(*) AS BIGINT) AS mean_disp_micro
+         |FROM d GROUP BY cell""".stripMargin,
     // Incremental semantic dedup: train on the corpus split only, assign
     // the batch against the FROZEN kcent centroids (basg MATERIALIZED —
     // referenced 3x, and DuckDB 1.0 inlines every multi-referenced CTE,

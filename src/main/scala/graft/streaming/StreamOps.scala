@@ -143,6 +143,42 @@ object StreamOps {
              col("repetition_ok"), lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Stateless character-diversity admission gate — the streaming twin
+    * of the batch `text_char_entropy` row: the SAME quantized metrics
+    * (Gini-Simpson ppm, micro-bit entropy) computed per ROW from the
+    * document's own char array instead of a corpus aggregation, so the
+    * gate adds zero streaming state. The per-char counts ride one
+    * `transform(array_distinct(cs), c -> size(filter(cs, ...)))` whose
+    * inner lambda reads only materialized column attributes (the
+    * round-5 HOF-closure rule: nothing recomputed per element), and
+    * both rollups are exact integer `aggregate` folds with the same
+    * 1e-6 log₂ grid as the batch — a spec pins the two implementations
+    * row-identical. Empty documents are dropped (the batch aggregation
+    * produces no row for them). */
+  def charDiversityGate(docs: DataFrame,
+                        maxSimpsonPpm: Long = 200000L): DataFrame =
+    docs
+      .withColumn("cs", filter(split(col("text"), ""),
+                               c => length(c) > 0))
+      .filter(size(col("cs")) > 0)
+      .withColumn("counts",
+        transform(array_distinct(col("cs")),
+          c => size(filter(col("cs"), x => x === c)).cast("long")))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars"),
+        size(col("counts")).cast("long").as("n_distinct"),
+        expr("aggregate(counts, 0L, (a, x) -> a + x * x)").as("s2"),
+        expr("""aggregate(counts, 0L, (a, x) -> a + x *
+                CAST(round(log2(CAST(x AS DOUBLE)) * 1000000) AS BIGINT))""")
+          .as("slq"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        expr("s2 * 1000000 DIV (n_chars * n_chars)").as("simpson_ppm"),
+        (expr("CAST(round(log2(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)")
+          - expr("slq DIV n_chars")).as("entropy_micro"))
+      .withColumn("decision",
+        when(col("simpson_ppm") <= maxSimpsonPpm, lit("keep"))
+          .otherwise(lit("drop")))
+
   /** Running per-key totals in update mode: an unwindowed streaming
     * aggregate whose state is one row per key — bounded by key
     * cardinality (event types here), not by stream length. Exposes the

@@ -127,6 +127,40 @@ class StreamingSpec extends SparkSpec {
     assert(dec(2L) == "drop" && dec(3L) == "drop")
   }
 
+  test("streaming char-diversity gate equals the batch aggregation row-for-row") {
+    implicit val sq = spark.sqlContext
+    // diverse text, single-char spam, short text, empty text (dropped)
+    val docRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "ab"),
+      (4L, ""))
+    val static = docRows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docRows.take(2): _*)
+    val q = StreamOps.charDiversityGate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdiv_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(docRows.drop(2): _*) // second micro-batch incl. empty
+      q.processAllAvailable()
+    } finally q.stop()
+    val metrics = Seq("doc_id", "n_chars", "n_distinct",
+                      "simpson_ppm", "entropy_micro")
+    val streamed = spark.table("cdiv_out")
+      .select(metrics.map(org.apache.spark.sql.functions.col): _*).collect().toSet
+    val batch = TextOps
+      .charDiversity(static, "doc_id", "text")
+      .select(metrics.map(org.apache.spark.sql.functions.col): _*).collect().toSet
+    assert(streamed == batch && streamed.size == 3,
+           "per-row stream metrics == batch aggregation; empty doc dropped")
+    val dec = spark.table("cdiv_out")
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(dec(1L) == "keep" && dec(2L) == "drop",
+           "single-char spam trips the Simpson bound")
+  }
+
   test("streaming line-dedup gate equals the batch increment (artifact probe)") {
     implicit val sq = spark.sqlContext
     import graft.operators.{Dedup, PlanCache}
