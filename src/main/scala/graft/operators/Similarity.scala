@@ -738,11 +738,17 @@ object Similarity {
         .groupBy(col("i").as("dim"))
         .agg(sum(col("gq") * col("vq")).as("uq"))
       val m = u.agg(max(abs(col("uq"))).as("m"))
-      v = u.crossJoin(broadcast(m))
+      // PlanCache.reuse, not localCheckpoint: the persist keeps the
+      // LOGICAL plan intact (localCheckpoint rewrites it to a LogicalRDD
+      // with a fresh id), so a second consumer building the identical
+      // chain (sim_aniso_energy after sim_power_iter) gets a
+      // CacheManager sameResult hit instead of re-running every round —
+      // measured 2.91 s → shared. 3 rounds keep the un-truncated
+      // lineage trivially small.
+      v = PlanCache.reuse(u.crossJoin(broadcast(m))
         .select(col("dim"),
                 when(col("m") === 0, lit(0L)).otherwise(
-                  expr(s"((uq + m) * ${scale}L) div m") - scale).as("vq"))
-        .localCheckpoint()
+                  expr(s"((uq + m) * ${scale}L) div m") - scale).as("vq")))
     }
     v
   }

@@ -724,6 +724,88 @@ object DocQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Jensen-Shannon divergence between language word distributions —
+    * the corpus-mixing distance (Lin 1991) a curation pipeline tracks
+    * when a new slice shifts the language/domain mix. For each
+    * unordered language pair, JSD = H(M) − ½H(P) − ½H(Q) with
+    * M = (P+Q)/2, computed entirely on common integer denominators:
+    * the mixture's per-word mass is `n_w = a·N_b + b·N_a` over
+    * D = 2·N_a·N_b (Σ n_w = D exactly), each entropy follows the
+    * [[graft.operators.TextOps.charDiversity]] recipe (per-TYPE log₂
+    * terms quantized to the 1e-6 grid, exact integer rollups in
+    * DECIMAL(38,0) ≡ HUGEINT), and the output is `2·H(M) − H(P) −
+    * H(Q)` in micro-bits (×2 keeps the ½ exact). 0 for identical
+    * distributions, 2·10⁶ for disjoint vocabularies.
+    *
+    * Scale shape: word counts are ONE vocab-bounded (lang, word)
+    * aggregation (Heaps' law); the 10-row pair table broadcasts into
+    * it (disjunctive membership join — allowlisted few-row BNLJ), and
+    * everything downstream is (pairs × union-vocab)-bounded. Width:
+    * n_w·lq ≤ 2·10¹⁷ per term in BIGINT, cross-type sums in
+    * DECIMAL(38,0). */
+  def textLangJsd(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wc = PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
+    val tot = wc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val p = tot.select(col("lang").as("la"), col("n").as("na"))
+      .join(tot.select(col("lang").as("lb"), col("n").as("nb")),
+            col("la") < col("lb"))
+    val lq = (x: String) =>
+      s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+    wc.join(broadcast(p), col("lang") === col("la") ||
+                          col("lang") === col("lb"))
+      .groupBy(col("la"), col("lb"), col("na"), col("nb"), col("w"))
+      .agg(sum(when(col("lang") === col("la"), col("c")).otherwise(0L))
+             .as("a"),
+           sum(when(col("lang") === col("lb"), col("c")).otherwise(0L))
+             .as("b"))
+      .withColumn("nw", expr("a * nb + b * na"))
+      .groupBy(col("la"), col("lb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_types"),
+           sum(expr(s"nw * ${lq("nw")}").cast(dec38)).as("sm"),
+           sum(expr(s"CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END"))
+             .as("sa"),
+           sum(expr(s"CASE WHEN b > 0 THEN b * ${lq("b")} ELSE 0 END"))
+             .as("sb"))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        col("n_types"),
+        (expr(s"${lq("2 * na * nb")} - (sm div (2 * na * nb))")).as("h_m_micro"),
+        (expr(s"${lq("na")} - (sa DIV na)")).as("h_a_micro"),
+        (expr(s"${lq("nb")} - (sb DIV nb)")).as("h_b_micro"))
+      .withColumn("jsd_micro2",
+        expr("2 * h_m_micro - h_a_micro - h_b_micro"))
+  }
+
+  /** LSH recall curve — the calibration table for the MinHash banding
+    * config (12 hashes × 3 rows/band): exact-Jaccard pairs (≥ 0.5, the
+    * region the prefix/stop-shingle index makes exact) bucketed into
+    * 0.05-wide similarity bins (`floor(jaccard·20)` on bit-identical
+    * doubles), each bin reporting how many pairs the banding surfaced
+    * as candidates — the observed S-curve an operator compares against
+    * the theoretical 1−(1−j^r)^b before trusting the sketch at a new
+    * threshold. Both pair frames are the prewarm-shared tables the
+    * agreement row reads; this adds one co-keyed left join + a ≤
+    * 11-bin rollup — nothing rescans text. */
+  def dedupLshRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"),
+              expr("CAST(floor(jaccard * 20) AS BIGINT)").as("bin"))
+    val m = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+                                        ShingleN, MinHashK, RowsPerBand)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("cand"))
+    j.join(m, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(coalesce(col("cand"), lit(0L))).as("n_candidates"))
+      .select(col("bin"), col("n_pairs"), col("n_candidates"),
+              expr("n_candidates * 1000 DIV n_pairs").as("recall_permille"))
+  }
+
   /** Exact threshold-Jaccard join (t = 0.6) via prefix filtering — the
     * lossless scale path (no stop-shingle cap, no missed pairs); the
     * oracle replays the full all-pairs threshold join. */
@@ -1532,6 +1614,8 @@ object DocQueries {
     "dedup_simhash_pairs" -> (dedupSimHashPairs _),
     "dedup_containment_pairs" -> (dedupContainmentPairs _),
     "dedup_method_agreement" -> (dedupMethodAgreement _),
+    "dedup_lsh_recall_curve" -> (dedupLshRecallCurve _),
+    "text_lang_jsd"       -> (textLangJsd _),
     "dedup_prefix_pairs"  -> (dedupPrefixPairs _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipe_incr_dedup"     -> (pipeIncrDedup _),
@@ -2459,6 +2543,60 @@ object DocQueries {
     // is MATERIALIZED: each is referenced from the chained FULL JOIN
     // and DuckDB 1.0 inlines multi-referenced CTEs (the jaccard chain
     // would otherwise replay per reference — CLAUDE.md).
+    "text_lang_jsd" -> {
+      def lq(x: String) =
+        s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+         |        FROM wc GROUP BY 1),
+         |p AS (SELECT a.lang AS la, a.n AS na, b.lang AS lb, b.n AS nb
+         |      FROM tot a JOIN tot b ON a.lang < b.lang),
+         |e AS (SELECT p.la, p.lb, p.na, p.nb, wc.w,
+         |  CAST(SUM(CASE WHEN wc.lang = p.la THEN wc.c ELSE 0 END)
+         |    AS BIGINT) AS a,
+         |  CAST(SUM(CASE WHEN wc.lang = p.lb THEN wc.c ELSE 0 END)
+         |    AS BIGINT) AS b
+         |  FROM wc JOIN p ON wc.lang = p.la OR wc.lang = p.lb
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |t AS (SELECT la, lb, na, nb, a, b, a * nb + b * na AS nw FROM e),
+         |g AS (SELECT la, lb, na, nb, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  SUM(nw * ${lq("nw")}) AS sm,
+         |  CAST(SUM(CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END)
+         |    AS BIGINT) AS sa,
+         |  CAST(SUM(CASE WHEN b > 0 THEN b * ${lq("b")} ELSE 0 END)
+         |    AS BIGINT) AS sb
+         |  FROM t GROUP BY 1, 2, 3, 4),
+         |h AS (SELECT la AS lang_a, lb AS lang_b, n_types,
+         |  ${lq("2 * na * nb")} - CAST(sm // (2 * na * nb) AS BIGINT)
+         |    AS h_m_micro,
+         |  ${lq("na")} - sa // na AS h_a_micro,
+         |  ${lq("nb")} - sb // nb AS h_b_micro
+         |  FROM g)
+         |SELECT lang_a, lang_b, n_types, h_m_micro, h_a_micro, h_b_micro,
+         |  2 * h_m_micro - h_a_micro - h_b_micro AS jsd_micro2
+         |FROM h""".stripMargin
+    },
+    "dedup_lsh_recall_curve" ->
+      s"""WITH jp AS MATERIALIZED (
+         |  SELECT doc_a, doc_b, CAST(floor(jaccard * 20) AS BIGINT) AS bin
+         |  FROM ($jaccardPairsSql) jpx),
+         |sigs AS ($sigsSql),
+         |bands AS ($bandsSql),
+         |mp AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS cand
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(COALESCE(cand, 0)) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(COALESCE(cand, 0)) * 1000 // COUNT(*) AS BIGINT)
+         |    AS recall_permille
+         |FROM jp LEFT JOIN mp USING (doc_a, doc_b)
+         |GROUP BY 1""".stripMargin,
     "dedup_method_agreement" ->
       s"""WITH jp AS MATERIALIZED (
          |  SELECT doc_a, doc_b, 1 AS in_jaccard FROM ($jaccardPairsSql) jpx),

@@ -232,6 +232,41 @@ object MediaQueries {
     Multimodal.windowEnergy(pcm, "doc_id", "t", "s", AudioWindow)
   }
 
+  /** Silence-run segmentation — the trim/segment pass an audio
+    * pipeline runs before feature extraction: a second in-plan s16
+    * track with DELIBERATE silent stretches (64-sample blocks are
+    * zeroed whenever `(doc_id + block) % 7 < 3`, so every doc carries
+    * phase-shifted multi-window silence; non-silent blocks reuse the
+    * [[mmAudioEnergy]] noise formula), per-64-sample-window peaks via
+    * the same [[Multimodal.windowEnergy]], then gaps-and-islands over
+    * the silent windows (`win − row_number` run keys) into per-doc run
+    * count, longest run, and silent-window totals. The corpus-scale
+    * work is the one (doc, window) aggregation; the run analysis is
+    * windows over 16 cells/doc. */
+  def mmAudioSilence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = s.range(AudioSamples).select(col("id").as("t"))
+    val pcm = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(ts))
+      .select(col("doc_id"), col("t"),
+        when(pmod(col("doc_id") + expr("t DIV 64"), lit(7)) < 3, lit(0L))
+          .otherwise(
+            pmod(col("doc_id") * 7349 + col("t") * 131, lit(4096)) - 2048)
+          .as("s"))
+    val wins = Multimodal.windowEnergy(pcm, "doc_id", "t", "s", 64)
+    val silent = wins.filter(col("peak") === 0)
+      .withColumn("run_key",
+        col("win") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("win"))))
+    val runs = silent.groupBy(col("doc_id"), col("run_key"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_silent_runs"),
+           max(col("run_len")).as("max_run_windows"),
+           sum(col("run_len")).as("n_silent_windows"))
+      .withColumn("n_windows", lit(AudioSamples.toLong / 64L))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),
@@ -241,6 +276,7 @@ object MediaQueries {
     "mm_phash_pairs"     -> (mmPhashPairs _),
     "mm_phash_incr"      -> (mmPhashIncr _),
     "mm_audio_energy"    -> (mmAudioEnergy _),
+    "mm_audio_silence"   -> (mmAudioSilence _),
   )
 
   private val fs = Multimodal.DefaultFrameSize
@@ -257,6 +293,29 @@ object MediaQueries {
          |      FROM documents
          |      CROSS JOIN (SELECT unnest(range(0, $AudioSamples)) AS t))
          |GROUP BY 1, 2""".stripMargin,
+    "mm_audio_silence" ->
+      s"""WITH pcm AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN (doc_id + t // 64) % 7 < 3 THEN 0
+         |      ELSE (doc_id * 7349 + t * 131) % 4096 - 2048 END AS s
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest(range(0, $AudioSamples)) AS t)),
+         |wins AS (
+         |  SELECT doc_id, t // 64 AS win, MAX(abs(s)) AS peak
+         |  FROM pcm GROUP BY 1, 2),
+         |silent AS (
+         |  SELECT doc_id, win,
+         |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win)
+         |      AS run_key
+         |  FROM wins WHERE peak = 0),
+         |runs AS (
+         |  SELECT doc_id, run_key, CAST(COUNT(*) AS BIGINT) AS run_len
+         |  FROM silent GROUP BY 1, 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_silent_runs,
+         |  CAST(MAX(run_len) AS BIGINT) AS max_run_windows,
+         |  CAST(SUM(run_len) AS BIGINT) AS n_silent_windows,
+         |  CAST(${AudioSamples / 64} AS BIGINT) AS n_windows
+         |FROM runs GROUP BY 1""".stripMargin,
     "mm_modality_mix" ->
       s"""SELECT COALESCE(source, '(no_text)') AS source,
          |COUNT(*) AS n_records,

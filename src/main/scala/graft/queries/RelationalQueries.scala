@@ -985,6 +985,46 @@ object RelationalQueries {
                 .as("chi_total_ppm"))
   }
 
+  /** k-anonymity audit over a 3-level quasi-identifier generalization
+    * ladder (Sweeney 2002) — the re-identification risk table a
+    * privacy review runs before any per-user data enters a training
+    * corpus: for each generalization level (nation+segment+balance-kilo
+    * bucket → nation+segment → nation) the group count, the minimum
+    * group size (the k in k-anonymity), the rows in groups below
+    * k = 10, and the at-risk share in permille. Exact integers
+    * throughout.
+    *
+    * Scale shape: one customer scan (3-branch explode) into a
+    * (level, qid) hash aggregation with map-side combine — the qid key
+    * space is the generalization grid, so the second rollup is
+    * grid-bounded; no joins, no broadcasts. */
+  def relKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(explode(array(
+          struct(lit("nation_seg_bal").as("level"),
+                 // +100000 cents keeps the DIV operand nonnegative
+                 // (acctbal can be negative; floor vs truncation would
+                 // otherwise disagree across engines at the sign flip)
+                 concat_ws("|", col("c_nationkey"), col("c_mktsegment"),
+                           expr("(CAST(round(c_acctbal * 100) AS BIGINT)" +
+                                " + 100000) DIV 100000")).as("qid")),
+          struct(lit("nation_seg").as("level"),
+                 concat_ws("|", col("c_nationkey"),
+                           col("c_mktsegment")).as("qid")),
+          struct(lit("nation").as("level"),
+                 col("c_nationkey").cast("string").as("qid"))
+        )).as("q"))
+      .groupBy(col("q.level").as("level"), col("q.qid").as("qid"))
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"), min(col("gsz")).as("k_anonymity"),
+           sum(when(col("gsz") < 10, col("gsz")).otherwise(0L))
+             .as("rows_at_risk"),
+           sum(col("gsz")).as("n_rows"))
+      .select(col("level"), col("n_groups"), col("k_anonymity"),
+              col("rows_at_risk"),
+              expr("rows_at_risk * 1000 DIV n_rows").as("risk_permille"))
+
   /** 2-D skyline (pareto frontier): parts no other part dominates on
     * (price ↓, size ↑) — the classic multi-criteria operator (Börzsönyi
     * et al. 2001). NOT computed with a global sort: prices bucket into
@@ -1110,6 +1150,7 @@ object RelationalQueries {
     "rel_profile_columns"   -> (relProfileColumns _),
     "rel_gini_split"        -> (relGiniSplit _),
     "rel_chisq_independence" -> (relChisqIndependence _),
+    "rel_k_anonymity"       -> (relKAnonymity _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1483,6 +1524,27 @@ object RelationalQueries {
          |  CAST(row_number() OVER (PARTITION BY feature
          |    ORDER BY wgini_ppm ASC, threshold_c ASC) AS BIGINT) AS rk
          |FROM g""".stripMargin,
+    "rel_k_anonymity" ->
+      s"""WITH f AS (
+         |  SELECT 'nation_seg_bal' AS level,
+         |    concat_ws('|', c_nationkey, c_mktsegment,
+         |      (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000)
+         |      AS qid
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'nation_seg',
+         |    concat_ws('|', c_nationkey, c_mktsegment) FROM customer
+         |  UNION ALL
+         |  SELECT 'nation', CAST(c_nationkey AS VARCHAR) FROM customer),
+         |g AS (SELECT level, qid, CAST(COUNT(*) AS BIGINT) AS gsz
+         |      FROM f GROUP BY 1, 2)
+         |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(MIN(gsz) AS BIGINT) AS k_anonymity,
+         |  CAST(SUM(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  CAST(SUM(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) * 1000
+         |    // SUM(gsz) AS BIGINT) AS risk_permille
+         |FROM g GROUP BY 1""".stripMargin,
     "rel_chisq_independence" ->
       s"""WITH f AS (
          |  SELECT 'flag_status' AS pair, l_returnflag AS x,

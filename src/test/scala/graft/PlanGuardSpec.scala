@@ -52,8 +52,11 @@ class PlanGuardSpec extends SparkSpec {
     "rel_modularity",         // undirected-edge-count m 1-row broadcast
     "evt_hits",               // L1-total 1-row broadcasts (4: 2 rounds × 2)
     "mm_audio_energy",        // 1024-row PCM sample-index broadcast fan-out
+    "mm_audio_silence",       // same 1024-row sample-index fan-out
     "pipe_weighted_sample",   // total-weight 1-row broadcast
     "text_lang_confusion",    // total-count scalar share
+    "text_lang_jsd",          // 10-row lang-pair table: `<` self-join +
+                              //   disjunctive membership join (both BNLJ)
     "sim_recall_eval", "sim_ivf_recall", "sim_ivfpq_recall", // k scalars
     "sim_multiprobe_recall",  // same brute-force ground-truth side
     "sim_topk_ivf", "sim_topk_ivfpq", // nprobe centroid few-row sides
