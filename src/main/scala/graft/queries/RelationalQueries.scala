@@ -985,6 +985,59 @@ object RelationalQueries {
                 .as("chi_total_ppm"))
   }
 
+  /** Data-quality rule panel — the one-stop pre-training audit table
+    * (the Deequ/great-expectations shape): eight constraint rules
+    * across lineitem/orders/customer, each reporting rows checked,
+    * violations, and violation ppm — exact integers. Rules share
+    * scans: the two lineitem range rules ride ONE scan, the
+    * ship-before-order and orphan-order rules ride ONE lineitem⋈orders
+    * left join, the orphan-customer rule one orders⋈customer left
+    * join, and the duplicate-PK rule one keyed aggregation. At scale
+    * every join is FK-shaped (equi, co-partitionable) and every rule
+    * is a map-side-combined 1-row aggregate — the union is 8 rows. */
+  def relDqRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v1"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v2"),
+      sum(when(col("l_tax") < 0, 1L).otherwise(0L)).as("v3"))
+    val lo = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v1"),
+           sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+             .otherwise(0L)).as("v2"))
+    val oc = o.select(col("o_custkey"), col("o_totalprice"))
+      .join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v1"),
+           sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"))
+    val dup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+      .agg(sum(col("k")).as("n"),
+           sum(col("k") - 1).as("v1"))
+    def rules(agg: DataFrame, names: Seq[(String, String)]): DataFrame =
+      agg.select(explode(array(names.map { case (r, v) =>
+        struct(lit(r).as("rule"), col("n").as("n_checked"),
+               col(v).as("n_violations"))
+      }: _*)).as("x")).select(col("x.*"))
+    rules(liAgg, Seq("lineitem_qty_nonpositive" -> "v1",
+                     "lineitem_discount_range" -> "v2",
+                     "lineitem_tax_negative" -> "v3"))
+      .unionAll(rules(lo, Seq("lineitem_orphan_order" -> "v1",
+                              "lineitem_ship_before_order" -> "v2")))
+      .unionAll(rules(oc, Seq("orders_orphan_customer" -> "v1",
+                              "orders_price_nonpositive" -> "v2")))
+      .unionAll(rules(dup, Seq("orders_duplicate_pk" -> "v1")))
+      .withColumn("violation_ppm",
+        expr("n_violations * 1000000 DIV n_checked"))
+  }
+
   /** k-anonymity audit over a 3-level quasi-identifier generalization
     * ladder (Sweeney 2002) — the re-identification risk table a
     * privacy review runs before any per-user data enters a training
@@ -1151,6 +1204,7 @@ object RelationalQueries {
     "rel_gini_split"        -> (relGiniSplit _),
     "rel_chisq_independence" -> (relChisqIndependence _),
     "rel_k_anonymity"       -> (relKAnonymity _),
+    "rel_dq_rules"          -> (relDqRules _),
     "rel_approx_pct_bound"  -> (approxPercentileBound _),
     "rel_triangle_count"    -> (triangleCount _),
     "rel_zorder_locality"   -> (zorderLocality _),
@@ -1524,6 +1578,50 @@ object RelationalQueries {
          |  CAST(row_number() OVER (PARTITION BY feature
          |    ORDER BY wgini_ppm ASC, threshold_c ASC) AS BIGINT) AS rk
          |FROM g""".stripMargin,
+    "rel_dq_rules" ->
+      s"""WITH li AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v1,
+         |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |    CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v3
+         |  FROM lineitem),
+         |lo AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v1,
+         |    CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS v2
+         |  FROM lineitem l LEFT JOIN orders o
+         |    ON l.l_orderkey = o.o_orderkey),
+         |oc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v1,
+         |    CAST(SUM(CASE WHEN o.o_totalprice <= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v2
+         |  FROM orders o LEFT JOIN customer c
+         |    ON o.o_custkey = c.c_custkey),
+         |dup AS (
+         |  SELECT CAST(SUM(k) AS BIGINT) AS n,
+         |    CAST(SUM(k - 1) AS BIGINT) AS v1
+         |  FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_orderkey)),
+         |r AS (
+         |  SELECT 'lineitem_qty_nonpositive' AS rule, n AS n_checked,
+         |    v1 AS n_violations FROM li
+         |  UNION ALL SELECT 'lineitem_discount_range', n, v2 FROM li
+         |  UNION ALL SELECT 'lineitem_tax_negative', n, v3 FROM li
+         |  UNION ALL SELECT 'lineitem_orphan_order', n, v1 FROM lo
+         |  UNION ALL SELECT 'lineitem_ship_before_order', n, v2 FROM lo
+         |  UNION ALL SELECT 'orders_orphan_customer', n, v1 FROM oc
+         |  UNION ALL SELECT 'orders_price_nonpositive', n, v2 FROM oc
+         |  UNION ALL SELECT 'orders_duplicate_pk', n, v1 FROM dup)
+         |SELECT rule, n_checked, n_violations,
+         |  CAST(n_violations * 1000000 // n_checked AS BIGINT)
+         |    AS violation_ppm
+         |FROM r""".stripMargin,
     "rel_k_anonymity" ->
       s"""WITH f AS (
          |  SELECT 'nation_seg_bal' AS level,
