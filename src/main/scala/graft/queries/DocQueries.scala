@@ -980,8 +980,9 @@ object DocQueries {
     * per doc) with map-side combine, then a doc-keyed rollup — no
     * joins, no broadcasts. */
   def textCharEntropy(s: SparkSession, dir: String): DataFrame =
-    TextOps.charDiversity(Tables.spread(Tables.documents(s, dir)),
-                          "doc_id", "text")
+    PlanCache.reuse(
+      TextOps.charDiversity(Tables.spread(Tables.documents(s, dir)),
+                            "doc_id", "text"))
 
   /** Segmental type-token ratio (Johnson 1944; the windowed form of
     * lexical diversity MATTR approximates): tokens split into fixed
@@ -996,7 +997,7 @@ object DocQueries {
     * aggregation (the distinct count plans as the standard two-phase
     * partial distinct), then a doc rollup — no joins. */
   def textTtrSegmental(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    PlanCache.reuse(Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
               posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
@@ -1010,7 +1011,32 @@ object DocQueries {
            sum(col("ttr_ppm")).as("sttr"), min(col("ttr_ppm")).as("min_ttr_ppm"))
       .select(col("doc_id"), col("n_tokens"), col("n_segs"),
               expr("sttr DIV n_segs").as("mean_ttr_ppm"),
-              col("min_ttr_ppm"))
+              col("min_ttr_ppm")))
+
+  /** Composite quality score — the capstone join a curation pipeline
+    * ranks documents by before mixture sampling: the char-diversity and
+    * segmental-TTR frames (both PlanCache-shared with their standalone
+    * rows) combined into the exact integer
+    * `entropy_micro + 2·mean_ttr_ppm − simpson_ppm` (diversity up,
+    * repetition down; weights documented, not tuned) with a per-language
+    * rank. Both inputs are doc-keyed co-partitioned equi joins; the
+    * window is language-partitioned (never a global sort). */
+  def docQualityComposite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ent = textCharEntropy(s, dir)
+      .select(col("doc_id"), col("entropy_micro"), col("simpson_ppm"))
+    val ttr = textTtrSegmental(s, dir)
+      .select(col("doc_id"), col("mean_ttr_ppm"))
+    val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    ent.join(ttr, Seq("doc_id")).join(lang, Seq("doc_id"))
+      .withColumn("quality_score",
+        expr("entropy_micro + 2 * mean_ttr_ppm - simpson_ppm"))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .withColumn("lang_rank",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc))
+          .cast("long"))
+  }
 
   /** Regex scanning per language: total pattern occurrences + matching-
     * document counts. Patterns stay in the ASCII subset where Java
@@ -1572,7 +1598,12 @@ object DocQueries {
       // consumed by doc_bm25_topk AND sim_rrf_fusion (VERDICT r9 #6:
       // the tf/doc chain was reuse-shared but the scored frame itself
       // was rebuilt by each consumer)
-      "bm25_scored" -> PlanCache.pin(bm25Scored(s, dir)))
+      "bm25_scored" -> PlanCache.pin(bm25Scored(s, dir)),
+      // consumed by text_char_entropy / text_ttr_segmental AND
+      // doc_quality_composite (alphabetically ~60 queries apart —
+      // FIFO reuse would evict the frames before the text_* consumers)
+      "char_entropy" -> PlanCache.pin(textCharEntropy(s, dir)),
+      "ttr_segmental" -> PlanCache.pin(textTtrSegmental(s, dir)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1606,6 +1637,7 @@ object DocQueries {
     "text_regex_scan"     -> (textRegexScan _),
     "text_char_entropy"   -> (textCharEntropy _),
     "text_ttr_segmental"  -> (textTtrSegmental _),
+    "doc_quality_composite" -> (docQualityComposite _),
     "pipe_stratified_sample" -> (pipeStratifiedSample _),
     "pipe_chunk_docs"     -> ((s: SparkSession, d: String) => pipeChunkDocs(s, d)),
     "pipe_pack_bins"      -> ((s: SparkSession, d: String) => pipePackBins(s, d)),
@@ -1723,6 +1755,49 @@ object DocQueries {
 
   /** Shared mixture-plan CTE prefix (weights → counts → cap → plan) —
     * single source for pipe_mixture_plan and pipe_mixture_apply. */
+  /** Shared CTE body for the char-diversity family, ending in
+    * `entq(doc_id, n_chars, n_distinct, simpson_ppm, entropy_micro)` —
+    * mirrors [[graft.operators.TextOps.charDiversity]]. */
+  private val charEntropyCtes: String =
+    s"""cc AS (
+       |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS nc
+       |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+       |        FROM documents)
+       |  WHERE len(c) > 0 GROUP BY 1, 2),
+       |cd AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(nc * nc) AS BIGINT) AS s2,
+       |  CAST(SUM(nc * CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000)
+       |    AS BIGINT)) AS BIGINT) AS slq
+       |  FROM cc GROUP BY 1),
+       |entq AS MATERIALIZED (
+       |  SELECT doc_id, n AS n_chars, n_distinct,
+       |    CAST(s2 * 1000000 // (n * n) AS BIGINT) AS simpson_ppm,
+       |    CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+       |      - slq // n AS entropy_micro
+       |  FROM cd)""".stripMargin
+
+  /** Shared CTE body for the segmental-TTR family, ending in
+    * `ttrq(doc_id, n_tokens, n_segs, mean_ttr_ppm, min_ttr_ppm)`. */
+  private val ttrSegmentalCtes: String =
+    s"""tk0 AS (SELECT doc_id, string_split(text, ' ') AS t
+       |        FROM documents),
+       |tk1 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |        FROM tk0),
+       |tk AS (SELECT doc_id, (i - 1) // 16 AS seg, t[i] AS tok
+       |       FROM tk1 WHERE len(t[i]) > 0),
+       |sg AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+       |       FROM tk GROUP BY 1, 2),
+       |sts AS (SELECT doc_id, n_toks,
+       |          n_types * 1000000 // n_toks AS ttr_ppm FROM sg),
+       |ttrq AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |    CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm,
+       |    CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm
+       |  FROM sts GROUP BY 1)""".stripMargin
+
   private val mixturePlanCte: String =
     s"""w(lang, target_w) AS (VALUES
        |  ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
@@ -2054,39 +2129,27 @@ object DocQueries {
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_vv
          |FROM documents GROUP BY lang""".stripMargin,
     "text_char_entropy" ->
-      s"""WITH cc AS (
-         |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS nc
-         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-         |        FROM documents)
-         |  WHERE len(c) > 0 GROUP BY 1, 2),
-         |d AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n,
-         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         |  CAST(SUM(nc * nc) AS BIGINT) AS s2,
-         |  CAST(SUM(nc * CAST(round(log2(CAST(nc AS DOUBLE)) * 1000000)
-         |    AS BIGINT)) AS BIGINT) AS slq
-         |  FROM cc GROUP BY 1)
-         |SELECT doc_id, n AS n_chars, n_distinct,
-         |  CAST(s2 * 1000000 // (n * n) AS BIGINT) AS simpson_ppm,
-         |  CAST(round(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
-         |    - slq // n AS entropy_micro
-         |FROM d""".stripMargin,
+      s"""WITH $charEntropyCtes
+         |SELECT doc_id, n_chars, n_distinct, simpson_ppm, entropy_micro
+         |FROM entq""".stripMargin,
     "text_ttr_segmental" ->
-      s"""WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS t
-         |             FROM documents),
-         |tk1 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-         |        FROM tk0),
-         |tk AS (SELECT doc_id, (i - 1) // 16 AS seg, t[i] AS tok
-         |       FROM tk1 WHERE len(t[i]) > 0),
-         |sg AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS n_toks,
-         |         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
-         |       FROM tk GROUP BY 1, 2),
-         |st AS (SELECT doc_id, n_toks,
-         |         n_types * 1000000 // n_toks AS ttr_ppm FROM sg)
-         |SELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-         |  CAST(COUNT(*) AS BIGINT) AS n_segs,
-         |  CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm,
-         |  CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm
-         |FROM st GROUP BY 1""".stripMargin,
+      s"""WITH $ttrSegmentalCtes
+         |SELECT doc_id, n_tokens, n_segs, mean_ttr_ppm, min_ttr_ppm
+         |FROM ttrq""".stripMargin,
+    "doc_quality_composite" ->
+      s"""WITH $charEntropyCtes,
+         |$ttrSegmentalCtes,
+         |j AS (
+         |  SELECT e.doc_id, d.lang,
+         |    e.entropy_micro + 2 * t.mean_ttr_ppm - e.simpson_ppm
+         |      AS quality_score
+         |  FROM entq e JOIN ttrq t ON e.doc_id = t.doc_id
+         |  JOIN documents d ON d.doc_id = e.doc_id)
+         |SELECT doc_id, lang, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id ASC) AS BIGINT)
+         |    AS lang_rank
+         |FROM j""".stripMargin,
     "pipe_chunk_docs" -> {
       val (chunk, overlap) = (64, 16)
       val stride = chunk - overlap
