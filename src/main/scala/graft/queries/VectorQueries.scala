@@ -632,7 +632,17 @@ object VectorQueries {
       "sim_kmeans_cells" -> graft.operators.PlanCache.pin(
         Similarity.kmeansCells(emb, "vec_id", "embedding", KmC, KmIters)),
       "sim_pq_codebook" -> graft.operators.PlanCache.pin(
-        Similarity.pqCodebook(emb, "embedding", "label", PqM, Dims)))
+        Similarity.pqCodebook(emb, "embedding", "label", PqM, Dims)),
+      // consumed by sim_aniso_energy (alphabetically FIRST in the
+      // family, so it was absorbing the whole Gram + power-iteration
+      // build: 3.26 s) AND sim_power_iter / sim_gram_matrix /
+      // sim_corr_matrix. gramState must be pinned in its own right:
+      // powerIteration only reuse()s it, and ~180 queries of FIFO churn
+      // sit between this prewarm and the sim_* family.
+      "gram_state" -> graft.operators.PlanCache.pin(
+        Similarity.gramState(emb, "vec_id", "embedding")),
+      "power_iter_v" -> graft.operators.PlanCache.pin(
+        Similarity.powerIteration(emb, "vec_id", "embedding", 3)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
