@@ -323,6 +323,35 @@ object EventQueries {
               col("day").as("cp_day"), col("s_abs").as("cusum_abs"))
   }
 
+  /** Day-of-week seasonality panel — the uniform-expectation
+    * chi-square complement to [[cusumChangepoint]]'s drift scan: per
+    * (event_type, weekday) the observed count and the exact scaled
+    * cell statistic `(7·O − T)²·10⁶ DIV (7·T)` (the cross-multiplied
+    * (O−E)²/E at E = T/7), plus the per-type total. Weekday derives
+    * from epoch days as `(day + 4) % 7` (0 = Sunday) — pure integer on
+    * both engines; Spark's `dayofweek` is 1-based-Sunday while
+    * DuckDB's is 0-based, so calendar functions are deliberately kept
+    * out of the compared columns. One corpus scan into a ≤ types×7
+    * aggregation; marginals are windows over those cells. Width:
+    * (7·T)²·10⁶ < 2⁶³ holds to T ≈ 4·10⁵ per type in BIGINT — the
+    * squared term runs in DECIMAL(38,0) so the real bound is the
+    * chi-square row's n < 3·10⁹. */
+  def dowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    withTsUs(Tables.events(s, dir))
+      .withColumn("dow", expr(s"(ts_us DIV $DayUs + 4) % 7"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("t", sum(col("n_events")).over(w))
+      .withColumn("chi_ppm",
+        expr("""CAST(CAST(7 * n_events - t AS DECIMAL(38,0))
+                  * (7 * n_events - t) * 1000000 AS DECIMAL(38,0))
+                div (7 * CAST(t AS DECIMAL(38,0)))"""))
+      .select(col("event_type"), col("dow"), col("n_events"),
+              col("chi_ppm"),
+              sum(col("chi_ppm")).over(w).as("chi_total_ppm"))
+  }
+
   /** BFS reachability: hop distance from the `signup` event type over
     * the transition digraph ([[graft.operators.Graphs.shortestHops]],
     * 3 synchronous rounds — enough to saturate any reachable node in a
@@ -486,6 +515,7 @@ object EventQueries {
     "evt_pagerank"         -> (pagerank _),
     "evt_hits"             -> (hitsScores _),
     "evt_cusum_changepoint" -> (cusumChangepoint _),
+    "evt_dow_seasonality"  -> (dowSeasonality _),
     "evt_reach"            -> (reach _),
     "evt_funnel"           -> (funnel _),
     "evt_outliers"         -> (outliers _),
@@ -840,6 +870,23 @@ object EventQueries {
          |FROM (SELECT $usExpr // $DayUs AS day, event_type,
          |        COUNT(*) AS n_events
          |      FROM events GROUP BY 1, 2)""".stripMargin,
+    "evt_dow_seasonality" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, ($usExpr // $DayUs + 4) % 7 AS dow,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |wt AS (SELECT event_type, dow, n_events,
+         |  CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+         |    AS t
+         |  FROM cells),
+         |g AS (SELECT event_type, dow, n_events,
+         |  CAST(CAST(7 * n_events - t AS HUGEINT) * (7 * n_events - t)
+         |    * 1000000 // (7 * CAST(t AS HUGEINT)) AS BIGINT) AS chi_ppm
+         |  FROM wt)
+         |SELECT event_type, dow, n_events, chi_ppm,
+         |  CAST(SUM(chi_ppm) OVER (PARTITION BY event_type) AS BIGINT)
+         |    AS chi_total_ppm
+         |FROM g""".stripMargin,
     "evt_cusum_changepoint" ->
       s"""WITH daily AS (
          |  SELECT event_type, $usExpr // $DayUs AS day,

@@ -267,6 +267,23 @@ object ScalingBench {
           .agg(count(lit(1)).as("n_users"),
                sum(col("n_stage2")).as("total_stage2"),
                sum(col("n_complete")).as("total_complete"))
+      }),
+      // round-10 quality-filter family: char-diversity over 256x
+      // documents with DISTINCT per-copy doc ids — the (doc, char)
+      // explode + two map-side-combined hash aggregations is the
+      // canonical one-scan quality-metric shape; replicated ids would
+      // merge per-doc alphabets and collapse the rollup being measured
+      "scaled_entropy" -> ((s: SparkSession, dir: String) => {
+        val n = 256
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("doc_id") * n + col("id")).as("doc_id"), col("text"))
+        graft.operators.TextOps.charDiversity(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("entropy_micro") % lit(1000003L)).as("chk"),
+               sum(col("simpson_ppm")).as("simpson_sum"))
       })
     )
 

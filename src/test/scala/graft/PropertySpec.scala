@@ -297,4 +297,36 @@ class PropertySpec extends SparkSpec {
           .as[(Long, Long)].collect().toSet
     })
   }
+
+  test("charDiversity invariant under repartitioning (exact-integer rollup)") {
+    // random docs over a tiny alphabet so counts collide; the quantized
+    // log terms are computed per (doc, char) TYPE, so no partial order
+    // can leak into the integer sums
+    val docGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 8L)
+      txt <- Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    } yield (id, txt)).map(_.distinctBy(_._1))
+    check("chardiv", Prop.forAll(docGen, Gen.choose(1, 6)) { (rows, n) =>
+      val df = rows.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        TextOps.charDiversity(d, "doc_id", "text")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      run(df) == run(df.repartition(n))
+    })
+  }
+
+  test("powerIteration invariant under repartitioning (integer recurrence)") {
+    val vecGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 12L)
+      x <- Gen.choose(-10, 10); y <- Gen.choose(-10, 10); z <- Gen.choose(-10, 10)
+    } yield (id, Array(x / 10.0f, y / 10.0f, z / 10.0f)))
+      .map(_.distinctBy(_._1))
+    check("poweriter", Prop.forAll(vecGen, Gen.choose(1, 5)) { (rows, n) =>
+      val df = rows.toDF("vec_id", "embedding")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.powerIteration(d, "vec_id", "embedding", 2)
+          .as[(Int, Long)].collect().toSet
+      run(df) == run(df.repartition(n))
+    })
+  }
 }
