@@ -312,6 +312,52 @@ object StreamOps {
   private def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  case class DriftIn(event_type: String, day: Long, c: Long)
+  case class DriftState(lastDay: Long, sPos: Long, sNeg: Long)
+  case class DriftOut(event_type: String, day: Long, s_pos: Long,
+                      s_neg: Long, alarm: Boolean)
+
+  /** Streaming CUSUM drift monitor — the online half of the batch
+    * `evt_cusum_changepoint` scan, in the frozen-artifact pattern
+    * (mm_phash_incr / lineDedupGateBatch): the baseline daily rate per
+    * event type is a persisted artifact `(base_days, base_total)` from
+    * a previous batch run, and the stream maintains Page's two-sided
+    * recurrence on exact cross-multiplied integers —
+    * `dev = c·base_days − base_total`, `s⁺ ← max(0, s⁺ + dev)`,
+    * `s⁻ ← max(0, s⁻ − dev)` — with an alarm when either side exceeds
+    * `alarmDays` baseline-days of accumulated deviation. State is one
+    * 3-long record per event type (`flatMapGroupsWithState`, Update
+    * mode), never a history buffer; late or duplicate days (≤ the last
+    * processed day) are dropped so replays can't double-count — the
+    * same monotone-day contract the batch scan's day grid gives for
+    * free. Streamed outputs equal the in-JVM recurrence for ANY
+    * micro-batch split (spec-pinned). */
+  def cusumDriftStream(dayCounts: Dataset[DriftIn],
+                       baseline: Map[String, (Long, Long)],
+                       alarmDays: Long = 5L): Dataset[DriftOut] = {
+    import dayCounts.sparkSession.implicits._
+    dayCounts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[DriftIn], state: GroupState[DriftState]) =>
+          val (bd, bt) = baseline.getOrElse(et, (1L, 0L))
+          var st = state.getOption.getOrElse(DriftState(Long.MinValue, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.day).flatMap { r =>
+            if (r.day <= st.lastDay) None
+            else {
+              val dev = r.c * bd - bt
+              st = DriftState(r.day, math.max(0L, st.sPos + dev),
+                              math.max(0L, st.sNeg - dev))
+              Some(DriftOut(et, r.day, st.sPos, st.sNeg,
+                            st.sPos > alarmDays * bt ||
+                            st.sNeg > alarmDays * bt))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class CepState(lastClickUs: Long, lastAbUs: Long, nStage2: Long,
                       nComplete: Long, firstCompleteUs: Long)
   case class CepOut(user_id: Long, n_stage2: Long, n_complete: Long,

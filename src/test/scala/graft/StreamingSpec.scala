@@ -161,6 +161,52 @@ class StreamingSpec extends SparkSpec {
            "single-char spam trips the Simpson bound")
   }
 
+  test("streaming CUSUM drift monitor equals the in-JVM recurrence across splits") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamOps.{DriftIn, DriftOut}
+    // frozen baseline artifact: click averages 2/day over 4 days,
+    // view 10/day
+    val baseline = Map("click" -> (4L, 8L), "view" -> (4L, 40L))
+    val rows = Seq(
+      DriftIn("click", 1L, 2L), DriftIn("view", 1L, 10L),
+      DriftIn("click", 2L, 5L), DriftIn("view", 2L, 1L),
+      DriftIn("click", 3L, 10L), DriftIn("view", 3L, 1L),
+      DriftIn("click", 3L, 99L)) // duplicate day: must be dropped
+    val mem = MemoryStream[DriftIn]
+    // split mid-type so state genuinely crosses micro-batches
+    mem.addData(rows.take(3): _*)
+    val q = StreamOps.cusumDriftStream(mem.toDS(), baseline, alarmDays = 1L)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_out")
+      .as[DriftOut].collect().toSet
+    // in-JVM reference fold over day-sorted counts per type
+    val expected = rows.groupBy(_.event_type).flatMap { case (et, rs) =>
+      val (bd, bt) = baseline(et)
+      var (last, sp, sn) = (Long.MinValue, 0L, 0L)
+      rs.sortBy(_.day).flatMap { r =>
+        if (r.day <= last) None
+        else {
+          val dev = r.c * bd - bt
+          sp = math.max(0L, sp + dev); sn = math.max(0L, sn - dev)
+          last = r.day
+          Some(DriftOut(et, r.day, sp, sn, sp > bt || sn > bt))
+        }
+      }
+    }.toSet
+    assert(streamed == expected && streamed.size == 6)
+    // hand-checked: click day 2 dev = 5*4-8 = 12 -> s+ = 12 > 8 alarms;
+    // view accumulates s- = 36 then 72 > 40 by day 3
+    val byKey = streamed.map(o => (o.event_type, o.day) -> o).toMap
+    assert(byKey(("click", 2L)).alarm && byKey(("view", 3L)).alarm)
+    assert(!byKey(("click", 1L)).alarm && !byKey(("view", 1L)).alarm)
+  }
+
   test("streaming line-dedup gate equals the batch increment (artifact probe)") {
     implicit val sq = spark.sqlContext
     import graft.operators.{Dedup, PlanCache}
