@@ -540,6 +540,44 @@ object VectorQueries {
               expr("inertia_micro DIV n_members").as("mean_disp_micro"))
   }
 
+  /** Bitext-style cross-language mining (the LASER/CCMatrix shape):
+    * every non-English document finds its nearest ENGLISH document by
+    * cosine, blocked through the label-cell IVF quantizer — each
+    * non-en query probes its 2 nearest cells and scores only the en
+    * members there, so the pair space is cell-bounded, never
+    * |non-en|×|en|. Language rides a doc_id ≡ vec_id equi join from
+    * `documents`. Queries with no en member in their probed cells
+    * yield no row (documented; raise nprobe at scale). The oracle
+    * replays the shared centroid CTEs and the identical
+    * left-associated cosine fold. */
+  def simBitextMine(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val lang = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = PlanCache.reuse(emb.join(lang, Seq("vec_id")))
+    val centroids = Similarity.cellCentroids(emb, "embedding", "label")
+    val queries = e.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("query_id"), col("lang"),
+              col("embedding").as("qvec"))
+    val probed = graft.operators.Relational.topKPerGroup(
+      queries.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("lang"), col("qvec"), col("cell"),
+          VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("cc")),
+      Seq("query_id"), Seq(col("cc").desc, col("cell").asc), 2, "cell_rank")
+    val corpus = e.filter(col("lang") === "en")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+              col("label").as("cell"))
+    val scored = corpus.join(
+        probed.select(col("query_id"), col("lang"), col("qvec"), col("cell")),
+        Seq("cell"))
+      .select(col("query_id"), col("lang"), col("neighbor_id"),
+              VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    graft.operators.Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1, "rank")
+      .select(col("query_id"), col("lang"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Recall@3 of the trained-quantizer IVF path vs brute-force truth —
     * the quality proof that k-means cells serve as well as the oracle
     * labels (compare with [[simIvfRecall]]). */
@@ -672,6 +710,7 @@ object VectorQueries {
     "sim_neardup_lsh"   -> (simNearDupLsh _),
     "sim_topk_ivf_trained"   -> (simTopKIvfTrained _),
     "sim_kmeans_inertia"     -> (simKmeansInertia _),
+    "sim_bitext_mine"        -> (simBitextMine _),
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
@@ -733,9 +772,11 @@ object VectorQueries {
     * within-cell scoring, ending in a `scored(query_id, neighbor_id,
     * cosine)` relation. All cosines read hoisted norms (embn / centroid
     * nrm columns). */
-  private val ivfScoredCte: String =
-    s"""$embnCte,
-       |cents AS (
+  /** Label-cell median centroids (cents → centroids with hoisted
+    * norms) — shared by the IVF chain and the bitext-mining oracle so
+    * the two replays cannot drift. */
+  private val labelCentroidCtes: String =
+    s"""cents AS (
        |  SELECT label, d,
        |    CAST(percentile_cont(0.5) WITHIN GROUP (
        |      ORDER BY CAST(embedding[d] AS DOUBLE)) AS REAL) AS cv
@@ -747,7 +788,11 @@ object VectorQueries {
        |  FROM cents GROUP BY label),
        |centroids AS (
        |  SELECT cell, centroid, ${sqlDot("centroid", "centroid")} AS nrm
-       |  FROM centroids0),
+       |  FROM centroids0)""".stripMargin
+
+  private val ivfScoredCte: String =
+    s"""$embnCte,
+       |$labelCentroidCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
        |      FROM embn WHERE $QueryPredSql),
        |probe AS (
@@ -1103,6 +1148,32 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin,
+    "sim_bitext_mine" ->
+      s"""WITH $embnCte,
+         |$labelCentroidCtes,
+         |lng AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |q AS (SELECT e.vec_id AS query_id, l.lang, e.embedding AS qv,
+         |        e.nrm AS qnrm
+         |      FROM embn e JOIN lng l USING (vec_id) WHERE l.lang <> 'en'),
+         |probe AS (
+         |  SELECT query_id, lang, qv, qnrm, cell FROM (
+         |    SELECT q.query_id, q.lang, q.qv, q.qnrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqlCosN(sqlDot("q.qv", "c.centroid"),
+                                     "q.qnrm", "c.nrm")} DESC, c.cell ASC)
+         |        AS cell_rank
+         |    FROM q CROSS JOIN centroids c)
+         |  WHERE cell_rank <= 2),
+         |scored AS (
+         |  SELECT probe.query_id, probe.lang, e.vec_id AS neighbor_id,
+         |    ${sqlCosN(sqlDot("probe.qv", "e.embedding"),
+                        "probe.qnrm", "e.nrm")} AS cosine
+         |  FROM embn e JOIN lng l ON e.vec_id = l.vec_id AND l.lang = 'en'
+         |  JOIN probe ON e.label = probe.cell)
+         |SELECT query_id, lang, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored)
+         |WHERE rk = 1""".stripMargin,
     "sim_topk_ivf_trained" ->
       s"""WITH $kmScoredCte
          |SELECT query_id, neighbor_id, cosine, rank FROM (

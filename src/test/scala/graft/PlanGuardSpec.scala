@@ -62,6 +62,7 @@ class PlanGuardSpec extends SparkSpec {
     "sim_topk_ivf", "sim_topk_ivfpq", // nprobe centroid few-row sides
     "sim_topk_ivf_trained",   // k-means centroid broadcasts (c=8 rows)
     "sim_kmeans_inertia",     // same k-means centroid broadcasts
+    "sim_bitext_mine",        // label-cell centroid broadcast (8 rows)
     "sim_semantic_dedup",     // same k-means centroid broadcasts
     "dedup_text_vs_semantic", // same k-means centroid broadcasts (agreement matrix)
     "sim_ivf_trained_recall", // same chain + 1-row truth scalars
