@@ -80,7 +80,8 @@ object Bench {
     // build cost still counts — in this labeled entry.
     def prewarm(): Unit =
       try (graft.queries.DocQueries.prewarmSharedFrames(spark, sfDir) ++
-           graft.queries.VectorQueries.prewarmSharedFrames(spark, sfDir))
+           graft.queries.VectorQueries.prewarmSharedFrames(spark, sfDir) ++
+           graft.queries.RelationalQueries.prewarmSharedFrames(spark, sfDir))
         .foreach(_._2.queryExecution.toRdd.count())
       catch { case _: Throwable => () }
     // One timing pass over the registry: timed prewarm + first pass +

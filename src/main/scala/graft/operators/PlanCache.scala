@@ -28,13 +28,18 @@ import org.apache.spark.storage.StorageLevel
   * holds already-unpersisted frames, for which `unpersist` is a no-op.
   */
 private[graft] object PlanCache {
-  // 48: large enough that a family's shared frames survive the ~40
-  // alphabetically-interleaved queries between builders and reusers in
-  // a full-registry run (measured: pipe_dedup_keep re-paying the whole
-  // jaccard chain its sibling built 40 queries earlier at MaxLive=16).
-  // MEMORY_AND_DISK spills under pressure, so the cap guards tracking
-  // overhead, not correctness.
-  private[graft] val MaxLive = 48
+  // 128: sized for the ~245-query registry. At 48 the r10 run evicted
+  // 131 times (vs 56 in r9) and ended with 8 live entries — with 15
+  // pinned frames only 33 FIFO slots remained, so multi-consumer frames
+  // whose consumers sit >33 queries apart alphabetically (the
+  // dedup_prefix_pairs `prefixes` frame, the trigram scorer) were
+  // rebuilt mid-registry inside their consumers' timings (VERDICT r10
+  // #2/#3 — the prefix-pairs 2.30→4.04 s regression). The cap guards
+  // tracking overhead, not correctness: entries are fixture-small
+  // aggregates/sketches and MEMORY_AND_DISK spills under pressure, so
+  // headroom is cheap; eviction telemetry below still flags a storm if
+  // the registry outgrows this again.
+  private[graft] val MaxLive = 128
   private val live = scala.collection.mutable.Queue.empty[DataFrame]
 
   // Telemetry (VERDICT r7 #4: the rel_kmv_intersect 21.7s first pass

@@ -264,7 +264,18 @@ object TextOps {
     * mass `Σ n_c²·10⁶ DIV n²` and Shannon entropy in micro-bits with
     * per-(doc, char)-TYPE log₂ terms quantized to the 1e-6 grid, so
     * the rollup is an exact integer sum. Empty documents are excluded
-    * (no char rows) on every implementation. */
+    * (no char rows) on every implementation.
+    *
+    * Character grain (ADVICE r10): Spark's `split(text, "")` yields
+    * UTF-16 code units while the oracle's DuckDB `string_split(text,
+    * '')` yields code points — they agree exactly on BMP text (the
+    * fixtures are ASCII words, the Tables.events-style assumption this
+    * note makes explicit) but a non-BMP character (emoji, astral CJK)
+    * would split into surrogate halves on the Spark side only. If a
+    * regenerated fixture ever ships astral text, switch BOTH engines to
+    * an explicit code-point grain (e.g. `regexp_extract_all(text,
+    * '(?s).', 0)` — Java regex and RE2 both match per code point)
+    * rather than papering over one side. */
   def charDiversity(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame =
     docs

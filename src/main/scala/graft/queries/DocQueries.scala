@@ -66,6 +66,41 @@ object DocQueries {
        |WHERE $reportWhere
        |GROUP BY doc_id""".stripMargin
 
+  /** Shared CTE chain of the domain-scoped line-dedup family (twin of
+    * [[graft.operators.Dedup.domainLineDedup]] at the 10-token grain):
+    * ends in `dom(source, n_docs, n_lines, n_dup_lines, kept_tokens,
+    * removed_permille)`. Mirrors [[lineDedupSql]]'s segment/hash
+    * fragments with the hot rule scoped to (source, h); MATERIALIZED
+    * because the mixture oracle reads `dom` twice (round-7 inlining
+    * gotcha). */
+  private val domainLineCtes: String =
+    s"""dtoks AS (SELECT doc_id, source, $wordsSql AS t FROM documents),
+       |dlines AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST('0x' || substr(md5('line|' ||
+       |      array_to_string(t[(i-1)*10+1:i*10], ' ')), 1, 15) AS BIGINT)
+       |      AS h,
+       |    len(t[(i-1)*10+1:i*10]) AS ntok
+       |  FROM (SELECT doc_id, source, t,
+       |          unnest(range(1, (len(t)+9)//10 + 1)) AS i FROM dtoks)),
+       |byh AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+       |    CAST(MAX(ntok) AS BIGINT) AS ntok
+       |  FROM dlines GROUP BY 1, 2),
+       |ndocs AS (SELECT source,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM dlines GROUP BY 1),
+       |dom AS MATERIALIZED (
+       |  SELECT source, n_docs, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_dup_lines,
+       |    CAST(SUM(CASE WHEN nd < 2 THEN cnt * ntok ELSE 0 END)
+       |      AS BIGINT) AS kept_tokens,
+       |    CAST(SUM(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) * 1000
+       |         // SUM(cnt) AS BIGINT) AS removed_permille
+       |  FROM byh JOIN ndocs USING (source)
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared CTE chain of the stupid-backoff scorer oracles (twin of
     * [[TextOps.trigramBackoffNll]] at the doc_id % 2 train/score
     * split): ends at a `scored` CTE with the per-doc output columns.
@@ -286,6 +321,73 @@ object DocQueries {
     Dedup.lineDedupIncrement(
       Dedup.hotLines(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
       docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
+  /** Domain-scoped line-dedup report ([[Dedup.domainLineDedup]]):
+    * hot = a 10-token segment in ≥ 2 distinct documents of the SAME
+    * source — the RefinedWeb ordering where URL/domain-grain curation
+    * precedes corpus-wide line removal, because nav/footer boilerplate
+    * is a domain-local template. `source` is the fixture's domain key.
+    * Shared (PlanCache) with [[pipeDomainMixture]], which prices
+    * domains off this report's kept-token masses. */
+  def pipeDomainLineDedup(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(Dedup.domainLineDedup(
+      Tables.documents(s, dir), "doc_id", "source", "text"))
+
+  /** Per-domain quality stratification — the panel a curation pipeline
+    * reads before setting domain sampling rates: per source, doc
+    * count, the exact summed composite quality mass (BIGINT; no mean —
+    * a mean would put a possibly-negative DIV in a compared column,
+    * the truncate-vs-floor trap), and how many docs clear the GLOBAL
+    * median composite score (exact percentile interpolation, the
+    * ccnet-buckets precedent). Rides the pinned
+    * [[docQualityComposite]] frame; the median is a 1-row broadcast
+    * (PlanGuard-allowlisted scalar). */
+  def pipeDomainQuality(s: SparkSession, dir: String): DataFrame = {
+    val scored = PlanCache.reuse(
+      docQualityComposite(s, dir).select(col("doc_id"), col("quality_score"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+              Seq("doc_id")))
+    val med = scored.agg(
+      expr("percentile(quality_score, CAST(1 AS DOUBLE)/2)").as("med"))
+    scored.crossJoin(broadcast(med))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("quality_score")).as("sum_quality"),
+           sum(when(col("quality_score") > col("med"), 1L).otherwise(0L))
+             .as("n_above_median"))
+      .withColumn("hi_permille", expr("n_above_median * 1000 DIV n_docs"))
+  }
+
+  /** Per-domain mixture plan from the domain-dedup report: each
+    * domain's post-boilerplate kept tokens vs the uniform per-domain
+    * target (total DIV n_domains) become a capped sampling weight
+    * (`weight_ppm` ≤ 10⁶ — downsample oversized domains) and a repeat
+    * count (`n_epochs`, ceil — upsample small domains), the
+    * Gopher/Dolma per-source mixture shape. All nonnegative exact
+    * integers; the target×10⁶ product rides DECIMAL(38,0) ≡ HUGEINT so
+    * web-scale token totals (≥ 10¹³) cannot hit the BIGINT cliff; a
+    * fully-boilerplate domain (kept = 0) gets weight 0 / epochs 0
+    * instead of an ANSI divide-by-zero. The totals row is a 1-row
+    * broadcast (PlanGuard-allowlisted scalar). */
+  def pipeDomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val kept = pipeDomainLineDedup(s, dir)
+      .select(col("source"), col("kept_tokens"))
+    val tot = kept.agg(sum(col("kept_tokens")).as("total_tokens"),
+                       count(lit(1)).as("n_domains"))
+    kept.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("total_tokens DIV n_domains"))
+      .withColumn("weight_ppm", expr(
+        """CASE WHEN kept_tokens = 0 THEN 0
+          | ELSE least(CAST(1000000 AS BIGINT),
+          |   CAST(target_tokens AS DECIMAL(38,0)) * 1000000 DIV kept_tokens)
+          | END""".stripMargin))
+      .withColumn("n_epochs", expr(
+        """CASE WHEN kept_tokens = 0 THEN 0
+          | ELSE (target_tokens + kept_tokens - 1) DIV kept_tokens
+          | END""".stripMargin))
+      .select(col("source"), col("kept_tokens"), col("target_tokens"),
+              col("weight_ppm"), col("n_epochs"))
   }
 
   /** Gopher REPETITION panel (Rae et al. 2021 table A1, the repetition
@@ -741,8 +843,10 @@ object DocQueries {
     * aggregation (Heaps' law); the 10-row pair table broadcasts into
     * it (disjunctive membership join — allowlisted few-row BNLJ), and
     * everything downstream is (pairs × union-vocab)-bounded. Width:
-    * n_w·lq ≤ 2·10¹⁷ per term in BIGINT, cross-type sums in
-    * DECIMAL(38,0). */
+    * n_w and n_w·lq ride DECIMAL(38,0) ≡ HUGEINT end-to-end (ADVICE
+    * r10: the former BIGINT products were a ~10⁹-words-per-language
+    * overflow cliff); the remaining BIGINT term is the 2·na·nb divisor,
+    * good to ~2.1·10⁹ words per language. */
   def textLangJsd(s: SparkSession, dir: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val wc = PlanCache.reuse(
@@ -763,10 +867,17 @@ object DocQueries {
              .as("a"),
            sum(when(col("lang") === col("lb"), col("c")).otherwise(0L))
              .as("b"))
-      .withColumn("nw", expr("a * nb + b * na"))
+      // the mixture mass and its log-term product route through
+      // DECIMAL(38,0) (≡ DuckDB HUGEINT) BEFORE any multiply: computed
+      // in BIGINT, a·N_b and n_w·lq(n_w) hit the 2⁶³ cliff (ANSI throw)
+      // once per-language totals reach ~10⁹ words — with the wide
+      // intermediates only the genuinely-bounded inputs (per-language
+      // totals < 2.1·10⁹ via the 2·na·nb divisor) constrain scale
+      .withColumn("nw",
+        expr("CAST(a AS DECIMAL(38,0)) * nb + CAST(b AS DECIMAL(38,0)) * na"))
       .groupBy(col("la"), col("lb"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_types"),
-           sum(expr(s"nw * ${lq("nw")}").cast(dec38)).as("sm"),
+           sum(expr(s"nw * ${lq("nw")}")).cast(dec38).as("sm"),
            sum(expr(s"CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END"))
              .as("sa"),
            sum(expr(s"CASE WHEN b > 0 THEN b * ${lq("b")} ELSE 0 END"))
@@ -1603,7 +1714,12 @@ object DocQueries {
       // doc_quality_composite (alphabetically ~60 queries apart —
       // FIFO reuse would evict the frames before the text_* consumers)
       "char_entropy" -> PlanCache.pin(textCharEntropy(s, dir)),
-      "ttr_segmental" -> PlanCache.pin(textTtrSegmental(s, dir)))
+      "ttr_segmental" -> PlanCache.pin(textTtrSegmental(s, dir)),
+      // consumed by text_trigram_backoff AND pipe_ccnet_buckets, which
+      // sit far apart in bench order: at r10's MaxLive the FIFO dropped
+      // the reuse()d scorer in between and BOTH consumers paid the full
+      // ~2.5-3 s build (VERDICT r10 #3)
+      "trigram_scored" -> PlanCache.pin(trigramScored(s, dir)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1664,6 +1780,9 @@ object DocQueries {
     "pipe_line_dedup"     -> (pipeLineDedup _),
     "pipe_para_dedup"     -> (pipeParaDedup _),
     "pipe_line_dedup_incr" -> (pipeLineDedupIncr _),
+    "pipe_domain_line_dedup" -> (pipeDomainLineDedup _),
+    "pipe_domain_quality" -> (pipeDomainQuality _),
+    "pipe_domain_mixture" -> (pipeDomainMixture _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
@@ -2369,6 +2488,43 @@ object DocQueries {
     // segment grain mirrors Dedup.lineFrame (10-token "lines",
     // 50-token "paragraphs"); hot = >= 2 DISTINCT docs (C4/RefinedWeb)
     "pipe_line_dedup" -> lineDedupSql(10),
+    "pipe_domain_line_dedup" ->
+      s"""WITH $domainLineCtes
+         |SELECT source, n_docs, n_lines, n_dup_lines, kept_tokens,
+         |  removed_permille
+         |FROM dom""".stripMargin,
+    "pipe_domain_quality" ->
+      s"""WITH $charEntropyCtes,
+         |$ttrSegmentalCtes,
+         |dq AS MATERIALIZED (
+         |  SELECT e.doc_id, d.source,
+         |    e.entropy_micro + 2 * t.mean_ttr_ppm - e.simpson_ppm AS q
+         |  FROM entq e JOIN ttrq t ON e.doc_id = t.doc_id
+         |  JOIN documents d ON d.doc_id = e.doc_id),
+         |med AS (SELECT percentile_cont(CAST(1 AS DOUBLE)/2)
+         |          WITHIN GROUP (ORDER BY q) AS med FROM dq)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(q) AS BIGINT) AS sum_quality,
+         |  CAST(SUM(CASE WHEN q > med THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_above_median,
+         |  CAST(SUM(CASE WHEN q > med THEN 1 ELSE 0 END) * 1000
+         |       // COUNT(*) AS BIGINT) AS hi_permille
+         |FROM dq, med
+         |GROUP BY source""".stripMargin,
+    "pipe_domain_mixture" ->
+      s"""WITH $domainLineCtes,
+         |tot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(COUNT(*) AS BIGINT) AS n_domains FROM dom)
+         |SELECT source, kept_tokens,
+         |  total_tokens // n_domains AS target_tokens,
+         |  CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(least(CAST(1000000 AS HUGEINT),
+         |         CAST(total_tokens // n_domains AS HUGEINT) * 1000000
+         |           // kept_tokens) AS BIGINT) END AS weight_ppm,
+         |  CASE WHEN kept_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE (total_tokens // n_domains + kept_tokens - 1)
+         |            // kept_tokens END AS n_epochs
+         |FROM dom, tot""".stripMargin,
     "pipe_para_dedup" -> lineDedupSql(50),
     "pipe_line_dedup_incr" ->
       lineDedupSql(10, hotWhere = "doc_id % 5 <> 0",
@@ -2625,7 +2781,8 @@ object DocQueries {
          |    AS BIGINT) AS b
          |  FROM wc JOIN p ON wc.lang = p.la OR wc.lang = p.lb
          |  GROUP BY 1, 2, 3, 4, 5),
-         |t AS (SELECT la, lb, na, nb, a, b, a * nb + b * na AS nw FROM e),
+         |t AS (SELECT la, lb, na, nb, a, b,
+         |  CAST(a AS HUGEINT) * nb + CAST(b AS HUGEINT) * na AS nw FROM e),
          |g AS (SELECT la, lb, na, nb, CAST(COUNT(*) AS BIGINT) AS n_types,
          |  SUM(nw * ${lq("nw")}) AS sm,
          |  CAST(SUM(CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END)

@@ -1189,6 +1189,26 @@ object RelationalQueries {
       .select(col("node").as("part_node"), col("rank"))
   }
 
+  /** The graph family's cross-query shared frames, PINNED for the
+    * bench's explicitly-timed `_shared_frames` line (VERDICT r10 #1 —
+    * the 7-query graph family rebuilt its edge lists per query, and
+    * `rel_modularity` re-ran the entire 4-round LPA that
+    * `rel_label_prop` had just run, because the per-round
+    * `localCheckpoint` made CacheManager `sameResult` structurally
+    * impossible). With [[Graphs.labelPropagation]] now persisting per
+    * round ([[PlanCache.reuse]], logical plan kept), pinning the
+    * trained label frame here makes both consumers — and every
+    * co-purchase/co-ship edge subtree (`rel_kcore`,
+    * `rel_link_predict`, `rel_ppr_seeds`'s pre-weight join,
+    * `rel_triangle_count`, `rel_clustering_coeff`) — a cache hit at
+    * whatever subtree matches. */
+  def prewarmSharedFrames(s: SparkSession,
+                          dir: String): Seq[(String, DataFrame)] = Seq(
+    "co_purchase_edges" -> PlanCache.pin(coPurchaseEdges(s, dir)),
+    "co_ship_edges"     -> PlanCache.pin(coShipEdges(s, dir)),
+    "lpa_labels"        -> PlanCache.pin(
+      Graphs.labelPropagation(coPurchaseEdges(s, dir), "a", "b", rounds = 4)))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_ppr_seeds"         -> (relPprSeeds _),
     "rel_skyline"           -> (skyline _),

@@ -36,6 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "rel_cdc_asof",           // 2-row epoch table
     "pipe_mixture_plan",      // scarcest-language cap scalar
     "pipe_mixture_apply",     // same cap, applied
+    "pipe_domain_quality",    // global-median quality 1-row broadcast
+    "pipe_domain_mixture",    // (total_tokens, n_domains) 1-row broadcast
     "pipe_contamination",     // benchmark-side scalar stats
     "pipe_pack_bins",         // shard-width scalar
     "pipe_stratified_sample", // per-stratum rate table
