@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Graphs, PlanCache, Sketch, TextOps, UnigramLM}
@@ -100,6 +100,54 @@ object DocQueries {
        |         // SUM(cnt) AS BIGINT) AS removed_permille
        |  FROM byh JOIN ndocs USING (source)
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain of the Naive-Bayes classifier oracles (twin of
+    * [[nbScored]]/[[nbPred]]: even-doc_id train, odd-doc_id score,
+    * add-1 smoothing, 1e-6-grid log₂ terms, alphabetical tie-break):
+    * ends in `pred(doc_id, lang_pred)`. MATERIALIZED where referenced
+    * twice (round-7 inlining gotcha). */
+  private val nbCtes: String = {
+    def lq(x: String) =
+      s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+    s"""nw AS MATERIALIZED (
+       |  SELECT doc_id, lang, w
+       |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |nwc AS MATERIALIZED (
+       |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM nw WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |nbv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM nwc),
+       |nbnl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l
+       |         FROM nwc GROUP BY 1),
+       |nbpri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+       |          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+       |nbndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndt
+       |          FROM documents WHERE doc_id % 2 = 0),
+       |params AS (SELECT nbnl.lang,
+       |    ${lq("nd")} - ${lq("ndt")} AS prior_q,
+       |    ${lq("n_l + v")} AS lqv
+       |  FROM nbnl JOIN nbpri USING (lang), nbv, nbndt),
+       |term AS (SELECT lang, w, ${lq("c + 1")} AS t FROM nwc),
+       |ndw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+       |        FROM nw WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+       |dwsum AS (SELECT ndw.doc_id, term.lang,
+       |    CAST(SUM(k * t) AS BIGINT) AS s
+       |  FROM ndw JOIN term USING (w) GROUP BY 1, 2),
+       |dtok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_d
+       |         FROM nw WHERE doc_id % 2 = 1 GROUP BY 1),
+       |scored AS MATERIALIZED (
+       |  SELECT dtok.doc_id, p.lang,
+       |    prior_q - n_d * lqv + COALESCE(s, 0) AS score
+       |  FROM dtok CROSS JOIN params p
+       |  LEFT JOIN dwsum ON dwsum.doc_id = dtok.doc_id
+       |                 AND dwsum.lang = p.lang),
+       |best AS (SELECT doc_id, MAX(score) AS b FROM scored GROUP BY 1),
+       |pred AS MATERIALIZED (
+       |  SELECT s.doc_id, MIN(s.lang) AS lang_pred
+       |  FROM scored s JOIN best ON s.doc_id = best.doc_id
+       |                         AND s.score = best.b
+       |  GROUP BY 1)""".stripMargin
+  }
 
   /** Shared CTE chain of the stupid-backoff scorer oracles (twin of
     * [[TextOps.trigramBackoffNll]] at the doc_id % 2 train/score
@@ -649,14 +697,21 @@ object DocQueries {
     * and hits are one doc-keyed hash aggregate each over the shared
     * (PlanCache) gram frame. Docs with < 13 tokens have no grams and
     * surface as clean via the left-join coalesce. */
-  def pipeContaminationNgram(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(s, dir))
-    val g = PlanCache.reuse(
-      docs.select(col("doc_id"),
+  /** Per-doc 13-gram hash frame (md5-60 packed longs) shared by the
+    * decontamination probe and the novelty profile — ONE helper so the
+    * two consumers build the identical logical plan and CacheManager
+    * sameResult dedup fires (the round-5 shared-sketch rule). */
+  private[graft] def gram13(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir)).select(col("doc_id"),
           explode(TextOps.wordShingles(col("text"), 13)).as("g"))
         .select(col("doc_id"),
           conv(substring(md5(concat(lit("g13|"), col("g")).cast("binary")),
                          1, 15), 16, 10).cast("long").as("h")))
+
+  def pipeContaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val g = gram13(s, dir)
     val bench = g.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
     val corpus = g.filter(col("doc_id") % 10 =!= 0)
     val hits = corpus.join(bench, Seq("h"), "left_semi")
@@ -670,6 +725,135 @@ object DocQueries {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", when(col("n_hits") > 0, 1L).otherwise(0L))
   }
+
+  /** Per-source 13-gram NOVELTY profile — the memorization-risk panel a
+    * curation pipeline reads next to its dedup reports (Lee et al. 2022
+    * §5: repeated n-grams are what models memorize; a source whose
+    * grams are mostly first seen elsewhere contributes little novel
+    * signal). A distinct (doc, gram) carrier is NOVEL in the single
+    * document with the smallest doc_id carrying it (deterministic
+    * first-seen order, no timestamps needed); per source the report is
+    * doc count, gram mass, novel mass, and novelty permille. Documents
+    * with < 13 tokens carry no grams and are excluded from the panel on
+    * both engines (same convention as [[pipeContaminationNgram]]).
+    *
+    * Scale shape (100 TB): rides the shared [[gram13]] frame — one
+    * corpus-sized (doc, h) distinct + one gram-keyed aggregation for
+    * the first-carrier map (min is algebraic, map-side combined; the
+    * hot-gram skew a web corpus would have collapses into ONE row per
+    * gram before the shuffle), then doc- and source-keyed rollups. The
+    * first-carrier frame joins back by derivation, not by probing the
+    * corpus: `n_novel` per doc is a plain count over `fst` grouped by
+    * its min carrier — no second corpus pass, no gram-set broadcast. */
+  def pipeGramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dg = PlanCache.reuse(
+      gram13(s, dir).select(col("doc_id"), col("h")).distinct())
+    val fst = dg.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = fst.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("nn"))
+    val per = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    per.join(novel, Seq("doc_id"), "left")
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ng")).as("n_grams"),
+           sum(coalesce(col("nn"), lit(0L))).as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
+  }
+
+  /** 1e-6-grid log₂ term (the sanctioned transcendental quantization —
+    * both engines round the 1-ulp-divergent log to a 1e-6 integer grid
+    * BEFORE any sum, so every downstream reduction is exact-integer). */
+  private def lq6(x: Column): Column =
+    round(log2(x.cast("double")) * 1000000d).cast("long")
+
+  /** Multinomial Naive-Bayes language classifier — the trained
+    * fastText-analog quality/language filter (Joulin et al. 2016;
+    * CCNet trains exactly this shape for lang-ID): add-1-smoothed
+    * per-class word log-likelihoods + doc-count priors, trained on the
+    * even-doc_id half and scored on the odd half. All model terms ride
+    * the 1e-6 log₂ grid, so scores are exact BIGINTs and the argmax is
+    * engine-independent; the class sum needs NO zero-count (class,
+    * word) rows because an unseen word's smoothed numerator term is
+    * lq(0+1) = 0 — the decomposition
+    * `score = prior − n_tokens·lq(N_c+V) + Σ_w k_w·lq(c_wc+1)`
+    * keeps the join inner. Ties break to the alphabetically-first
+    * class via an exact-equality join back to the per-doc max (scores
+    * are integers, so the equality is safe). Zero-token documents have
+    * no score rows and are excluded (consistent on both engines).
+    *
+    * Scale shape (100 TB): the model is (class × vocab)-bounded and
+    * built by one map-side-combined aggregation; scoring is ONE
+    * word-keyed shuffle join of per-doc word counts against the term
+    * table (vocab-sized — AQE broadcasts it at fixture scale, shuffles
+    * at web scale) followed by (doc, class) and doc-keyed aggregations.
+    * The 5-row class-parameter frame rides an allowlisted broadcast
+    * BNLJ. Width: |score| ≤ n_tokens·6.4·10⁷, safe to ~1.4·10¹¹ tokens
+    * per document in BIGINT. */
+  private def nbScored(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wc = PlanCache.reuse(words.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
+    val nl = wc.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
+    val v = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val pri = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val ndt = docs.filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)).as("ndt"))
+    val params = nl.join(pri, Seq("lang"))
+      .crossJoin(broadcast(v)).crossJoin(broadcast(ndt))
+      .select(col("lang"),
+        (lq6(col("nd")) - lq6(col("ndt"))).as("prior_q"),
+        lq6(col("n_l") + col("v")).as("lqv"))
+    val term = wc.select(col("lang"), col("w"), lq6(col("c") + 1).as("t"))
+    val test = words.filter(col("doc_id") % 2 =!= 0)
+    val dw = test.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val dwSum = dw.join(term, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("t")).as("s"))
+    val docTok = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_d"))
+    PlanCache.reuse(docTok.crossJoin(broadcast(params))
+      .join(dwSum, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("prior_q") - col("n_d") * col("lqv") +
+         coalesce(col("s"), lit(0L))).as("score")))
+  }
+
+  /** Held-out (doc_id, lang_pred) from [[nbScored]]'s exact-integer
+    * argmax (max score, ties to the alphabetically-first class).
+    * Takes the raw docs frame so specs can feed a hand-computed
+    * corpus. */
+  private[graft] def nbPredFrom(docs: DataFrame): DataFrame = {
+    val scored = nbScored(docs)
+    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
+    PlanCache.reuse(scored.join(best, Seq("doc_id"))
+      .filter(col("score") === col("b"))
+      .groupBy(col("doc_id")).agg(min(col("lang")).as("lang_pred")))
+  }
+
+  /** Held-out label × prediction confusion matrix of the TRAINED
+    * Naive-Bayes classifier ([[nbScored]]) — the companion to the
+    * heuristic [[textLangConfusion]], measuring what a trained filter
+    * would actually do before it gates a corpus. */
+  def textNbConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(nbPredFrom(Tables.spread(Tables.documents(s, dir))), Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-class held-out accuracy of the Naive-Bayes classifier, in
+    * exact permille. */
+  def textNbAccuracy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(nbPredFrom(Tables.spread(Tables.documents(s, dir))), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+             .as("n_correct"))
+      .withColumn("acc_permille", expr("n_correct * 1000 DIV n_docs"))
 
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
@@ -1773,6 +1957,9 @@ object DocQueries {
     "text_winnowing"      -> (textWinnowing _),
     "pipe_contamination_winnow" -> (pipeContaminationWinnow _),
     "pipe_contamination_ngram" -> (pipeContaminationNgram _),
+    "pipe_gram_novelty"   -> (pipeGramNovelty _),
+    "text_nb_confusion"   -> (textNbConfusion _),
+    "text_nb_accuracy"    -> (textNbAccuracy _),
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
@@ -2694,6 +2881,41 @@ object DocQueries {
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN hit ON d.doc_id = hit.doc_id
          |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // first-carrier novelty over the same md5-60 13-gram frame
+    "pipe_gram_novelty" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
+         |        FROM documents)),
+         |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
+         |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM dg GROUP BY 1),
+         |nov AS (SELECT first_doc AS doc_id,
+         |          CAST(COUNT(*) AS BIGINT) AS nn FROM fst GROUP BY 1),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+         |        FROM dg GROUP BY 1)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(per.ng) AS BIGINT) AS n_grams,
+         |  CAST(SUM(COALESCE(nov.nn, 0)) AS BIGINT) AS n_novel,
+         |  CAST(SUM(COALESCE(nov.nn, 0)) * 1000 // SUM(per.ng) AS BIGINT)
+         |    AS novelty_permille
+         |FROM per JOIN documents d USING (doc_id)
+         |LEFT JOIN nov ON nov.doc_id = per.doc_id
+         |GROUP BY 1""".stripMargin,
+    "text_nb_confusion" ->
+      s"""WITH $nbCtes
+         |SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "text_nb_accuracy" ->
+      s"""WITH $nbCtes
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)
+         |    * 1000 // COUNT(*) AS BIGINT) AS acc_permille
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

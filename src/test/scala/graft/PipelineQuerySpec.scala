@@ -574,4 +574,48 @@ class PipelineQuerySpec extends SparkSpec {
       assert(rs.sortBy(_._2).toSeq == expected(q), s"query $q diverged")
     }
   }
+
+  test("NB classifier: hand-computed posterior argmax on a separable corpus") {
+    // train (even ids): class A says "aa", class B says "bb"; the held
+    // out docs (odd ids) repeat one class's word and must classify there
+    val docs = Seq(
+      (0L, "aa aa aa", "A"), (2L, "aa aa", "A"),
+      (4L, "bb bb bb", "B"), (6L, "bb bb", "B"),
+      (1L, "aa aa bb", "?"), (3L, "bb bb aa", "?"), (5L, "aa bb", "?")
+    ).toDF("doc_id", "text", "lang")
+    // replicate nbScored's math in plain scala on the 1e-6 log2 grid
+    def lq(x: Long): Long = math.round(math.log(x.toDouble) / math.log(2) * 1e6)
+    // model: V=2; A: aa=5, N=5; B: bb=5, N=5; priors 2/4 each
+    val prior = lq(2) - lq(4)
+    def score(k_aa: Long, k_bb: Long, cAa: Long, cBb: Long): Long = {
+      val n = k_aa + k_bb
+      prior - n * lq(5 + 2) + k_aa * lq(cAa + 1) + k_bb * lq(cBb + 1)
+    }
+    // doc 1 ("aa aa bb"): A's score carries 2·lq(6) vs B's 1·lq(6) → A
+    assert(score(2, 1, 5, 0) > score(2, 1, 0, 5))
+    // doc 3 ("bb bb aa") is the mirror → B
+    assert(score(1, 2, 5, 0) < score(1, 2, 0, 5))
+    // doc 5 ("aa bb") is symmetric: exact tie → alphabetical "A"
+    assert(score(1, 1, 5, 0) == score(1, 1, 0, 5))
+    val byDoc = DocQueries.nbPredFrom(docs)
+      .as[(Long, String)].collect().toMap
+    assert(byDoc == Map(1L -> "A", 3L -> "B", 5L -> "A"))
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("gram novelty: first-carrier masses reconcile with the gram universe") {
+    val out = DocQueries.pipeGramNovelty(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every distinct gram is novel in exactly ONE document, so the
+    // novel mass summed over sources = the distinct gram universe
+    val universe = DocQueries.gram13(spark, dir)
+      .select($"h").distinct().count()
+    assert(out.map(_._4).sum == universe)
+    out.foreach { case (src, nd, ng, nn, pm) =>
+      assert(nd > 0 && ng >= nn && nn >= 0, s"$src masses")
+      assert(pm == nn * 1000 / ng, s"$src permille")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
 }

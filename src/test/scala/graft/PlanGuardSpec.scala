@@ -38,6 +38,8 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_mixture_apply",     // same cap, applied
     "pipe_domain_quality",    // global-median quality 1-row broadcast
     "pipe_domain_mixture",    // (total_tokens, n_domains) 1-row broadcast
+    "text_nb_confusion",      // class-count NB param frame (|langs| rows)
+    "text_nb_accuracy",       // same trained-classifier param frame
     "pipe_contamination",     // benchmark-side scalar stats
     "pipe_pack_bins",         // shard-width scalar
     "pipe_stratified_sample", // per-stratum rate table
