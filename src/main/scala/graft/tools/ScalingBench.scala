@@ -340,18 +340,42 @@ object ScalingBench {
       val qs = cells.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"scaling","cores":$n,"fixture_sec":${f"$fixture%.3f"},"scaled_sec":${f"$scaled%.3f"},"queries":$qs,"sf":"$sfDir"}""")
-      (n, fixture, scaled)
+      (n, fixture, scaled, cells.toMap)
     }
+    val cellsByCores: Map[Int, Map[String, Double]] =
+      totals.map(t => t._1 -> t._4).toMap
 
     // speedup/efficiency from the compute-scaled subtotal; the fixture
     // subtotal is reported alongside as the per-query latency floor
     val t1 = totals.head._3
-    val rows = totals.map { case (n, fixture, t) =>
+    val rows = totals.map { case (n, fixture, t, _) =>
       val speedup = t1 / t
       s"""{"cores":$n,"scaled_sec":${f"$t%.3f"},"fixture_sec":${f"$fixture%.3f"},"speedup":${f"$speedup%.3f"},"efficiency":${f"${speedup / n}%.3f"}}"""
     }
+    // Per-query Amdahl decomposition from the sweep ENDPOINTS (needs a
+    // 1-core baseline step): solving T_n = T_1·(s + (1−s)/n) for the
+    // serial fraction, s = (n·T_n/T_1 − 1)/(n − 1). The implied 32-core
+    // ceiling 1/(s + (1−s)/n) says how much of the remaining gap is
+    // Amdahl-structural (driver barriers per exchange, codegen compile,
+    // final single-partition merges) vs noise — a row AT its ceiling
+    // cannot be improved by more cores, only by removing exchanges.
+    val serialRows =
+      if (totals.head._1 == 1 && totals.size > 1) {
+        val nMax = totals.last._1
+        val c1 = cellsByCores(1); val cn = cellsByCores(nMax)
+        ScaledPanel.map(_._1).flatMap { q =>
+          for { a <- c1.get(q); b <- cn.get(q) if a > 0 && b > 0 } yield {
+            val s = math.max(0.0, (nMax * b / a - 1) / (nMax - 1))
+            val ceil = 1.0 / (s + (1 - s) / nMax)
+            s"""{"q":"$q","t1":${f"$a%.2f"},"t$nMax":${f"$b%.2f"},"speedup":${f"${a / b}%.1f"},"serial_frac":${f"$s%.3f"},"amdahl_ceiling":${f"$ceil%.1f"}}"""
+          }
+        }
+      } else Seq.empty
+    val serialJson =
+      if (serialRows.nonEmpty) s""","serial_table":[${serialRows.mkString(",")}]"""
+      else ""
     val summary =
-      s"""{"metric":"scaling_summary","baseline_cores":${totals.head._1},"rows":[${rows.mkString(",")}],"panel":${allQueries.size},"sf":"$sfDir"}"""
+      s"""{"metric":"scaling_summary","baseline_cores":${totals.head._1},"rows":[${rows.mkString(",")}],"panel":${allQueries.size}$serialJson,"sf":"$sfDir"}"""
     println(summary)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("scaling_sweep.json"), summary.getBytes("UTF-8"))
