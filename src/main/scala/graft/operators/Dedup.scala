@@ -627,6 +627,42 @@ object Dedup {
     * count rides the same grain. Two shuffles total after the tag:
     * corpus-sized (domain, h, doc), then the tiny (domain, h) and
     * domain rollups. */
+  /** Cross-domain TEMPLATE-SHARING graph (RefinedWeb §3 observes
+    * mirror/syndication sites: the same boilerplate segments recur
+    * across domains): for each unordered domain pair, how many distinct
+    * segment hashes both carry. The curation read: a heavy edge means
+    * one of the two is a mirror/scraper whose "unique" kept tokens are
+    * another domain's content — rank edges before setting per-domain
+    * mixture weights ([[domainLineDedup]]).
+    *
+    * Scale shape: (domain, h) DISTINCT grain (corpus-sized shuffle,
+    * map-side combined), then a SELF-JOIN ON THE SEGMENT HASH — the
+    * classic pair blowup, bounded the [[jaccardPairs]] way: a hash
+    * carried by more than `maxDomains` domains (universal boilerplate —
+    * cookie banners, "all rights reserved") is dropped BEFORE the
+    * self-join, capping per-hash fan-out at maxDomains² rows, and
+    * single-domain hashes are dropped too (they form no pair). The cap
+    * is the df-cap/stop-shingle treatment, applied at domain grain
+    * where it is also semantically right: a segment on 1000 domains
+    * says nothing about any PAIR of them. */
+  def domainOverlap(df: DataFrame, idCol: String, domainCol: String,
+                    textCol: String, segTokens: Int = 10,
+                    maxDomains: Int = 20): DataFrame = {
+    val lines = lineFrame(df, idCol, textCol, segTokens)
+    val dh = reused(lines
+      .join(df.select(col(idCol), col(domainCol)), Seq(idCol))
+      .select(col(domainCol), col("h")).distinct())
+    val spread = dh.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDomains)
+      .select(col("h"))
+    val kept = reused(dh.join(spread, Seq("h"), "left_semi"))
+    kept.select(col(domainCol).as("domain_a"), col("h"))
+      .join(kept.select(col(domainCol).as("domain_b"), col("h")), Seq("h"))
+      .filter(col("domain_a") < col("domain_b"))
+      .groupBy(col("domain_a"), col("domain_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def domainLineDedup(df: DataFrame, idCol: String, domainCol: String,
                       textCol: String, segTokens: Int = 10,
                       minDocs: Int = 2): DataFrame = {

@@ -762,6 +762,49 @@ object DocQueries {
       .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
   }
 
+  /** Duplication-factor histogram — the corpus-health spectrum the
+    * C4/CCNet papers publish (how much of the corpus sits in
+    * singleton vs 2-4× vs heavy-duplicate groups): exact-dedup group
+    * sizes bucketed by power of two. The bucket is the INTEGER bit
+    * length (length(bin(n)) − 1 on both engines) — never floor(log2):
+    * a 1-ulp-low log2 at an exact power of two would flip the bucket.
+    * One hash aggregation + one ≤64-bucket rollup. */
+  def pipeDupFactorHist(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .select((length(bin(col("n_docs"))) - 1).cast("long").as("bucket"),
+              col("n_docs"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs"))
+
+  /** Cross-domain template-overlap edges ([[Dedup.domainOverlap]]) at
+    * the 10-token segment grain over the fixture's `source` domains. */
+  def pipeDomainOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.domainOverlap(Tables.documents(s, dir), "doc_id", "source",
+                        "text")
+
+  /** Per-language WordPiece FERTILITY panel — the standard
+    * tokenizer-quality metric (pieces per word; SentencePiece/mBERT
+    * evals report exactly this per language to detect under-served
+    * scripts): exact integer sums over the per-doc encode stats, plus
+    * pieces-per-char compression and the unknown-word mass. Rides the
+    * SAME trained encoder as `text_wordpiece_encode` (the vocab
+    * collects re-run but hit the PlanCache-cached word-frequency
+    * frames); one doc-keyed join + a |langs|-bounded rollup on top. */
+  def textWordpieceFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WordPiece
+      .encodeStats(Tables.documents(s, dir), "doc_id", "text")
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("n_words"),
+           sum(col("n_pieces")).as("n_pieces"),
+           sum(col("n_unk_words")).as("n_unk_words"),
+           sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility_permille", expr("n_pieces * 1000 DIV n_words"))
+      .withColumn("compression_permille",
+                  expr("n_pieces * 1000 DIV n_chars"))
+
   /** 1e-6-grid log₂ term (the sanctioned transcendental quantization —
     * both engines round the 1-ulp-divergent log to a 1e-6 integer grid
     * BEFORE any sum, so every downstream reduction is exact-integer). */
@@ -791,47 +834,67 @@ object DocQueries {
     * The 5-row class-parameter frame rides an allowlisted broadcast
     * BNLJ. Width: |score| ≤ n_tokens·6.4·10⁷, safe to ~1.4·10¹¹ tokens
     * per document in BIGINT. */
-  private def nbScored(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), col("lang"),
+  /** FROZEN NB model from a labeled training frame (doc_id, lang,
+    * text): `(params(lang, prior_q, lqv), term(lang, w, t))`. The two
+    * frames are the complete trained artifact — persist/broadcast them
+    * and [[nbClassify]] scores any future frame (or micro-batch: the
+    * streaming gate reuses exactly these) without touching the
+    * training corpus again. */
+  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
+    val words = train.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val wc = PlanCache.reuse(words.filter(col("doc_id") % 2 === 0)
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
+    val wc = PlanCache.reuse(
+      words.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
     val nl = wc.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
     val v = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
-    val pri = docs.filter(col("doc_id") % 2 === 0)
-      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
-    val ndt = docs.filter(col("doc_id") % 2 === 0)
-      .agg(count(lit(1)).as("ndt"))
+    val pri = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val ndt = train.agg(count(lit(1)).as("ndt"))
     val params = nl.join(pri, Seq("lang"))
       .crossJoin(broadcast(v)).crossJoin(broadcast(ndt))
       .select(col("lang"),
         (lq6(col("nd")) - lq6(col("ndt"))).as("prior_q"),
         lq6(col("n_l") + col("v")).as("lqv"))
     val term = wc.select(col("lang"), col("w"), lq6(col("c") + 1).as("t"))
-    val test = words.filter(col("doc_id") % 2 =!= 0)
+    (params, term)
+  }
+
+  /** Apply a frozen NB model to a docs frame → (doc_id, lang_pred):
+    * per-class exact-integer scores, argmax with ties to the
+    * alphabetically-first class (equality join back to the per-doc
+    * max — safe because scores are integers). Zero-token docs have no
+    * score rows and are excluded. Per-doc independence means the
+    * union of per-batch outputs equals one batch run for ANY
+    * partitioning of the input — the streaming-gate law
+    * (StreamingSpec). */
+  private[graft] def nbClassify(docs: DataFrame, params: DataFrame,
+                                term: DataFrame): DataFrame = {
+    val test = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
     val dw = test.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
     val dwSum = dw.join(term, Seq("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * col("t")).as("s"))
     val docTok = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_d"))
-    PlanCache.reuse(docTok.crossJoin(broadcast(params))
+    val scored = PlanCache.reuse(docTok.crossJoin(broadcast(params))
       .join(dwSum, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior_q") - col("n_d") * col("lqv") +
          coalesce(col("s"), lit(0L))).as("score")))
+    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
+    scored.join(best, Seq("doc_id"))
+      .filter(col("score") === col("b"))
+      .groupBy(col("doc_id")).agg(min(col("lang")).as("lang_pred"))
   }
 
-  /** Held-out (doc_id, lang_pred) from [[nbScored]]'s exact-integer
-    * argmax (max score, ties to the alphabetically-first class).
-    * Takes the raw docs frame so specs can feed a hand-computed
-    * corpus. */
+  /** Held-out (doc_id, lang_pred): train on the even-doc_id half,
+    * classify the odd half. Takes the raw docs frame so specs can feed
+    * a hand-computed corpus. */
   private[graft] def nbPredFrom(docs: DataFrame): DataFrame = {
-    val scored = nbScored(docs)
-    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
-    PlanCache.reuse(scored.join(best, Seq("doc_id"))
-      .filter(col("score") === col("b"))
-      .groupBy(col("doc_id")).agg(min(col("lang")).as("lang_pred")))
+    val (params, term) = nbModel(docs.filter(col("doc_id") % 2 === 0))
+    PlanCache.reuse(
+      nbClassify(docs.filter(col("doc_id") % 2 =!= 0), params, term))
   }
 
   /** Held-out label × prediction confusion matrix of the TRAINED
@@ -1960,6 +2023,9 @@ object DocQueries {
     "pipe_gram_novelty"   -> (pipeGramNovelty _),
     "text_nb_confusion"   -> (textNbConfusion _),
     "text_nb_accuracy"    -> (textNbAccuracy _),
+    "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
+    "pipe_domain_overlap" -> (pipeDomainOverlap _),
+    "text_wordpiece_fertility" -> (textWordpieceFertility _),
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
@@ -2595,6 +2661,21 @@ object DocQueries {
     "text_unigram_tokenizer" -> UnigramLM.chainSql(),
     "text_unigram_encode" -> UnigramLM.encodeSql(),
     "text_wordpiece_encode" -> graft.operators.WordPiece.encodeSql(),
+    // the per-doc encode chain as a derived table (DuckDB allows WITH
+    // inside a parenthesized subquery), rolled up per language
+    "text_wordpiece_fertility" ->
+      s"""SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(e.n_unk_words) AS BIGINT) AS n_unk_words,
+         |  CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(e.n_pieces) * 1000 // SUM(e.n_words) AS BIGINT)
+         |    AS fertility_permille,
+         |  CAST(SUM(e.n_pieces) * 1000 // SUM(e.n_chars) AS BIGINT)
+         |    AS compression_permille
+         |FROM (${graft.operators.WordPiece.encodeSql()}) e
+         |JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // formula strings are the SAME Scala vals the Spark plan parses —
     // the two engines cannot drift structurally
     "doc_bm25_topk" ->
@@ -2881,6 +2962,28 @@ object DocQueries {
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN hit ON d.doc_id = hit.doc_id
          |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // integer bit-length buckets (never floor(log2): 1-ulp-low logs at
+    // exact powers of two would flip the bucket)
+    "pipe_dup_factor_hist" ->
+      s"""WITH gg AS (SELECT md5(text) AS ch, CAST(COUNT(*) AS BIGINT) AS n
+         |            FROM documents GROUP BY 1)
+         |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(n) AS BIGINT) AS n_docs
+         |FROM gg GROUP BY 1""".stripMargin,
+    // cross-domain template sharing over the same segment-hash grain as
+    // the domain dedup family; universal boilerplate (df > 20 domains)
+    // and single-domain hashes dropped BEFORE the self-join
+    "pipe_domain_overlap" ->
+      s"""WITH $domainLineCtes,
+         |odh AS MATERIALIZED (SELECT DISTINCT source, h FROM dlines),
+         |okeep AS (SELECT h FROM odh GROUP BY h
+         |          HAVING COUNT(*) BETWEEN 2 AND 20)
+         |SELECT a.source AS domain_a, b.source AS domain_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM odh a JOIN odh b ON a.h = b.h AND a.source < b.source
+         |JOIN okeep k ON k.h = a.h
+         |GROUP BY 1, 2""".stripMargin,
     // first-carrier novelty over the same md5-60 13-gram frame
     "pipe_gram_novelty" ->
       s"""WITH g AS MATERIALIZED (

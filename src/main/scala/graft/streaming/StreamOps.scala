@@ -211,6 +211,32 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming CLASSIFICATION gate: each micro-batch of new documents
+    * is scored against a FROZEN Naive-Bayes model (the
+    * `(params, term)` artifact of
+    * [[graft.queries.DocQueries.nbModel]], trained offline) and the
+    * (doc_id, lang_pred) verdicts are handed to `sink` — the
+    * routing/filter stage a live ingestion pipeline runs before
+    * admitting a document to a language shard. State is EXTERNAL (the
+    * model frames), the query itself is stateless; the model is
+    * class×vocab-bounded so at production scale the term table is a
+    * persisted/broadcast artifact exactly like the dedup blocklist.
+    * Because classification is per-doc independent, the union of
+    * streamed outputs equals one batch [[DocQueries.nbClassify]] over
+    * the same docs for ANY micro-batch partitioning (StreamingSpec
+    * pins this). */
+  def nbClassifyGateBatch(newDocs: DataFrame, params: DataFrame,
+                          term: DataFrame)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.queries.DocQueries.nbClassify(batch, params, term),
+             batchId)
+      }
+      .start()
+
   // ------------------------------------------------------- upsert sink
 
   /** Streaming MERGE: maintain a keyed current-state table from a change

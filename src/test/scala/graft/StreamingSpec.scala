@@ -245,6 +245,40 @@ class StreamingSpec extends SparkSpec {
     assert(dups(10L) == 1L && dups(11L) == 0L && dups(12L) == 2L)
   }
 
+  test("streaming NB-classification gate equals one batch classify") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.DocQueries
+    import graft.operators.PlanCache
+    // frozen model: class A says "aa", class B says "bb"
+    val train = Seq(
+      (0L, "aa aa aa", "A"), (2L, "aa aa", "A"),
+      (4L, "bb bb bb", "B"), (6L, "bb bb", "B")
+    ).toDF("doc_id", "text", "lang")
+    val (params, term) = DocQueries.nbModel(train)
+    val (p, t) = (PlanCache.reuse(params), PlanCache.reuse(term))
+    val b1 = Seq((10L, "aa aa bb"))
+    val b2 = Seq((11L, "bb bb aa"), (12L, "aa bb"))
+    val mem = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamOps.nbClassifyGateBatch(
+        mem.toDF().toDF("doc_id", "text"), p, t) { (df, _) =>
+      val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      buf.synchronized { buf ++= rows }; ()
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.toSet
+    val batch = DocQueries.nbClassify(
+        (b1 ++ b2).toDF("doc_id", "text"), p, t)
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    // majority word wins; the symmetric doc ties to "A"
+    assert(streamed == Set(10L -> "A", 11L -> "B", 12L -> "A"))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("built-in session windows over MemoryStream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]

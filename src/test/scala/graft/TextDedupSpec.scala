@@ -722,6 +722,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out("s2") == (("s2", 2L, 4L, 0L, 12L, 0L)))
   }
 
+  test("domain overlap counts shared distinct segments, capped by spread") {
+    // 3-token segments; s1 & s2 share "a b c"; "x y z" spans all three
+    // domains and is dropped as universal boilerplate at maxDomains=2
+    val corpus = Seq(
+      (1L, "s1", "a b c x y z"),
+      (2L, "s2", "a b c x y z"),
+      (3L, "s3", "x y z q r s")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.domainOverlap(corpus, "doc_id", "source", "text",
+        segTokens = 3, maxDomains = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("s1", "s2", 1L)))
+    // raising the cap admits the universal segment into every pair
+    val all = Dedup.domainOverlap(corpus, "doc_id", "source", "text",
+        segTokens = 3, maxDomains = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(all == Set(("s1", "s2", 2L), ("s1", "s3", 1L),
+                      ("s2", "s3", 1L)))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("HLL: merge law is exact, duplicates are free, slices stay in range") {
     val keys = (1 to 4000).map(i => s"user-$i")
     def regs(ks: Seq[String]) =
