@@ -14,6 +14,61 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dupClusters(empty, "doc_a", "doc_b").count() == 0)
   }
 
+  test("NB classify: empty batch, all-unseen words, zero-token docs") {
+    import graft.queries.DocQueries
+    import graft.operators.PlanCache
+    val train = Seq((0L, "aa aa", "A"), (2L, "bb bb", "B"))
+      .toDF("doc_id", "text", "lang")
+    val (p, t) = DocQueries.nbModel(train)
+    // empty micro-batch: no rows, no ANSI throw anywhere in the chain
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DocQueries.nbClassify(empty, p, t).count() == 0)
+    // all words unseen in training: every class sum is 0, the argmax
+    // falls back to priors (equal here) -> alphabetical tie to "A"
+    val unseen = Seq((1L, "zz qq")).toDF("doc_id", "text")
+    assert(DocQueries.nbClassify(unseen, p, t)
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "A"))
+    // zero-token docs (empty text) carry no score rows
+    val blank = Seq((3L, "")).toDF("doc_id", "text")
+    assert(DocQueries.nbClassify(blank, p, t).count() == 0)
+    PlanCache.releaseAll()
+  }
+
+  test("domain overlap: single domain and short docs produce no pairs") {
+    val one = Seq((1L, "s1", "a b c d e f"), (2L, "s1", "a b c x y z"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.domainOverlap(one, "doc_id", "source", "text",
+      segTokens = 3).count() == 0)
+    // docs below one segment of tokens contribute no segment rows
+    val short = Seq((1L, "s1", "a"), (2L, "s2", "a"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.domainOverlap(short, "doc_id", "source", "text",
+        segTokens = 3)
+      .as[(String, String, Long)].collect().toSet
+    // the 1-token doc still forms ONE short segment (ceil division), so
+    // the shared segment pairs the two domains
+    assert(out == Set(("s1", "s2", 1L)))
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("gram novelty and domain overlap are repartition-invariant") {
+    import graft.queries.DocQueries
+    val dir = "/root/testdata/sf0.001"
+    val a = DocQueries.pipeGramNovelty(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    graft.operators.PlanCache.releaseAll()
+    spark.catalog.clearCache()
+    val docs2 = graft.sources.Tables.documents(spark, dir).repartition(7)
+    val dg = Dedup.domainOverlap(docs2, "doc_id", "source", "text")
+      .as[(String, String, Long)].collect().toSet
+    val dg32 = Dedup.domainOverlap(
+        graft.sources.Tables.documents(spark, dir).repartition(32),
+        "doc_id", "source", "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(dg == dg32 && a.nonEmpty)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("bloom semi join with an empty build side returns no rows") {
     val big = (1L to 50L).toDF("k")
     val none = Seq.empty[Long].toDF("sk")
