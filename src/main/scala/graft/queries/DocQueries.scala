@@ -762,6 +762,45 @@ object DocQueries {
       .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
   }
 
+  /** END-TO-END curation funnel — the survival report every corpus
+    * paper tables (RefinedWeb table 2, Dolma §2): doc and token mass
+    * remaining after each gate, applied in the canonical order
+    * quality (Gopher rules) → fuzzy dedup (jaccard-cluster losers
+    * dropped, canonical keepers kept) → decontamination (benchmark
+    * slice and 13-gram-contaminated docs dropped). One row, eight
+    * exact-integer masses; each gate is the SAME predicate its
+    * standalone report row proves ([[textGopherRules]],
+    * [[pipeDedupKeep]], [[pipeContaminationNgram]]), composed via two
+    * left joins of the (tiny) loser/contaminated id sets against one
+    * corpus pass — conditional sums, no per-stage rescans. */
+  def pipeFunnelReport(s: SparkSession, dir: String): DataFrame = {
+    val f = TextOps.gopherFlags(col("text"))
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      size(TextOps.tokenize(col("text"))).cast("long").as("n_tok"),
+      (f.getField("wl") && f.getField("lo") && f.getField("so") &&
+       f.getField("ro")).as("q"))
+    val losers = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("is_loser"))
+    val g = gram13(s, dir)
+    val bench = g.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+    val contam = g.filter(col("doc_id") % 10 =!= 0)
+      .join(bench, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    val dedupKeep = col("q") && col("is_loser").isNull
+    val fin = dedupKeep && col("doc_id") % 10 =!= 0 && col("is_contam").isNull
+    base.join(losers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_raw"), sum(col("n_tok")).as("tok_raw"),
+           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("q"), col("n_tok")).otherwise(0L)).as("tok_quality"),
+           sum(when(dedupKeep, 1L).otherwise(0L)).as("n_dedup"),
+           sum(when(dedupKeep, col("n_tok")).otherwise(0L)).as("tok_dedup"),
+           sum(when(fin, 1L).otherwise(0L)).as("n_final"),
+           sum(when(fin, col("n_tok")).otherwise(0L)).as("tok_final"))
+  }
+
   /** Duplication-factor histogram — the corpus-health spectrum the
     * C4/CCNet papers publish (how much of the corpus sits in
     * singleton vs 2-4× vs heavy-duplicate groups): exact-dedup group
@@ -2026,6 +2065,7 @@ object DocQueries {
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
+    "pipe_funnel_report"  -> (pipeFunnelReport _),
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
@@ -2055,6 +2095,19 @@ object DocQueries {
   private val nTok = s"len($wordsSql)"
   private val avgWl = s"CAST(length(text) - ($nTok - 1) AS DOUBLE) / $nTok"
   private val stopCnt = sqlWordHits(TextOps.EnglishStopwords)
+
+  /** Gopher flag projections (twin of [[TextOps.gopherFlags]]) — ONE
+    * source for the per-flag report oracle and the funnel's composed
+    * quality gate, so the two cannot drift. */
+  private val gopherFlagsSelSql: String = {
+    val stopd = s"len(list_filter(list_distinct($wordsSql), " +
+      s"w_ -> list_contains(${sqlList(TextOps.EnglishStopwords)}, w_)))"
+    val chars = s"(length(text) - ($nTok - 1))"
+    s"""$chars >= 3 * $nTok AND $chars <= 10 * $nTok AS wl,
+       |    $nTok >= 50 AS lo,
+       |    $stopd >= 2 AS so,
+       |    ($nTok - len(list_distinct($wordsSql))) * 5 <= $nTok * 2 AS ro""".stripMargin
+  }
 
   /** MinHash layout constants — the SINGLE source for both the Spark call
     * (dedupMinHashPairs) and the generated oracle SQL below. */
@@ -2732,10 +2785,7 @@ object DocQueries {
          |SELECT doc_id, n_bigrams,
          |  round(-(CAST(s6 AS DOUBLE) / 1000000.0) / n_bigrams, 6) AS nll
          |FROM d""".stripMargin,
-    "text_gopher_rules" -> {
-      val stopd = s"len(list_filter(list_distinct($wordsSql), " +
-        s"w_ -> list_contains(${sqlList(TextOps.EnglishStopwords)}, w_)))"
-      val chars = s"(length(text) - ($nTok - 1))"
+    "text_gopher_rules" ->
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN wl THEN 0 ELSE 1 END) AS BIGINT) AS n_wordlen_fail,
          |  CAST(SUM(CASE WHEN lo THEN 0 ELSE 1 END) AS BIGINT) AS n_len_fail,
@@ -2746,13 +2796,9 @@ object DocQueries {
          |  CAST(SUM(CASE WHEN wl AND lo AND so AND ro THEN 1 ELSE 0 END) * 1000
          |       // COUNT(*) AS BIGINT) AS clean_permille
          |FROM (SELECT source,
-         |    $chars >= 3 * $nTok AND $chars <= 10 * $nTok AS wl,
-         |    $nTok >= 50 AS lo,
-         |    $stopd >= 2 AS so,
-         |    ($nTok - len(list_distinct($wordsSql))) * 5 <= $nTok * 2 AS ro
+         |    $gopherFlagsSelSql
          |  FROM documents)
-         |GROUP BY source""".stripMargin
-    },
+         |GROUP BY source""".stripMargin,
     // segment grain mirrors Dedup.lineFrame (10-token "lines",
     // 50-token "paragraphs"); hot = >= 2 DISTINCT docs (C4/RefinedWeb)
     "pipe_line_dedup" -> lineDedupSql(10),
@@ -2962,6 +3008,56 @@ object DocQueries {
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN hit ON d.doc_id = hit.doc_id
          |WHERE d.doc_id % 10 <> 0""".stripMargin,
+    // the composed funnel: every gate is byte-identical to its
+    // standalone report's predicate (gopher flags / jaccard-cluster
+    // losers / 13-gram contamination), so the masses reconcile with
+    // those rows by construction
+    "pipe_funnel_report" ->
+      s"""WITH RECURSIVE
+         |fb AS (SELECT doc_id,
+         |    CAST($nTok AS BIGINT) AS n_tok,
+         |    (wl AND lo AND so AND ro) AS q
+         |  FROM (SELECT doc_id, text,
+         |    $gopherFlagsSelSql
+         |  FROM documents)),
+         |pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
+         |        FROM documents)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM g
+         |           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
+         |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN q THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_quality,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dedup,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS tok_dedup,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL AND doc_id % 10 <> 0
+         |                 AND C IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_final,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL AND doc_id % 10 <> 0
+         |                 AND C IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_final
+         |FROM fb
+         |LEFT JOIN (SELECT doc_id, 1 AS L FROM losers) lo USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, 1 AS C FROM contam) ct USING (doc_id)""".stripMargin,
     // integer bit-length buckets (never floor(log2): 1-ulp-low logs at
     // exact powers of two would flip the bucket)
     "pipe_dup_factor_hist" ->

@@ -575,6 +575,24 @@ class PipelineQuerySpec extends SparkSpec {
     }
   }
 
+  test("funnel masses reconcile with the standalone gate reports") {
+    val r = DocQueries.pipeFunnelReport(spark, dir).collect()(0)
+    val Seq(nRaw, tokRaw, nQ, tokQ, nD, tokD, nF, tokF) =
+      (0 until 8).map(r.getLong)
+    // monotone: every gate only removes mass (at sf0.001 the ≥50-token
+    // Gopher length rule legitimately zeroes the downstream stages —
+    // positivity is NOT an invariant of the funnel, monotonicity is)
+    assert(nRaw >= nQ && nQ >= nD && nD >= nF && nRaw > 0)
+    assert(tokRaw >= tokQ && tokQ >= tokD && tokD >= tokF)
+    // stage 0/1 reconcile with the corpus and the gopher report
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(nRaw == docs.count())
+    val clean = DocQueries.textGopherRules(spark, dir)
+      .agg(sum($"n_clean")).as[Long].collect()(0)
+    assert(nQ == clean)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("NB classifier: hand-computed posterior argmax on a separable corpus") {
     // train (even ids): class A says "aa", class B says "bb"; the held
     // out docs (odd ids) repeat one class's word and must classify there
