@@ -78,12 +78,36 @@ object Bench {
     // 10x per-query history jumps while family totals stayed flat).
     // Pinning them here makes every family timing steady-state; the
     // build cost still counts — in this labeled entry.
+    // Per-pin attribution (VERDICT r11 #4: the prewarm line grew to the
+    // single most expensive bench entry with no per-pin data to decide
+    // the next pin). Records, across all prewarm invocations, the MAX
+    // seconds per pin (the cold build; warm re-prewarms are ~0) plus
+    // each family's frame-CONSTRUCTION cost (eager size probes — the
+    // guardedBroadcast counts — run at construction, before any pin
+    // materializes). Written into bench_detail.json as "shared_pins".
+    val pinSecs = scala.collection.mutable.Map.empty[String, Double]
+    def recordMax(k: String, sec: Double): Unit =
+      pinSecs(k) = math.max(pinSecs.getOrElse(k, 0.0), sec)
     def prewarm(): Unit =
-      try (graft.queries.DocQueries.prewarmSharedFrames(spark, sfDir) ++
-           graft.queries.VectorQueries.prewarmSharedFrames(spark, sfDir) ++
-           graft.queries.RelationalQueries.prewarmSharedFrames(spark, sfDir))
-        .foreach(_._2.queryExecution.toRdd.count())
-      catch { case _: Throwable => () }
+      try {
+        def fam(tag: String,
+                f: => Seq[(String, org.apache.spark.sql.DataFrame)])
+            : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+          val t0 = System.nanoTime()
+          val frames = f
+          recordMax(s"_build_$tag", (System.nanoTime() - t0) / 1e9)
+          frames
+        }
+        (fam("doc", graft.queries.DocQueries.prewarmSharedFrames(spark, sfDir)) ++
+         fam("vec", graft.queries.VectorQueries.prewarmSharedFrames(spark, sfDir)) ++
+         fam("rel", graft.queries.RelationalQueries.prewarmSharedFrames(spark, sfDir)) ++
+         fam("evt", graft.queries.EventQueries.prewarmSharedFrames(spark, sfDir)))
+          .foreach { case (name, df) =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            recordMax(name, (System.nanoTime() - t0) / 1e9)
+          }
+      } catch { case _: Throwable => () }
     // One timing pass over the registry: timed prewarm + first pass +
     // outlier retries. Host CPU-steal bursts spike individual queries
     // 5-10x over their steady state (measured: same query 1.5s and 12.4s
@@ -150,7 +174,7 @@ object Bench {
     // harness's bounded tail capture) and persisted next to the build.
     val perPass = passes.map(p => fmt(sortByName(p._1))).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"detail","value":$total,"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"queries":${fmt(sortByName(qResults))},"median":${fmt(sortByName(medians - "_shared_frames"))},"runs":$perPass,"retried":$retried,"plan_cache":$cacheStats,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":$total,"unit":"sec","n_queries":${qResults.size},"n_runs":$nRuns,"shared_frames_sec":${f"$sharedSec%.3f"},"shared_pins":${fmt(pinSecs.toSeq.sortBy(_._1))},"queries":${fmt(sortByName(qResults))},"median":${fmt(sortByName(medians - "_shared_frames"))},"runs":$perPass,"retried":$retried,"plan_cache":$cacheStats,"sf":"$sfDir"}"""
     println(detail)
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")

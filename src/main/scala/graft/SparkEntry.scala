@@ -31,6 +31,7 @@ object SparkEntry {
     (CdcQueries.registry, CdcQueries.oracles),
     (AnalyticsQueries.registry, AnalyticsQueries.oracles),
     (DocQueries.registry, DocQueries.oracles),
+    (PiiQueries.registry, PiiQueries.oracles),
     (VectorQueries.registry, VectorQueries.oracles),
     (EventQueries.registry, EventQueries.oracles),
     (MediaQueries.registry, MediaQueries.oracles),

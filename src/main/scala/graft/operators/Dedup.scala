@@ -42,7 +42,15 @@ object Dedup {
     * to a shuffle join/anti-join on the blocklist key — co-partitioned
     * with the aggregation exchange that built the blocklist, so the
     * fallback adds no new corpus-keyed shuffle. Correctness is
-    * strategy-invariant (spec-pinned via the executed-plan flip test). */
+    * strategy-invariant (spec-pinned via the executed-plan flip test).
+    *
+    * NOTE (ADVICE r11): the guard's `count()` is an EAGER Spark job at
+    * DataFrame-construction time — callers ([[jaccardPairs]],
+    * [[containmentPairs]], [[lineDedup]]) are therefore not lazy plan
+    * builders: each call triggers the full upstream shingle aggregation
+    * (and persists the hot frame, occupying a PlanCache slot) even if
+    * the returned frame is never executed. Construct once, reuse the
+    * result. */
   private def guardedBroadcast(df: DataFrame, maxRows: Long): DataFrame = {
     val cached = reused(df)
     if (cached.count() <= maxRows) broadcast(cached) else cached
@@ -150,6 +158,11 @@ object Dedup {
     "minhash_sigs" -> PlanCache.pin(minHashSignatures(df, idCol, textCol, 3, 12)),
     "simhash"      -> PlanCache.pin(simHashSketch(df, idCol, textCol)))
 
+  /** Symmetric Jaccard near-dup pairs over distinct shingle sets via an
+    * inverted-index self-join (stop-shingle capped). NOT a lazy plan
+    * builder: construction runs the [[guardedBroadcast]] size probe
+    * (one eager count over the hot-shingle frame) — see the guard's
+    * scaladoc. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = 1000,
@@ -203,7 +216,8 @@ object Dedup {
     * (documented lossy stop-shingle bound — identical caveat). The
     * directed join emits both orders from one shuffle (no union, no
     * second scan); containment is one int/int double division —
-    * bit-exact cross-engine. */
+    * bit-exact cross-engine. Like [[jaccardPairs]], construction is
+    * EAGER (the [[guardedBroadcast]] size probe runs a count job). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, minContainment: Double = 0.8,
                        maxShingleDf: Int = 1000,

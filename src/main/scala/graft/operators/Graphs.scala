@@ -837,13 +837,80 @@ object Graphs {
     * Lineage is truncated per round (`localCheckpoint`) per the
     * iterative-DataFrame rule ([[pageRankSql]]); `weightCol` is
     * truncated to long (fractional weights need pre-scaling by the
-    * caller). */
+    * caller).
+    *
+    * Two cores, one recurrence (spec-pinned identical):
+    *  - DENSE driver core when the materialized edge list is ≤
+    *    `denseMaxEdges` rows (one count probe over the cached frame —
+    *    construction is EAGER, like [[Dedup]]'s guarded broadcasts).
+    *    HITS scores a WHOLE graph at once, so a bounded edge list is a
+    *    bounded driver object (the vocab-collect rule); the loop then
+    *    pays ZERO per-round exchanges where the DataFrame loop paid ~4
+    *    AQE barriers + 2 checkpoints per round for a dozens-of-nodes
+    *    digraph (VERDICT r11 #1, evt_hits). The corpus-scale work —
+    *    building the edge aggregate — stays distributed in the caller.
+    *  - DataFrame loop otherwise (web-scale graphs): the shape
+    *    documented above. JVM `/` on the dense path ≡ Spark `DIV`
+    *    (both truncate toward zero; operands here are nonnegative). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            weightCol: String, iters: Int,
-           scale: Long = 1000000L): DataFrame = {
+           scale: Long = 1000000L,
+           denseMaxEdges: Long = 65536L): DataFrame = {
     val e = PlanCache.reuse(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                    col(weightCol).cast("long").as("w")))
+    if (e.count() <= denseMaxEdges)
+      hitsDense(e, edges.schema(srcCol).dataType, iters, scale)
+    else hitsSql(e, iters, scale)
+  }
+
+  /** Driver-dense HITS core: the [[hits]] integer recurrence over a
+    * collected (src, dst, w) edge array. Node identity is JVM
+    * equals/hashCode (string or integral ids); output preserves the
+    * input node type. Long sums are order-independent, so the result is
+    * deterministic regardless of collect order. */
+  private def hitsDense(e: DataFrame,
+                        nodeType: org.apache.spark.sql.types.DataType,
+                        iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // ≤ denseMaxEdges by the caller's probe
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r => nodes += r.get(0); nodes += r.get(1) }
+    val idx = nodes.iterator.zipWithIndex.toMap
+    val es = rows.map(r => (idx(r.get(0)), idx(r.get(1)), r.getLong(2)))
+    val n = nodes.size
+    var hub = Array.fill(n)(scale)
+    var auth = Array.fill(n)(scale)
+    // zero guard mirrors the SQL path: an all-zero raw total (possible
+    // when weightCol truncates to zero) emits 0 scores — the
+    // empty-graph fixed point — instead of dividing by zero
+    def l1(raw: Array[Long]): Array[Long] = {
+      val tot = raw.sum
+      if (tot == 0L) Array.fill(n)(0L) else raw.map(_ * scale / tot)
+    }
+    for (_ <- 1 to iters) {
+      val araw = new Array[Long](n)
+      es.foreach { case (s, d, w) => araw(d) += hub(s) * w }
+      auth = l1(araw)
+      val hraw = new Array[Long](n)
+      es.foreach { case (s, d, w) => hraw(s) += auth(d) * w }
+      hub = l1(hraw)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType)))
+    val out = nodes.iterator.zipWithIndex.map { case (nd, i) =>
+      org.apache.spark.sql.Row(nd, auth(i), hub(i)) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
+  /** DataFrame formulation of the [[hits]] recurrence — the
+    * web-scale path, and the reference the dense core is spec-pinned
+    * against. `e` is the caller's cached (src, dst, w) frame. */
+  private def hitsSql(e: DataFrame, iters: Int, scale: Long): DataFrame = {
     val nodes = PlanCache.reuse(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     // zero guard mirrors powerIteration's m === 0 case: an all-zero (or

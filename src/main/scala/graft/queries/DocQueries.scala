@@ -141,7 +141,8 @@ object DocQueries {
        |  FROM dtok CROSS JOIN params p
        |  LEFT JOIN dwsum ON dwsum.doc_id = dtok.doc_id
        |                 AND dwsum.lang = p.lang),
-       |best AS (SELECT doc_id, MAX(score) AS b FROM scored GROUP BY 1),
+       |best AS MATERIALIZED (
+       |  SELECT doc_id, MAX(score) AS b FROM scored GROUP BY 1),
        |pred AS MATERIALIZED (
        |  SELECT s.doc_id, MIN(s.lang) AS lang_pred
        |  FROM scored s JOIN best ON s.doc_id = best.doc_id
@@ -840,9 +841,15 @@ object DocQueries {
            sum(col("n_pieces")).as("n_pieces"),
            sum(col("n_unk_words")).as("n_unk_words"),
            sum(col("n_chars")).as("n_chars"))
-      .withColumn("fertility_permille", expr("n_pieces * 1000 DIV n_words"))
+      // ANSI: a language whose encoded half yields only empty tokens
+      // would have n_words = n_chars = 0 — guard like encodeStats'
+      // pieces_permille instead of throwing (ADVICE r11)
+      .withColumn("fertility_permille",
+        when(col("n_words") > 0, expr("n_pieces * 1000 DIV n_words"))
+          .otherwise(lit(0L)))
       .withColumn("compression_permille",
-                  expr("n_pieces * 1000 DIV n_chars"))
+        when(col("n_chars") > 0, expr("n_pieces * 1000 DIV n_chars"))
+          .otherwise(lit(0L)))
 
   /** 1e-6-grid log₂ term (the sanctioned transcendental quantization —
     * both engines round the 1-ulp-divergent log to a 1e-6 integer grid
@@ -908,6 +915,19 @@ object DocQueries {
     * (StreamingSpec). */
   private[graft] def nbClassify(docs: DataFrame, params: DataFrame,
                                 term: DataFrame): DataFrame = {
+    val scored = nbScored(docs, params, term)
+    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
+    scored.join(best, Seq("doc_id"))
+      .filter(col("score") === col("b"))
+      .groupBy(col("doc_id")).agg(min(col("lang")).as("lang_pred"))
+  }
+
+  /** The per-(doc, class) exact-integer score frame of [[nbClassify]],
+    * exposed for calibration analyses (reuse'd — the classify argmax
+    * and the calibration margins share one build via CacheManager
+    * sameResult). */
+  private[graft] def nbScored(docs: DataFrame, params: DataFrame,
+                              term: DataFrame): DataFrame = {
     val test = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -916,15 +936,19 @@ object DocQueries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * col("t")).as("s"))
     val docTok = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_d"))
-    val scored = PlanCache.reuse(docTok.crossJoin(broadcast(params))
+    PlanCache.reuse(docTok.crossJoin(broadcast(params))
       .join(dwSum, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior_q") - col("n_d") * col("lqv") +
          coalesce(col("s"), lit(0L))).as("score")))
-    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
-    scored.join(best, Seq("doc_id"))
-      .filter(col("score") === col("b"))
-      .groupBy(col("doc_id")).agg(min(col("lang")).as("lang_pred"))
+  }
+
+  /** Held-out scored frame on the same even/odd split as
+    * [[nbPredFrom]] (identical plan construction → CacheManager
+    * sameResult dedups the build between the two). */
+  private[graft] def nbScoredFrom(docs: DataFrame): DataFrame = {
+    val (params, term) = nbModel(docs.filter(col("doc_id") % 2 === 0))
+    nbScored(docs.filter(col("doc_id") % 2 =!= 0), params, term)
   }
 
   /** Held-out (doc_id, lang_pred): train on the even-doc_id half,
@@ -956,6 +980,41 @@ object DocQueries {
            sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
              .as("n_correct"))
       .withColumn("acc_permille", expr("n_correct * 1000 DIV n_docs"))
+
+  /** Reliability panel of the trained Naive-Bayes classifier —
+    * predicted-margin buckets vs observed held-out accuracy, the
+    * calibration check every curation paper runs before thresholding
+    * a quality/language classifier (CCNet keeps only docs whose
+    * classifier margin clears a bucket-calibrated cut). Margin =
+    * best score − runner-up score (exact BIGINTs on the 1e-6 log₂
+    * grid; ties → 0); buckets are the INTEGER bit length of the
+    * margin (`length(bin(m)) − 1`, the [[pipeDupFactorHist]] rule —
+    * never floor(log2)). Rides the SAME reuse'd scored frame as
+    * [[nbPredFrom]] (identical construction → CacheManager
+    * sameResult), so no second training pass; the rollup is one
+    * ≤64-bucket aggregation. */
+  def textNbCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = nbScoredFrom(Tables.spread(Tables.documents(s, dir)))
+    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
+    val marg = scored.join(best, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(max(when(col("score") < col("b"), col("score"))).as("s2"),
+           min(when(col("score") === col("b"), col("lang"))).as("lang_pred"))
+      .withColumn("margin", col("b") - coalesce(col("s2"), col("b")))
+    marg
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+      .select((length(bin(col("margin"))) - 1).cast("long").as("bucket"),
+              when(col("lang") === col("lang_pred"), 1L).otherwise(0L)
+                .as("ok"),
+              col("margin"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ok")).as("n_correct"),
+           min(col("margin")).as("min_margin"),
+           max(col("margin")).as("max_margin"))
+      .withColumn("acc_permille", expr("n_correct * 1000 DIV n_docs"))
+  }
 
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
@@ -2062,6 +2121,7 @@ object DocQueries {
     "pipe_gram_novelty"   -> (pipeGramNovelty _),
     "text_nb_confusion"   -> (textNbConfusion _),
     "text_nb_accuracy"    -> (textNbAccuracy _),
+    "text_nb_calibration" -> (textNbCalibration _),
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
@@ -2722,10 +2782,12 @@ object DocQueries {
          |  CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
          |  CAST(SUM(e.n_unk_words) AS BIGINT) AS n_unk_words,
          |  CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
-         |  CAST(SUM(e.n_pieces) * 1000 // SUM(e.n_words) AS BIGINT)
-         |    AS fertility_permille,
-         |  CAST(SUM(e.n_pieces) * 1000 // SUM(e.n_chars) AS BIGINT)
-         |    AS compression_permille
+         |  CAST(CASE WHEN SUM(e.n_words) > 0
+         |       THEN SUM(e.n_pieces) * 1000 // SUM(e.n_words)
+         |       ELSE 0 END AS BIGINT) AS fertility_permille,
+         |  CAST(CASE WHEN SUM(e.n_chars) > 0
+         |       THEN SUM(e.n_pieces) * 1000 // SUM(e.n_chars)
+         |       ELSE 0 END AS BIGINT) AS compression_permille
          |FROM (${graft.operators.WordPiece.encodeSql()}) e
          |JOIN documents d USING (doc_id)
          |GROUP BY 1""".stripMargin,
@@ -3115,6 +3177,29 @@ object DocQueries {
          |    * 1000 // COUNT(*) AS BIGINT) AS acc_permille
          |FROM documents d JOIN pred p USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // margin = best − runner-up (exact BIGINTs); bit-length buckets
+    // (the pipe_dup_factor_hist rule — never floor(log2))
+    "text_nb_calibration" ->
+      s"""WITH $nbCtes,
+         |snd AS (SELECT s.doc_id, MAX(s.score) AS s2
+         |        FROM scored s JOIN best USING (doc_id)
+         |        WHERE s.score < best.b GROUP BY 1),
+         |marg AS (SELECT best.doc_id,
+         |           CAST(best.b - COALESCE(snd.s2, best.b) AS BIGINT)
+         |             AS margin
+         |         FROM best LEFT JOIN snd USING (doc_id)),
+         |mb AS (SELECT m.doc_id,
+         |         CAST(length(bin(m.margin)) - 1 AS BIGINT) AS bucket,
+         |         m.margin,
+         |         CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END AS ok
+         |       FROM marg m JOIN pred p USING (doc_id)
+         |       JOIN documents d USING (doc_id))
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ok) AS BIGINT) AS n_correct,
+         |  CAST(MIN(margin) AS BIGINT) AS min_margin,
+         |  CAST(MAX(margin) AS BIGINT) AS max_margin,
+         |  CAST(SUM(ok) * 1000 // COUNT(*) AS BIGINT) AS acc_permille
+         |FROM mb GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

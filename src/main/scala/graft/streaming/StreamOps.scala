@@ -228,12 +228,39 @@ object StreamOps {
   def nbClassifyGateBatch(newDocs: DataFrame, params: DataFrame,
                           term: DataFrame)
                          (sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // PIN (not reuse) the frozen model: nbClassify PlanCache.reuse()s
+    // each batch's scored frame, and after ~MaxLive batches the FIFO
+    // would evict (and unpersist) reuse()d model frames — every later
+    // batch then silently re-runs the full training aggregation. Pinned
+    // frames are exempt until releaseAll (ADVICE r11).
+    graft.operators.PlanCache.pin(params)
+    graft.operators.PlanCache.pin(term)
     newDocs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.queries.DocQueries.nbClassify(batch, params, term),
              batchId)
+      }
+      .start()
+  }
+
+  /** Streaming PII gate: each micro-batch of new documents runs the
+    * scan+redact rule families ([[graft.operators.Pii]]) and hands the
+    * per-doc stats rows ([[graft.queries.PiiQueries.docStatsFor]] —
+    * counts per family, char/token masses before/after, redacted flag)
+    * to `sink` — the admission scrubber a live ingestion pipeline runs
+    * before a document reaches the corpus store. Entirely STATELESS
+    * (pure per-row map work, no model, no blocklist), so the union of
+    * streamed outputs equals one batch pass for ANY micro-batch
+    * partitioning (StreamingSpec pins this). */
+  def piiScanGateBatch(newDocs: DataFrame)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.queries.PiiQueries.docStatsFor(batch), batchId)
       }
       .start()
 

@@ -163,6 +163,31 @@ class GraphsSpec extends SparkSpec {
     assert(sh <= 1000000L && sh > 1000000L - r.size)
   }
 
+  test("hits: dense driver core ≡ DataFrame loop on a 200-node digraph") {
+    // the two cores run the same integer recurrence; denseMaxEdges = 0
+    // forces the distributed path, the default takes the dense one
+    val edges = (1 to 600).map { i =>
+      (s"n${i % 200}", s"n${(i * 7 + 3) % 200}", (i % 5 + 1).toLong)
+    }.filter { case (u, v, _) => u != v }
+    val df = edges.toDF("src", "dst", "w")
+    def m(res: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      res.as[(String, Long, Long)].collect()
+        .map { case (n, a, h) => n -> (a, h) }.toMap
+    val dense = m(Graphs.hits(df, "src", "dst", "w", iters = 2))
+    val sql = m(Graphs.hits(df, "src", "dst", "w", iters = 2,
+                            denseMaxEdges = 0L))
+    assert(dense == sql)
+    assert(dense.nonEmpty)
+  }
+
+  test("hits: dense core preserves an integral node type") {
+    val df = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "w")
+    val r = Graphs.hits(df, "src", "dst", "w", iters = 1)
+    assert(r.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(r.count() == 3L)
+  }
+
   test("shortest hops: chain distances, min over paths, frontier cutoff") {
     import org.apache.spark.sql.functions.col
     def hops(edges: Seq[(String, String)], rounds: Int): Map[String, Option[Long]] =

@@ -40,6 +40,7 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_domain_mixture",    // (total_tokens, n_domains) 1-row broadcast
     "text_nb_confusion",      // class-count NB param frame (|langs| rows)
     "text_nb_accuracy",       // same trained-classifier param frame
+    "text_nb_calibration",    // same scored frame (params broadcast)
     "pipe_contamination",     // benchmark-side scalar stats
     "pipe_pack_bins",         // shard-width scalar
     "pipe_stratified_sample", // per-stratum rate table

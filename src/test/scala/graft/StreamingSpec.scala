@@ -279,6 +279,36 @@ class StreamingSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("streaming PII gate equals one batch scan+redact") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.PiiQueries
+    // ids chosen so every rule family fires across the batch split:
+    // 3 → email, 5 → phone, 7 → ip, 33 → email+id9, 1 → nothing
+    val b1 = Seq((3L, "s1", "hello world"), (1L, "s2", "no pii here"))
+    val b2 = Seq((5L, "s1", "plain text"), (7L, "s2", "x"),
+                 (33L, "s1", "mixed doc"))
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.piiScanGateBatch(
+        mem.toDF().toDF("doc_id", "source", "text")) { (df, _) =>
+      val rows = df.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }; ()
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.toSet
+    val batch = PiiQueries.docStatsFor((b1 ++ b2).toDF(
+        "doc_id", "source", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 5)
+    // the families really fired across the split
+    val byId = buf.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(3L)(2) == 1L, "doc 3 email")
+    assert(byId(33L)(5) == 1L, "doc 33 id9")
+    assert(byId(1L).slice(2, 6).forall(_ == 0L), "doc 1 clean")
+  }
+
   test("built-in session windows over MemoryStream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
