@@ -268,6 +268,57 @@ object ScalingBench {
                sum(col("n_stage2")).as("total_stage2"),
                sum(col("n_complete")).as("total_complete"))
       }),
+      // round-11 domain-grain curation family: domainLineDedup's shape
+      // over 256x documents with DISTINCT per-copy doc ids but the
+      // FIXED 20-source domain set — corpus growth at constant domain
+      // cardinality, exactly how a cluster sees it (RefinedWeb §3: the
+      // web has ~bounded registrable domains vs unbounded pages). The
+      // measured body: segment explode + md5-60 line hash, the
+      // corpus-sized (domain, h, doc) value-grain pre-aggregation, then
+      // the tiny (domain, h) and domain rollups — two shuffles past the
+      // tag, no count_distinct Expand, no broadcast. Built inline
+      // WITHOUT PlanCache (the scaled_line_dedup rule: persisting a
+      // replicated multi-GB grain frame would measure cache I/O, not
+      // the operator).
+      "scaled_domain_dedup" -> ((s: SparkSession, dir: String) => {
+        val n = 256
+        val w = 10
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("doc_id") * n + col("id")).as("doc_id"),
+                  col("source"), col("text"))
+        val lines = docs
+          .select(col("doc_id"), col("source"),
+                  graft.operators.TextOps.tokenize(col("text")).as("t"))
+          .withColumn("nseg", expr(s"(size(t) + ${w - 1}) DIV $w"))
+          .select(col("doc_id"), col("source"), col("t"),
+            explode(when(col("nseg") >= 1, sequence(lit(1), col("nseg")))
+              .otherwise(array().cast("array<int>"))).as("ln"))
+          .select(col("doc_id"), col("source"),
+            conv(substring(md5(concat(lit("line|"), concat_ws(" ",
+                slice(col("t"), (col("ln") - 1) * lit(w) + lit(1), lit(w))))
+              .cast("binary")), 1, 15), 16, 10).cast("long").as("h"),
+            size(slice(col("t"), (col("ln") - 1) * lit(w) + lit(1), lit(w)))
+              .cast("long").as("ntok"))
+        val grain = lines
+          .groupBy(col("source"), col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("c"), max(col("ntok")).as("ntok"))
+        val byHash = grain
+          .groupBy(col("source"), col("h"))
+          .agg(sum(col("c")).as("cnt"), count(lit(1)).as("nd"),
+               max(col("ntok")).as("ntok"))
+        byHash.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_lines"),
+               sum(when(col("nd") >= 2, col("cnt")).otherwise(0L))
+                 .as("n_dup_lines"),
+               sum(when(col("nd") < 2, col("cnt") * col("ntok"))
+                     .otherwise(0L)).as("kept_tokens"))
+          .agg(count(lit(1)).as("n_domains"),
+               sum(col("n_lines")).as("n_lines"),
+               sum(col("n_dup_lines") % lit(1000003L)).as("chk"))
+      }),
       // round-10 quality-filter family: char-diversity over 256x
       // documents with DISTINCT per-copy doc ids — the (doc, char)
       // explode + two map-side-combined hash aggregations is the
