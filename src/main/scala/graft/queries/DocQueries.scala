@@ -1883,6 +1883,39 @@ object DocQueries {
     * every ingest pipeline runs before admitting a source batch; one
     * scan, map-side conditional counts, no shuffle beyond the tiny
     * per-source rollup. */
+  /** Blocklist terms for [[pipeBadwordsGate]] — the mechanism under
+    * C4's "bad words" page drop (Raffel et al. 2020 §2.2 filter every
+    * page containing any listed word). Fixture-vocabulary terms so the
+    * gate exercises real hits; the patterns stay in the proven
+    * (Java ∩ RE2) `\b`-bounded subset ([[graft.operators.Pii]]). */
+  private[graft] val BadWords = Seq("slow", "merge", "window")
+
+  /** C4-style blocklist page gate: a document is dropped if ANY
+    * blocklist term appears as a whole word; per source the flagged
+    * doc count, total term hits, and the EXACT token mass the gate
+    * removes — the cost/benefit accounting a filter review needs
+    * (C4's own gate removed a documented share of the corpus). Pure
+    * per-row regexp counts (map work, no shuffle) into one rollup;
+    * the blocklist ships as literals (at real scale: a broadcast
+    * variable compiled into one alternation). */
+  def pipeBadwordsGate(s: SparkSession, dir: String): DataFrame = {
+    val nBad = BadWords
+      .map(w => regexp_count(col("text"), lit(s"\\b$w\\b")).cast("long"))
+      .reduce(_ + _)
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("n_bad", nBad)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_flagged"),
+           sum(col("n_bad")).as("n_bad_hits"),
+           sum(col("n_tok")).as("tokens_total"),
+           sum(when(col("n_bad") > 0, col("n_tok")).otherwise(0L))
+             .as("tokens_flagged"))
+      .withColumn("removed_permille",
+        expr("tokens_flagged * 1000 DIV tokens_total"))
+  }
+
   def pipeQualityGates(s: SparkSession, dir: String): DataFrame = {
     val known = KnownLangs
     Tables.documents(s, dir)
@@ -2073,6 +2106,7 @@ object DocQueries {
     "doc_assoc_pairs"     -> (docAssocPairs _),
     "text_heavy_hitters"  -> (textHeavyHitters _),
     "pipe_quality_gates"  -> (pipeQualityGates _),
+    "pipe_badwords_gate"  -> (pipeBadwordsGate _),
     "pipe_mixture_apply"  -> (pipeMixtureApply _),
     "doc_udtf_trigrams"   -> (docUdtfTrigrams _),
     "pipe_pii_redact"     -> (pipeRedact _),
@@ -2395,6 +2429,24 @@ object DocQueries {
          |CAST(SUM(CASE WHEN lang NOT IN ($known)
          |  THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_lang
          |FROM documents GROUP BY source""".stripMargin
+    },
+    "pipe_badwords_gate" -> {
+      val nBad = BadWords
+        .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT source, CAST($nBad AS BIGINT) AS n_bad,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(SUM(n_bad) AS BIGINT) AS n_bad_hits,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN n_bad > 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_flagged,
+         |  CAST(SUM(CASE WHEN n_bad > 0 THEN n_tok ELSE 0 END) * 1000
+         |    // SUM(n_tok) AS BIGINT) AS removed_permille
+         |FROM b GROUP BY 1""".stripMargin
     },
     "pipe_mixture_apply" -> {
       val bucket = "CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR))," +

@@ -41,7 +41,7 @@ object PiiQueries {
           .as("is_redacted"))
   }
 
-  /** The panel's shared narrow per-doc stats frame (3 consumers, all
+  /** The panel's shared narrow per-doc stats frame (5 consumers, all
     * alphabetically adjacent in the registry — FIFO reuse covers them
     * without a prewarm pin, the r11 NB-family observation). */
   private def docStats(s: SparkSession, dir: String): DataFrame =
@@ -98,6 +98,57 @@ object PiiQueries {
       .withColumn("hit_rate_permille",
         expr("n_docs_hit * 1000 DIV n_docs"))
 
+  /** Detector evaluation against the ARITHMETIC ground truth: the
+    * synthetic injection makes "which docs carry family f" a pure
+    * doc_id formula (email ⇔ id%3=0, phone ⇔ id%5=0, ip ⇔ id%7=0,
+    * id9 ⇔ id%11=0), so exact TP/FP/FN — and precision/recall in
+    * exact permille — are computable with no labeled fixture. The
+    * harness shape every rule-based scrubber needs before running at
+    * corpus scale; on this corpus the regexes are exact (word-salad
+    * text can't collide with any family), which the row PROVES rather
+    * than assumes. Guarded permilles: a family with zero truth or
+    * zero detections reports 0, not a divide-by-zero. */
+  def piiDetectorEval(s: SparkSession, dir: String): DataFrame = {
+    val mods = Seq("email" -> 3, "phone" -> 5, "ipv4" -> 7, "id9" -> 11)
+    val stackArgs = mods.map { case (f, m) =>
+      s"'$f', CASE WHEN doc_id % $m = 0 THEN 1L ELSE 0L END, " +
+        s"CASE WHEN n_$f > 0 THEN 1L ELSE 0L END"
+    }.mkString(", ")
+    docStats(s, dir)
+      .selectExpr("doc_id",
+        s"stack(4, $stackArgs) AS (family, truth, det)")
+      .groupBy(col("family"))
+      .agg(sum(col("truth")).as("n_truth"),
+           sum(col("det")).as("n_detected"),
+           sum(col("truth") * col("det")).as("n_tp"),
+           sum((lit(1L) - col("truth")) * col("det")).as("n_fp"),
+           sum(col("truth") * (lit(1L) - col("det"))).as("n_fn"))
+      .withColumn("precision_permille",
+        when(col("n_detected") > 0,
+             expr("n_tp * 1000 DIV n_detected")).otherwise(lit(0L)))
+      .withColumn("recall_permille",
+        when(col("n_truth") > 0,
+             expr("n_tp * 1000 DIV n_truth")).otherwise(lit(0L)))
+  }
+
+  /** PII co-occurrence histogram — the re-identification risk panel
+    * (one identifier leaks little; an email AND a phone AND an IP in
+    * one document is a linkage record): docs bucketed by how many
+    * DISTINCT rule families fire in them, with hit and char masses
+    * per bucket. One map-side bucket + a ≤5-row rollup. */
+  def piiCooccurrence(s: SparkSession, dir: String): DataFrame =
+    docStats(s, dir)
+      .withColumn("n_families",
+        (when(col("n_email") > 0, 1L).otherwise(0L) +
+         when(col("n_phone") > 0, 1L).otherwise(0L) +
+         when(col("n_ipv4") > 0, 1L).otherwise(0L) +
+         when(col("n_id9") > 0, 1L).otherwise(0L)))
+      .groupBy(col("n_families"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_email") + col("n_phone") + col("n_ipv4") +
+               col("n_id9")).as("n_hits"),
+           sum(col("chars_before")).as("n_chars"))
+
   // ------------------------------------------------------------ oracle
 
   /** Shared CTE chain: synthetic augmentation + per-doc stats, the
@@ -126,9 +177,11 @@ object PiiQueries {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pii_density"     -> (piiDensity _),
-    "pii_redact_mass" -> (piiRedactMass _),
-    "pii_rule_hits"   -> (piiRuleHits _),
+    "pii_density"       -> (piiDensity _),
+    "pii_redact_mass"   -> (piiRedactMass _),
+    "pii_rule_hits"     -> (piiRuleHits _),
+    "pii_detector_eval" -> (piiDetectorEval _),
+    "pii_cooccurrence"  -> (piiCooccurrence _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,5 +223,40 @@ object PiiQueries {
          |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
          |    AS BIGINT) AS hit_rate_permille
          |FROM long GROUP BY 1""".stripMargin,
+    "pii_detector_eval" -> {
+      val branches = Seq(("email", 3), ("phone", 5), ("ipv4", 7),
+                         ("id9", 11)).map { case (f, m) =>
+        s"""SELECT doc_id, '$f' AS family,
+           |  CASE WHEN doc_id % $m = 0 THEN 1 ELSE 0 END AS truth,
+           |  CASE WHEN n_$f > 0 THEN 1 ELSE 0 END AS det FROM pst"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $piiCtes,
+         |long AS ($branches)
+         |SELECT family, CAST(SUM(truth) AS BIGINT) AS n_truth,
+         |  CAST(SUM(det) AS BIGINT) AS n_detected,
+         |  CAST(SUM(truth * det) AS BIGINT) AS n_tp,
+         |  CAST(SUM((1 - truth) * det) AS BIGINT) AS n_fp,
+         |  CAST(SUM(truth * (1 - det)) AS BIGINT) AS n_fn,
+         |  CAST(CASE WHEN SUM(det) > 0
+         |       THEN SUM(truth * det) * 1000 // SUM(det)
+         |       ELSE 0 END AS BIGINT) AS precision_permille,
+         |  CAST(CASE WHEN SUM(truth) > 0
+         |       THEN SUM(truth * det) * 1000 // SUM(truth)
+         |       ELSE 0 END AS BIGINT) AS recall_permille
+         |FROM long GROUP BY 1""".stripMargin
+    },
+    "pii_cooccurrence" ->
+      s"""WITH $piiCtes
+         |SELECT CAST((CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN n_phone > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN n_id9 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_families,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_email + n_phone + n_ipv4 + n_id9) AS BIGINT)
+         |    AS n_hits,
+         |  CAST(SUM(chars_before) AS BIGINT) AS n_chars
+         |FROM pst GROUP BY 1""".stripMargin,
   )
 }
