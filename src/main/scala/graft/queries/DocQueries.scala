@@ -1016,6 +1016,45 @@ object DocQueries {
       .withColumn("acc_permille", expr("n_correct * 1000 DIV n_docs"))
   }
 
+  /** Margin cut for [[textNbGate]]: 10⁶ µ-log₂ units = 1 full bit of
+    * likelihood ratio between the best and runner-up class — the
+    * calibration table's bucket ~20 boundary. */
+  private[graft] val NbGateMarginCut = 1000000L
+
+  /** The calibrated classifier AS A GATE — CCNet's final step: admit a
+    * document to its predicted language shard only when the margin
+    * clears the cut; per predicted class, how many docs the gate
+    * ships, and the precision AMONG the admitted (the quantity the
+    * calibration panel predicts bucket-wise, here realized at one
+    * operating point). Same reuse'd scored frame as
+    * [[textNbCalibration]] / [[nbPredFrom]] — no new corpus or
+    * training pass; integer margins make the cut engine-exact. */
+  def textNbGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = nbScoredFrom(Tables.spread(Tables.documents(s, dir)))
+    val best = scored.groupBy(col("doc_id")).agg(max(col("score")).as("b"))
+    val marg = scored.join(best, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(max(when(col("score") < col("b"), col("score"))).as("s2"),
+           min(when(col("score") === col("b"), col("lang"))).as("lang_pred"))
+      .withColumn("margin", col("b") - coalesce(col("s2"), col("b")))
+    marg
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+      .withColumn("admit",
+        when(col("margin") >= NbGateMarginCut, 1L).otherwise(0L))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("admit")).as("n_admitted"),
+           sum(col("admit") *
+               when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+             .as("n_admitted_correct"))
+      .withColumn("admit_permille", expr("n_admitted * 1000 DIV n_docs"))
+      .withColumn("admitted_precision_permille",
+        when(col("n_admitted") > 0,
+             expr("n_admitted_correct * 1000 DIV n_admitted"))
+          .otherwise(lit(0L)))
+  }
+
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
     * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
@@ -2156,6 +2195,7 @@ object DocQueries {
     "text_nb_confusion"   -> (textNbConfusion _),
     "text_nb_accuracy"    -> (textNbAccuracy _),
     "text_nb_calibration" -> (textNbCalibration _),
+    "text_nb_gate"        -> (textNbGate _),
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
@@ -3252,6 +3292,31 @@ object DocQueries {
          |  CAST(MAX(margin) AS BIGINT) AS max_margin,
          |  CAST(SUM(ok) * 1000 // COUNT(*) AS BIGINT) AS acc_permille
          |FROM mb GROUP BY 1""".stripMargin,
+    // the calibrated classifier as an admission gate at a fixed
+    // integer margin cut (1 bit of likelihood ratio)
+    "text_nb_gate" ->
+      s"""WITH $nbCtes,
+         |snd AS (SELECT s.doc_id, MAX(s.score) AS s2
+         |        FROM scored s JOIN best USING (doc_id)
+         |        WHERE s.score < best.b GROUP BY 1),
+         |marg AS (SELECT best.doc_id,
+         |           CAST(best.b - COALESCE(snd.s2, best.b) AS BIGINT)
+         |             AS margin
+         |         FROM best LEFT JOIN snd USING (doc_id)),
+         |ga AS (SELECT p.lang_pred,
+         |         CASE WHEN m.margin >= $NbGateMarginCut
+         |              THEN 1 ELSE 0 END AS admit,
+         |         CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END AS ok
+         |       FROM marg m JOIN pred p USING (doc_id)
+         |       JOIN documents d USING (doc_id))
+         |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(admit) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(admit * ok) AS BIGINT) AS n_admitted_correct,
+         |  CAST(SUM(admit) * 1000 // COUNT(*) AS BIGINT) AS admit_permille,
+         |  CAST(CASE WHEN SUM(admit) > 0
+         |       THEN SUM(admit * ok) * 1000 // SUM(admit)
+         |       ELSE 0 END AS BIGINT) AS admitted_precision_permille
+         |FROM ga GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only
