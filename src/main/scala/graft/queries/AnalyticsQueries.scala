@@ -582,7 +582,68 @@ object AnalyticsQueries {
       (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 2³² grid (floor(cdf·2³²),
+    * exact integers — computed once from the series e⁻¹/k!, k = 0..5;
+    * weights cap at 6, beyond which mass is < 6·10⁻⁴ per draw). A
+    * seeded-md5 uniform u ∈ [0, 2³²) maps to the bootstrap weight
+    * w = |{k : u ≥ t_k}| with ZERO float arithmetic. */
+  private val PoissonCdf32 = Seq(1580030168L, 3160060337L, 3950075421L,
+                                 4213413783L, 4279248373L, 4292415291L)
+
+  /** Poisson-bootstrap confidence intervals for mean order value per
+    * priority — the uncertainty quantification an eval/report pipeline
+    * attaches to point estimates. Multinomial resampling needs a global
+    * n (a driver-side barrier); Poissonization (Chamandy et al. 2012)
+    * makes each replicate weight an independent Poisson(1) draw — a
+    * pure per-row map, the only bootstrap that distributes. 64
+    * deterministic replicates: weight from a seeded-md5 uniform against
+    * the exact integer [[PoissonCdf32]] thresholds (no RNG, no float in
+    * the resample — reproducible on any cluster layout), per-replicate
+    * weighted means over exact DECIMAL sums, then the 2.5/50/97.5
+    * percentiles across replicate means by exact interpolation (the
+    * evt_value_deciles precedent) next to the plain point estimate.
+    *
+    * Scale shape: the ×64 fan-out is one broadcast range join (single
+    * codegen copy — the round-5 union-multiplier gotcha; allowlisted
+    * BNLJ), the per-(priority, rep) aggregate combines map-side, and
+    * the percentile pass sees only groups×64 rows. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val reps = broadcast(s.range(64).toDF("rep"))
+    // spread BEFORE the ×64 fan-out: the broadcast join preserves the
+    // streamed side's partitioning, so a one-split parquet would run
+    // the whole 64× md5 expansion on a single task
+    val o = Tables.spread(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")))
+    val u = conv(substring(md5(concat(
+      lit("boot|"), col("o_orderkey").cast("string"),
+      lit("|"), col("rep").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = PoissonCdf32
+      .map(t => when(col("u") >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
+    val repMeans = o.crossJoin(reps)
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .drop("u")
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(sum(dec(col("o_totalprice")) * col("w")).as("sw"),
+           sum(col("w")).as("nw"))
+      .withColumn("rep_mean", col("sw").cast(DoubleType) / col("nw"))
+    val point = o.groupBy(col("o_orderpriority"))
+      .agg(exactAvg(col("o_totalprice")).as("point_mean"))
+    repMeans.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_reps"),
+           expr("""percentile(rep_mean, array(CAST(1 AS DOUBLE)/40,
+                 | CAST(1 AS DOUBLE)/2, CAST(39 AS DOUBLE)/40))"""
+             .stripMargin).as("qs"))
+      .join(point, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_reps"),
+              get(col("qs"), lit(0)).as("ci_lo"),
+              get(col("qs"), lit(1)).as("boot_median"),
+              get(col("qs"), lit(2)).as("ci_hi"),
+              col("point_mean"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bootstrap_ci"     -> (bootstrapCi _),
     "rel_ks_mannwhitney"   -> (ksMannWhitney _),
     "evt_dau_wau"        -> (dauWau _),
     "evt_hll_wau"        -> (hllWau _),
@@ -617,6 +678,34 @@ object AnalyticsQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "rel_bootstrap_ci" -> {
+      val w = PoissonCdf32
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH reps AS (SELECT unnest(range(64)) AS rep),
+         |e AS (SELECT o_orderpriority, rep,
+         |    CAST('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR)
+         |      || '|' || CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) AS u,
+         |    ${sqlDec("o_totalprice")} AS x
+         |  FROM orders CROSS JOIN reps),
+         |wt AS (SELECT o_orderpriority, rep, x,
+         |    $w AS w FROM e),
+         |rm AS (SELECT o_orderpriority, rep,
+         |    ${sqlToDouble("SUM(x * w)")} / CAST(SUM(w) AS BIGINT)
+         |      AS rep_mean
+         |  FROM wt GROUP BY 1, 2),
+         |ci AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |    percentile_cont([CAST(1 AS DOUBLE)/40, CAST(1 AS DOUBLE)/2,
+         |                     CAST(39 AS DOUBLE)/40])
+         |      WITHIN GROUP (ORDER BY rep_mean) AS qs
+         |  FROM rm GROUP BY 1),
+         |pm AS (SELECT o_orderpriority, ${sqlAvg("o_totalprice")}
+         |    AS point_mean FROM orders GROUP BY 1)
+         |SELECT ci.o_orderpriority, n_reps, qs[1] AS ci_lo,
+         |  qs[2] AS boot_median, qs[3] AS ci_hi, point_mean
+         |FROM ci JOIN pm ON ci.o_orderpriority = pm.o_orderpriority"""
+        .stripMargin
+    },
     "rel_ks_mannwhitney" ->
       s"""WITH pv AS (
          |  SELECT l_quantity AS v,

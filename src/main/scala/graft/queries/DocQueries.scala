@@ -383,6 +383,15 @@ object DocQueries {
     PlanCache.reuse(Dedup.domainLineDedup(
       Tables.documents(s, dir), "doc_id", "source", "text"))
 
+  /** Per-doc composite quality + source, the frame [[pipeDomainQuality]]
+    * and [[pipeGateKappa]] share (one construction → CacheManager
+    * sameResult dedups the entropy/TTR build across both consumers). */
+  private def domainQualityScored(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      docQualityComposite(s, dir).select(col("doc_id"), col("quality_score"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+              Seq("doc_id")))
+
   /** Per-domain quality stratification — the panel a curation pipeline
     * reads before setting domain sampling rates: per source, doc
     * count, the exact summed composite quality mass (BIGINT; no mean —
@@ -393,10 +402,7 @@ object DocQueries {
     * [[docQualityComposite]] frame; the median is a 1-row broadcast
     * (PlanGuard-allowlisted scalar). */
   def pipeDomainQuality(s: SparkSession, dir: String): DataFrame = {
-    val scored = PlanCache.reuse(
-      docQualityComposite(s, dir).select(col("doc_id"), col("quality_score"))
-        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
-              Seq("doc_id")))
+    val scored = domainQualityScored(s, dir)
     val med = scored.agg(
       expr("percentile(quality_score, CAST(1 AS DOUBLE)/2)").as("med"))
     scored.crossJoin(broadcast(med))
@@ -437,6 +443,113 @@ object DocQueries {
           | END""".stripMargin))
       .select(col("source"), col("kept_tokens"), col("target_tokens"),
               col("weight_ppm"), col("n_epochs"))
+  }
+
+  /** Data-constrained token-budget planner (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): repeating data decays
+    * in value, so a domain asked for `target_tokens` out of only
+    * `unique_tokens` unique (post line-dedup) yields fewer EFFECTIVE
+    * tokens than it ships. Per domain: the epoch count on the ppm grid,
+    * the paper's effective-unique multiplier
+    * `1 + R*·(1 − e^(−R_D/R*))` at the fitted R* = 15.4 (R_D = epochs−1;
+    * ≤ epochs always, = 1 at one epoch), the resulting effective token
+    * mass, and the utility share of the request the domain can actually
+    * deliver — the number a mixture planner reads before upsampling a
+    * small domain instead of widening the crawl.
+    *
+    * Determinism: epochs is an exact ratio of exact BIGINTs; the one
+    * transcendental (exp) is quantized round(·, 6) on both engines (the
+    * sanctioned rule); `eff_tokens` recovers an exact integer via
+    * CAST(round(·)) on both sides (never a bare double cast). The
+    * target×10⁶ ppm products ride DECIMAL(38,0) ≡ HUGEINT past the
+    * BIGINT cliff. Shape: rides [[pipeDomainLineDedup]]'s shared frame;
+    * the totals row is a 1-row broadcast (PlanGuard-allowlisted). */
+  def pipeEpochDecay(s: SparkSession, dir: String): DataFrame = {
+    val kept = pipeDomainLineDedup(s, dir)
+      .select(col("source"), col("kept_tokens").as("unique_tokens"))
+    val tot = kept.agg(sum(col("unique_tokens")).as("total_tokens"),
+                       count(lit(1)).as("n_domains"))
+    kept.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("total_tokens DIV n_domains"))
+      .withColumn("epochs_ppm", expr(
+        """CASE WHEN unique_tokens = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(target_tokens AS DECIMAL(38,0)) * 1000000
+          |      DIV unique_tokens END""".stripMargin))
+      .withColumn("eff_mult", expr(
+        """CASE WHEN unique_tokens = 0 THEN CAST(0 AS DOUBLE)
+          | ELSE round(1.0d + 15.4d * (1.0d - exp(
+          |   -greatest(CAST(0 AS DOUBLE),
+          |             CAST(target_tokens AS DOUBLE) / unique_tokens - 1.0d)
+          |   / 15.4d)), 6) END""".stripMargin))
+      .withColumn("eff_tokens", expr(
+        """CASE WHEN unique_tokens = 0 THEN CAST(0 AS BIGINT)
+          | ELSE least(target_tokens,
+          |   CAST(round(unique_tokens * eff_mult) AS BIGINT)) END"""
+          .stripMargin))
+      .withColumn("utility_ppm", expr(
+        """CASE WHEN target_tokens = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(eff_tokens AS DECIMAL(38,0)) * 1000000
+          |      DIV target_tokens END""".stripMargin))
+      .select(col("source"), col("unique_tokens"), col("target_tokens"),
+              col("epochs_ppm"), col("eff_mult"), col("eff_tokens"),
+              col("utility_ppm"))
+  }
+
+  /** Inter-gate agreement (Cohen's κ) between the corpus's two
+    * independent admission gates — the SCORE-based gate (composite
+    * quality above the global median, [[pipeDomainQuality]]'s rule) and
+    * the RULE-based gate ([[pipeBadwordsGate]]'s C4 blocklist drop).
+    * Reports the 2×2 keep/drop census, observed agreement pₒ, and κ =
+    * (pₒ−pₑ)/(1−pₑ), both exact permille — the check a curation team
+    * runs before swapping a hand-rule gate for a trained one (κ ≈ 0
+    * says the gates disagree on WHICH docs to drop even when their drop
+    * rates match).
+    *
+    * Determinism: κ is pure integer cross-multiplication in
+    * DECIMAL(38,0) ≡ HUGEINT (the n² chance terms pass the BIGINT cliff
+    * at web scale); the possibly-negative numerator rides the shift
+    * trick ((num+den)·1000 DIV den − 1000, nonneg since κ ≥ −1) so the
+    * truncate-vs-floor divergence never fires; a degenerate pₑ = 1
+    * (either gate constant) yields 0, not a divide error. Shape: one
+    * doc-keyed equi join of two map-side flag projections into a 1-row
+    * census; the median is the allowlisted 1-row broadcast; rides the
+    * [[domainQualityScored]] shared frame. */
+  def pipeGateKappa(s: SparkSession, dir: String): DataFrame = {
+    val scored = domainQualityScored(s, dir)
+    val med = scored.agg(
+      expr("percentile(quality_score, CAST(1 AS DOUBLE)/2)").as("med"))
+    val nBad = BadWords
+      .map(w => regexp_count(col("text"), lit(s"\\b$w\\b")).cast("long"))
+      .reduce(_ + _)
+    val rules = Tables.documents(s, dir)
+      .select(col("doc_id"), nBad.as("n_bad"))
+    scored.crossJoin(broadcast(med))
+      .withColumn("a_keep", col("quality_score") > col("med"))
+      .join(rules, Seq("doc_id"))
+      .withColumn("b_keep", col("n_bad") === 0)
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("a_keep") && col("b_keep"), 1L).otherwise(0L))
+             .as("n_keep_keep"),
+           sum(when(col("a_keep") && !col("b_keep"), 1L).otherwise(0L))
+             .as("n_keep_drop"),
+           sum(when(!col("a_keep") && col("b_keep"), 1L).otherwise(0L))
+             .as("n_drop_keep"),
+           sum(when(!col("a_keep") && !col("b_keep"), 1L).otherwise(0L))
+             .as("n_drop_drop"))
+      .withColumn("po_permille",
+        expr("(n_keep_keep + n_drop_drop) * 1000 DIV n_docs"))
+      .withColumn("pe_num", expr(
+        """CAST(n_keep_keep + n_keep_drop AS DECIMAL(38,0))
+          |  * (n_keep_keep + n_drop_keep)
+          |+ CAST(n_drop_keep + n_drop_drop AS DECIMAL(38,0))
+          |  * (n_keep_drop + n_drop_drop)""".stripMargin))
+      .withColumn("den",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num"))
+      .withColumn("kappa_permille", expr(
+        """CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+          | ELSE (CAST(n_docs AS DECIMAL(38,0)) * (n_keep_keep + n_drop_drop)
+          |        - pe_num + den) * 1000 DIV den - 1000 END""".stripMargin))
+      .drop("pe_num", "den")
   }
 
   /** Gopher REPETITION panel (Rae et al. 2021 table A1, the repetition
@@ -514,6 +627,52 @@ object DocQueries {
            sum(when(col("dl") && col("dp") && col("t2") && col("t3") &&
                     col("t4"), 1L).otherwise(0L)).as("n_clean"))
       .withColumn("clean_permille", expr("n_clean * 1000 DIV n_docs"))
+  }
+
+  /** The OTHER half of Gopher's repetition table (Rae et al. 2021
+    * A1): for n = 5..10, the character mass inside DUPLICATED n-grams
+    * (all grams occurring ≥ 2×, every occurrence counted — not just the
+    * top gram, which is the n ≤ 4 rule [[textGopherRepetition]]
+    * covers). Per (source, n): positional char masses, the corpus dup
+    * share, and docs violating Gopher's per-n ceiling (0.15 at n=5
+    * stepping to 0.10 at n=10, i.e. (20−n)% — integer
+    * cross-multiplied, no float reaches the compare). Docs shorter
+    * than n tokens have no grams and can't violate.
+    *
+    * Shape: one pass over text explodes all six gram sizes (native
+    * WordShingles — a single codegen copy, not a ×6 union), one
+    * (doc, n, gram) hash aggregate with map-side combine, a doc-keyed
+    * rollup, and a doc-keyed source join; the ppm division rides
+    * DECIMAL(38,0) past the BIGINT cliff (Σ char-mass × 1000 at corpus
+    * scale). */
+  def textGopherDupeNgrams(s: SparkSession, dir: String): DataFrame = {
+    val ns = Seq(5, 6, 7, 8, 9, 10)
+    val grams = Tables.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"),
+               TextOps.wordShingles(col("text"), n).as("g"))): _*)).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), explode(col("ng.g")).as("gram"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c") * length(col("gram")).cast("long")).as("tm"),
+           sum(when(col("c") >= 2,
+                    col("c") * length(col("gram")).cast("long"))
+             .otherwise(0L)).as("dm"))
+    perDoc
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tm")).as("total_mass"),
+           sum(col("dm")).as("dup_mass"),
+           sum(when(col("dm") * 100 > col("tm") * (lit(20) - col("n")), 1L)
+             .otherwise(0L)).as("n_fail"))
+      .withColumn("dup_permille", expr(
+        """CASE WHEN total_mass = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(dup_mass AS DECIMAL(38,0)) * 1000
+          |      DIV total_mass END""".stripMargin))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -2210,6 +2369,9 @@ object DocQueries {
     "pipe_domain_line_dedup" -> (pipeDomainLineDedup _),
     "pipe_domain_quality" -> (pipeDomainQuality _),
     "pipe_domain_mixture" -> (pipeDomainMixture _),
+    "pipe_epoch_decay"    -> (pipeEpochDecay _),
+    "pipe_gate_kappa"     -> (pipeGateKappa _),
+    "text_gopher_dupe_ngrams" -> (textGopherDupeNgrams _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
@@ -2993,6 +3155,97 @@ object DocQueries {
          |       ELSE (total_tokens // n_domains + kept_tokens - 1)
          |            // kept_tokens END AS n_epochs
          |FROM dom, tot""".stripMargin,
+    "pipe_epoch_decay" ->
+      s"""WITH $domainLineCtes,
+         |tot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(COUNT(*) AS BIGINT) AS n_domains FROM dom),
+         |p AS (SELECT source, kept_tokens AS unique_tokens,
+         |        total_tokens // n_domains AS target_tokens
+         |      FROM dom, tot),
+         |m AS (SELECT source, unique_tokens, target_tokens,
+         |  CASE WHEN unique_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(CAST(target_tokens AS HUGEINT) * 1000000
+         |                 // unique_tokens AS BIGINT) END AS epochs_ppm,
+         |  CASE WHEN unique_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE round(1.0 + 15.4 * (1.0 - exp(
+         |         -greatest(CAST(0 AS DOUBLE),
+         |            CAST(target_tokens AS DOUBLE) / unique_tokens - 1.0)
+         |         / 15.4)), 6) END AS eff_mult
+         |  FROM p),
+         |m2 AS (SELECT *,
+         |  CASE WHEN unique_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE least(target_tokens,
+         |         CAST(round(unique_tokens * eff_mult) AS BIGINT))
+         |       END AS eff_tokens
+         |  FROM m)
+         |SELECT source, unique_tokens, target_tokens, epochs_ppm, eff_mult,
+         |  eff_tokens,
+         |  CASE WHEN target_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(CAST(eff_tokens AS HUGEINT) * 1000000
+         |                 // target_tokens AS BIGINT) END AS utility_ppm
+         |FROM m2""".stripMargin,
+    "pipe_gate_kappa" -> {
+      val nBad = BadWords
+        .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+        .mkString(" + ")
+      s"""WITH $charEntropyCtes,
+         |$ttrSegmentalCtes,
+         |dq AS (SELECT e.doc_id,
+         |    e.entropy_micro + 2 * t.mean_ttr_ppm - e.simpson_ppm AS q
+         |  FROM entq e JOIN ttrq t ON e.doc_id = t.doc_id),
+         |med AS (SELECT percentile_cont(CAST(1 AS DOUBLE)/2)
+         |          WITHIN GROUP (ORDER BY q) AS med FROM dq),
+         |b AS (SELECT doc_id, CAST($nBad AS BIGINT) AS n_bad
+         |      FROM documents),
+         |g AS (SELECT q > med AS a_keep, n_bad = 0 AS b_keep
+         |      FROM dq CROSS JOIN med JOIN b ON dq.doc_id = b.doc_id),
+         |c AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(CASE WHEN a_keep AND b_keep THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS kk,
+         |    CAST(SUM(CASE WHEN a_keep AND NOT b_keep THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS kd,
+         |    CAST(SUM(CASE WHEN NOT a_keep AND b_keep THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS dk,
+         |    CAST(SUM(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS dd
+         |  FROM g),
+         |k AS (SELECT n, kk, kd, dk, dd,
+         |    (kk + kd) * (kk + dk) + (dk + dd) * (kd + dd) AS pe_num
+         |  FROM c)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  CAST(kk AS BIGINT) AS n_keep_keep,
+         |  CAST(kd AS BIGINT) AS n_keep_drop,
+         |  CAST(dk AS BIGINT) AS n_drop_keep,
+         |  CAST(dd AS BIGINT) AS n_drop_drop,
+         |  CAST((kk + dd) * 1000 // n AS BIGINT) AS po_permille,
+         |  CASE WHEN n * n - pe_num = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST((n * (kk + dd) - pe_num + n * n - pe_num) * 1000
+         |                 // (n * n - pe_num) - 1000 AS BIGINT)
+         |  END AS kappa_permille
+         |FROM k""".stripMargin
+    },
+    "text_gopher_dupe_ngrams" -> {
+      val branches = Seq(5, 6, 7, 8, 9, 10).map(n =>
+        s"SELECT doc_id, $n AS n, unnest(${sqlShingles(n)}) AS gram" +
+          " FROM documents").mkString("\n  UNION ALL ")
+      s"""WITH g AS ($branches),
+         |pd AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1,2,3),
+         |pdoc AS (SELECT doc_id, n,
+         |    CAST(SUM(c * length(gram)) AS BIGINT) AS tm,
+         |    CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+         |      AS BIGINT) AS dm
+         |  FROM pd GROUP BY 1, 2)
+         |SELECT d.source, pdoc.n, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tm) AS BIGINT) AS total_mass,
+         |  CAST(SUM(dm) AS BIGINT) AS dup_mass,
+         |  CAST(SUM(CASE WHEN dm * 100 > tm * (20 - pdoc.n) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fail,
+         |  CASE WHEN SUM(tm) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(SUM(dm) * 1000 // SUM(tm) AS BIGINT)
+         |  END AS dup_permille
+         |FROM pdoc JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "pipe_para_dedup" -> lineDedupSql(50),
     "pipe_line_dedup_incr" ->
       lineDedupSql(10, hotWhere = "doc_id % 5 <> 0",

@@ -38,6 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_mixture_apply",     // same cap, applied
     "pipe_domain_quality",    // global-median quality 1-row broadcast
     "pipe_domain_mixture",    // (total_tokens, n_domains) 1-row broadcast
+    "pipe_epoch_decay",       // same (total_tokens, n_domains) 1-row side
+    "pipe_gate_kappa",        // global-median quality 1-row broadcast
+    "rel_bootstrap_ci",       // 64-row replicate-index broadcast fan-out
     "text_nb_confusion",      // class-count NB param frame (|langs| rows)
     "text_nb_accuracy",       // same trained-classifier param frame
     "text_nb_calibration",    // same scored frame (params broadcast)
