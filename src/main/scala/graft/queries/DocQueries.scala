@@ -934,6 +934,26 @@ object DocQueries {
     * left joins of the (tiny) loser/contaminated id sets against one
     * corpus pass — conditional sums, no per-stage rescans. */
   def pipeFunnelReport(s: SparkSession, dir: String): DataFrame = {
+    val dedupKeep = col("q") && col("is_loser").isNull
+    val fin = dedupKeep && col("doc_id") % 10 =!= 0 && col("is_contam").isNull
+    funnelFlags(s, dir)
+      .agg(count(lit(1)).as("n_raw"), sum(col("n_tok")).as("tok_raw"),
+           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("q"), col("n_tok")).otherwise(0L)).as("tok_quality"),
+           sum(when(dedupKeep, 1L).otherwise(0L)).as("n_dedup"),
+           sum(when(dedupKeep, col("n_tok")).otherwise(0L)).as("tok_dedup"),
+           sum(when(fin, 1L).otherwise(0L)).as("n_final"),
+           sum(when(fin, col("n_tok")).otherwise(0L)).as("tok_final"))
+  }
+
+  /** Per-doc funnel gate flags — (n_tok, q, is_loser, is_contam) per
+    * doc, the NARROW (no text) joined frame [[pipeFunnelReport]] and
+    * [[pipeFunnelAblation]] share via PlanCache (one cluster fixpoint
+    * + one 13-gram pass total, not per consumer). Gate predicates are
+    * the SAME expressions the standalone rows prove
+    * ([[textGopherRules]], [[pipeDedupKeep]],
+    * [[pipeContaminationNgram]]). */
+  private def funnelFlags(s: SparkSession, dir: String): DataFrame = {
     val f = TextOps.gopherFlags(col("text"))
     val base = Tables.documents(s, dir).select(col("doc_id"),
       size(TextOps.tokenize(col("text"))).cast("long").as("n_tok"),
@@ -948,17 +968,73 @@ object DocQueries {
       .join(bench, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("is_contam", lit(true))
-    val dedupKeep = col("q") && col("is_loser").isNull
-    val fin = dedupKeep && col("doc_id") % 10 =!= 0 && col("is_contam").isNull
-    base.join(losers, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("n_raw"), sum(col("n_tok")).as("tok_raw"),
-           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
-           sum(when(col("q"), col("n_tok")).otherwise(0L)).as("tok_quality"),
-           sum(when(dedupKeep, 1L).otherwise(0L)).as("n_dedup"),
-           sum(when(dedupKeep, col("n_tok")).otherwise(0L)).as("tok_dedup"),
-           sum(when(fin, 1L).otherwise(0L)).as("n_final"),
-           sum(when(fin, col("n_tok")).otherwise(0L)).as("tok_final"))
+    PlanCache.reuse(
+      base.join(losers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left"))
+  }
+
+  /** Leave-one-out funnel ablation — the gate-attribution panel a
+    * curation review reads NEXT to the survival funnel: for each gate
+    * (quality / fuzzy dedup / decontamination), the token mass kept
+    * when that ONE gate is switched off with the others held, and the
+    * mass each gate UNIQUELY removes (tok_no_X − tok_all — docs no
+    * other gate would have caught). Redundant gates (high overlap,
+    * tiny unique mass) are retirement candidates; a gate whose unique
+    * mass dominates is load-bearing. One pass over the shared
+    * [[funnelFlags]] frame — conditional sums, no per-ablation rescans
+    * (the naive form runs the funnel K+1 times). All exact integers;
+    * the marginals are nonnegative by construction so the permille
+    * DIVs never see a negative operand. */
+  def pipeFunnelAblation(s: SparkSession, dir: String): DataFrame = {
+    val gq = col("q")
+    val gd = col("is_loser").isNull
+    val gc = col("doc_id") % 10 =!= 0 && col("is_contam").isNull
+    funnelFlags(s, dir)
+      .agg(sum(col("n_tok")).as("tok_raw"),
+           sum(when(gq && gd && gc, col("n_tok")).otherwise(0L))
+             .as("tok_all"),
+           sum(when(gd && gc, col("n_tok")).otherwise(0L))
+             .as("tok_no_quality"),
+           sum(when(gq && gc, col("n_tok")).otherwise(0L))
+             .as("tok_no_dedup"),
+           sum(when(gq && gd, col("n_tok")).otherwise(0L))
+             .as("tok_no_decontam"))
+      .withColumn("uniq_quality_permille",
+        expr("(tok_no_quality - tok_all) * 1000 DIV tok_raw"))
+      .withColumn("uniq_dedup_permille",
+        expr("(tok_no_dedup - tok_all) * 1000 DIV tok_raw"))
+      .withColumn("uniq_decontam_permille",
+        expr("(tok_no_decontam - tok_all) * 1000 DIV tok_raw"))
+  }
+
+  /** Output-writer shard balance audit — the LAST stage of a curation
+    * pipeline (sharded corpus write) has a straggler problem exactly
+    * when doc token masses skew: per md5-hash shard (32, the writer
+    * width), doc count and token mass plus their load factors on the
+    * permille grid (1000 = perfectly balanced). Hash sharding
+    * guarantees doc-count balance to ~√n noise but NOT token balance —
+    * this row is the check that catches a token-skewed corpus before
+    * it serializes a 1000-executor write behind one fat shard. Map-side
+    * shard tag, one 32-group aggregate, 1-row totals broadcast
+    * (allowlisted); load products ride DECIMAL(38,0) past the BIGINT
+    * cliff. */
+  def pipeShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      (conv(substring(md5(concat(lit("shard|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        % 32).as("shard"),
+      size(TextOps.tokenize(col("text"))).cast("long").as("n_tok"))
+    val tot = docs.agg(count(lit(1)).as("total_docs"),
+                       sum(col("n_tok")).as("total_tokens"))
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("token_mass"))
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_load_permille",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 32000 DIV total_docs"))
+      .withColumn("tok_load_permille",
+        expr("CAST(token_mass AS DECIMAL(38,0)) * 32000 DIV total_tokens"))
+      .select(col("shard"), col("n_docs"), col("token_mass"),
+              col("doc_load_permille"), col("tok_load_permille"))
   }
 
   /** Duplication-factor histogram — the corpus-health spectrum the
@@ -2359,6 +2435,8 @@ object DocQueries {
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
     "pipe_funnel_report"  -> (pipeFunnelReport _),
+    "pipe_funnel_ablation" -> (pipeFunnelAblation _),
+    "pipe_shard_assign"   -> (pipeShardAssign _),
     "text_zipf_fit"       -> (textZipfFit _),
     "pipe_leakage_split"  -> (pipeLeakageSplit _),
     "text_gopher_rules"   -> (textGopherRules _),
@@ -2548,6 +2626,46 @@ object DocQueries {
        |SELECT DISTINCT doc_id, CAST(1048575 - cm % 1048576 AS BIGINT) AS pos,
        |  CAST(cm // 1048576 AS BIGINT) AS gram_hash
        |FROM win WHERE n = 4""".stripMargin
+
+  /** Shared CTE chain of the funnel family (twin of [[funnelFlags]]):
+    * gopher flags + jaccard-cluster losers + 13-gram contamination,
+    * single-sourced so the report and ablation oracles cannot drift;
+    * `funnelJoinSql` is the shared per-doc flag join tail. */
+  private lazy val funnelCtes: String =
+    s"""WITH RECURSIVE
+       |fb AS (SELECT doc_id,
+       |    CAST($nTok AS BIGINT) AS n_tok,
+       |    (wl AND lo AND so AND ro) AS q
+       |  FROM (SELECT doc_id, text,
+       |    $gopherFlagsSelSql
+       |  FROM documents)),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+       |             FROM reach GROUP BY id),
+       |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
+       |        FROM documents)),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM g
+       |           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench))"""
+      .stripMargin
+
+  private val funnelJoinSql: String =
+    """FROM fb
+      |LEFT JOIN (SELECT doc_id, 1 AS L FROM losers) lo USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, 1 AS C FROM contam) ct USING (doc_id)"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_sample_exact_k" ->
@@ -3420,33 +3538,7 @@ object DocQueries {
     // losers / 13-gram contamination), so the masses reconcile with
     // those rows by construction
     "pipe_funnel_report" ->
-      s"""WITH RECURSIVE
-         |fb AS (SELECT doc_id,
-         |    CAST($nTok AS BIGINT) AS n_tok,
-         |    (wl AND lo AND so AND ro) AS q
-         |  FROM (SELECT doc_id, text,
-         |    $gopherFlagsSelSql
-         |  FROM documents)),
-         |pairs AS MATERIALIZED (
-         |  SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-         |             FROM reach GROUP BY id),
-         |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
-         |g AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
-         |        FROM documents)),
-         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0),
-         |contam AS (SELECT DISTINCT doc_id FROM g
-         |           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench))
+      s"""$funnelCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
          |  CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
          |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -3462,9 +3554,48 @@ object DocQueries {
          |  CAST(SUM(CASE WHEN q AND L IS NULL AND doc_id % 10 <> 0
          |                 AND C IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
          |    AS tok_final
-         |FROM fb
-         |LEFT JOIN (SELECT doc_id, 1 AS L FROM losers) lo USING (doc_id)
-         |LEFT JOIN (SELECT doc_id, 1 AS C FROM contam) ct USING (doc_id)""".stripMargin,
+         |$funnelJoinSql""".stripMargin,
+    "pipe_funnel_ablation" ->
+      s"""$funnelCtes,
+         |a AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL AND doc_id % 10 <> 0
+         |                 AND C IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_all,
+         |  CAST(SUM(CASE WHEN L IS NULL AND doc_id % 10 <> 0
+         |                 AND C IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_no_quality,
+         |  CAST(SUM(CASE WHEN q AND doc_id % 10 <> 0
+         |                 AND C IS NULL THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_no_dedup,
+         |  CAST(SUM(CASE WHEN q AND L IS NULL THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS tok_no_decontam
+         |$funnelJoinSql)
+         |SELECT tok_raw, tok_all, tok_no_quality, tok_no_dedup,
+         |  tok_no_decontam,
+         |  (tok_no_quality - tok_all) * 1000 // tok_raw
+         |    AS uniq_quality_permille,
+         |  (tok_no_dedup - tok_all) * 1000 // tok_raw
+         |    AS uniq_dedup_permille,
+         |  (tok_no_decontam - tok_all) * 1000 // tok_raw
+         |    AS uniq_decontam_permille
+         |FROM a""".stripMargin,
+    "pipe_shard_assign" ->
+      s"""WITH d AS (SELECT
+         |    CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+         |      1, 8) AS BIGINT) % 32 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+         |               CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM d),
+         |sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tok) AS BIGINT) AS token_mass
+         |       FROM d GROUP BY 1)
+         |SELECT shard, n_docs, token_mass,
+         |  CAST(CAST(n_docs AS HUGEINT) * 32000 // total_docs AS BIGINT)
+         |    AS doc_load_permille,
+         |  CAST(CAST(token_mass AS HUGEINT) * 32000 // total_tokens
+         |    AS BIGINT) AS tok_load_permille
+         |FROM sh CROSS JOIN tot""".stripMargin,
     // integer bit-length buckets (never floor(log2): 1-ulp-low logs at
     // exact powers of two would flip the bucket)
     "pipe_dup_factor_hist" ->

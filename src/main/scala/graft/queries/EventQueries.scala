@@ -520,7 +520,44 @@ object EventQueries {
       .withColumn("has_pattern", col("n_complete") > 0)
   }
 
+  /** Binary-decay EWMA spike monitor over daily event-type counts —
+    * the anomaly pass an event pipeline runs per ingest day. The
+    * forecast for day t is the exponentially-weighted mean of the 8
+    * preceding OBSERVED days with weight 2^(8−j) at lag j (α = 1/2
+    * decay on the binary grid — weights are exact BIGINTs, so unlike a
+    * float EWMA the whole recurrence is integer arithmetic); ragged
+    * series starts just shrink the denominator. A day spikes when its
+    * count exceeds 2× the forecast — compared by integer
+    * cross-multiplication (cnt·den > 2·num), division never runs. Per
+    * type: observed days, spike days, and the worst count/forecast
+    * ratio in permille. One day-grain pre-aggregation, one
+    * type-partitioned window (never a global sort), a type-keyed
+    * rollup. */
+  def spikeEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = withTsUs(Tables.events(s, dir))
+      .withColumn("day", expr(s"ts_us DIV $DayUs"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val num = (1 to 8).map(j =>
+      coalesce(lag(col("cnt"), j).over(w) * lit(1L << (8 - j)), lit(0L)))
+      .reduce(_ + _)
+    val den = (1 to 8).map(j =>
+      when(lag(col("cnt"), j).over(w).isNotNull, lit(1L << (8 - j)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    daily.withColumn("fnum", num).withColumn("fden", den)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(when(col("fnum") > 0 &&
+                    col("cnt") * col("fden") > col("fnum") * 2, 1L)
+             .otherwise(0L)).as("n_spikes"),
+           coalesce(max(when(col("fnum") > 0,
+               expr("cnt * 1000 * fden DIV fnum"))), lit(0L))
+             .as("max_ratio_permille"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
     "evt_cuped"            -> (cuped _),
     "evt_interval_overlap" -> (intervalOverlap _),
@@ -550,6 +587,29 @@ object EventQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "evt_spike_ewma" -> {
+      val num = (1 to 8).map(j =>
+        s"COALESCE(lag(cnt, $j) OVER w * ${1L << (8 - j)}, 0)")
+        .mkString("\n    + ")
+      val den = (1 to 8).map(j =>
+        s"(CASE WHEN lag(cnt, $j) OVER w IS NOT NULL" +
+          s" THEN ${1L << (8 - j)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH daily AS (SELECT event_type, $usExpr // $DayUs AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type, cnt,
+         |    $num AS fnum,
+         |    $den AS fden
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN fnum > 0 AND cnt * fden > fnum * 2
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+         |  CAST(COALESCE(MAX(CASE WHEN fnum > 0
+         |                THEN cnt * 1000 * fden // fnum END), 0) AS BIGINT)
+         |    AS max_ratio_permille
+         |FROM l GROUP BY 1""".stripMargin
+    },
     "evt_cep_sequence" -> {
       val gapUs = HalfHourUs
       s"""WITH e AS (SELECT user_id, event_id, $usExpr AS us, event_type
