@@ -724,6 +724,65 @@ object DocQueries {
           .as("avg_logratio"))
   }
 
+  /** DSIR's SELECTION step realized (Xie et al. 2023 §3.3 — after
+    * importance weighting comes resampling): keep the top quartile by
+    * importance weight (exact 75th-percentile threshold, strict >, so
+    * the cut is deterministic without an RNG — the rank-threshold
+    * variant the paper's hard-select ablation uses) and report per
+    * language how the selection redistributes the corpus: docs kept,
+    * token mass kept, and the keep rate in permille. The target slice
+    * (en) should dominate the selection — the same law the DSIR spec
+    * asserts on raw weights, here realized as an admission decision.
+    * Rides [[pipeDsirWeights]]'s chain (shared `tok` frame persists —
+    * no second corpus pass); the threshold is an allowlisted 1-row
+    * broadcast. */
+  def pipeDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val wts = pipeDsirWeights(s, dir)
+    val thr = wts.agg(
+      expr("percentile(avg_logratio, CAST(3 AS DOUBLE)/4)").as("thr"))
+    wts.crossJoin(broadcast(thr))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("avg_logratio") > col("thr"), 1L).otherwise(0L))
+             .as("n_selected"),
+           sum(when(col("avg_logratio") > col("thr"), col("n_tokens"))
+             .otherwise(0L)).as("tok_selected"))
+      .withColumn("share_permille", expr("n_selected * 1000 DIV n_docs"))
+  }
+
+  /** URL host panel — the domain-level view every blocklist/allowlist
+    * curation step needs (C4 drops by source URL; RefinedWeb's URL
+    * filter is its FIRST gate). The fixture corpus carries no URLs, so
+    * they are manufactured IN-PLAN from doc_id arithmetic (the
+    * PII-injection pattern — every 4th doc an http URL, every 6th an
+    * https www-prefixed one, so some docs carry both and the
+    * www-strip normalization is exercised), replayed
+    * formula-identically in the oracle. Hosts are extracted with a
+    * (Java ∩ RE2)-safe group regex, normalized (www. strip), and
+    * rolled up per host: URL occurrences and distinct docs — the
+    * (host, doc) pre-aggregation avoids the count_distinct Expand
+    * (the round-10 value-grain lesson). Scan + extract are pure
+    * per-row map work. */
+  def textUrlHosts(s: SparkSession, dir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("string")
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" http://site"), d(col("doc_id") % 7),
+               lit(".example.com/p"), d(col("doc_id")))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" https://www.mirror"), d(col("doc_id") % 5),
+               lit(".example.org/q"), d(col("doc_id")))).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(t2,
+          lit("https?://([a-z0-9.-]+)"), lit(1))).as("host"))
+      .withColumn("host", regexp_replace(col("host"), lit("^www\\."), lit("")))
+      .groupBy(col("host"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("host"))
+      .agg(sum(col("c")).as("n_urls"), count(lit(1)).as("n_docs"))
+  }
+
   /** BPE merge-table training steps and per-recount batch size run by
     * [[textBpeMerges]] — the same constants parameterize the generated
     * DuckDB oracle so the two sides cannot drift. 512 steps at 32 per
@@ -2021,6 +2080,34 @@ object DocQueries {
       "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
 
+  /** Duplicate-cluster provenance purity — whether duplication is
+    * INTRA-site (template/boilerplate: clusters drawn from one source)
+    * or CROSS-site (syndication/mirroring: mixed sources), the
+    * diagnostic that decides if dedup can run per-domain (cheap, the
+    * domain-grain family) or must stay global. Per cluster-size bucket
+    * (integer bit length — the dup_factor_hist rule): cluster count,
+    * single-source ("pure") cluster count, and the mean majority-source
+    * share in exact permille. Shape: the cluster labels join their
+    * sources doc-keyed, then two small-grain aggregates — the pair
+    * graph is already bucketed-LSH-bounded upstream. */
+  def dedupClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val perCs = dedupClusters(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    perCs.groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("sz"), max(col("c")).as("maj"))
+      .select((length(bin(col("sz"))) - 1).cast("long").as("bucket"),
+              col("sz"), col("maj"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(when(col("maj") === col("sz"), 1L).otherwise(0L)).as("n_pure"),
+           sum(expr("maj * 1000 DIV sz")).as("sp"))
+      .withColumn("mean_purity_permille", expr("sp DIV n_clusters"))
+      .drop("sp")
+  }
+
   /** The dedup DECISION step: materialize the kept corpus — every doc
     * except non-canonical members of a duplicate cluster (keeper = min
     * doc_id, i.e. cluster_id). One left-anti join against the (small)
@@ -2451,6 +2538,9 @@ object DocQueries {
     "pipe_gate_kappa"     -> (pipeGateKappa _),
     "text_gopher_dupe_ngrams" -> (textGopherDupeNgrams _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
+    "pipe_dsir_select"    -> (pipeDsirSelect _),
+    "text_url_hosts"      -> (textUrlHosts _),
+    "dedup_cluster_purity" -> (dedupClusterPurity _),
     "text_bpe_merges"     -> (textBpeMerges _),
     "text_bpe_encode"     -> (textBpeEncode _),
     "text_unigram_tokenizer" -> ((s: SparkSession, d: String) =>
@@ -2627,6 +2717,24 @@ object DocQueries {
        |  CAST(cm // 1048576 AS BIGINT) AS gram_hash
        |FROM win WHERE n = 4""".stripMargin
 
+  /** Recursive transitive closure over the jaccard pair graph (twin of
+    * [[graft.operators.Dedup.dupClusters]]), ending in
+    * `clusters(doc_id, cluster_id)` — single-sourced by the
+    * dedup_clusters, funnel, and cluster-purity oracles. Callers
+    * prepend `WITH RECURSIVE`. */
+  private lazy val clusterClosureCtes: String =
+    s"""pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+       |             FROM reach GROUP BY id)""".stripMargin
+
   /** Shared CTE chain of the funnel family (twin of [[funnelFlags]]):
     * gopher flags + jaccard-cluster losers + 13-gram contamination,
     * single-sourced so the report and ablation oracles cannot drift;
@@ -2639,17 +2747,7 @@ object DocQueries {
        |  FROM (SELECT doc_id, text,
        |    $gopherFlagsSelSql
        |  FROM documents)),
-       |pairs AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-       |          UNION SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT s AS id FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-       |             FROM reach GROUP BY id),
+       |$clusterClosureCtes,
        |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
        |g AS MATERIALIZED (
        |  SELECT doc_id,
@@ -2660,6 +2758,36 @@ object DocQueries {
        |contam AS (SELECT DISTINCT doc_id FROM g
        |           WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench))"""
       .stripMargin
+
+  /** Shared CTE chain of the DSIR family (twin of [[pipeDsirWeights]]):
+    * hashed-unigram bucket log-ratios ending in
+    * `dsw(doc_id, lang, n_tokens, avg_logratio)` — single source for
+    * the weights and selection oracles. `tok`/`hist` MATERIALIZED
+    * (multiply referenced — round-7 inlining gotcha); `dsw`
+    * MATERIALIZED for the selection oracle (threshold + rollup both
+    * read it). */
+  private lazy val dsirCtes: String =
+    s"""tok AS MATERIALIZED (SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5('dsir|' || w), 1, 4) AS BIGINT) % 64 AS bkt
+       |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)),
+       |hist AS MATERIALIZED (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tok GROUP BY 1),
+       |lp AS (SELECT bkt,
+       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS diff6
+       |  FROM hist),
+       |tot AS (SELECT
+       |    CAST(round(ln(CAST(SUM(cr) + 64 AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(SUM(ct) + 64 AS DOUBLE)) * 1000000) AS BIGINT) AS c6
+       |  FROM hist),
+       |d AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |        CAST(SUM(diff6) AS BIGINT) AS s6
+       |      FROM tok JOIN lp USING (bkt) GROUP BY 1, 2),
+       |dsw AS MATERIALIZED (SELECT doc_id, lang, n_tokens,
+       |  round((CAST(s6 AS DOUBLE) / 1000000.0) / n_tokens
+       |        + CAST(c6 AS DOUBLE) / 1000000.0, 6) AS avg_logratio
+       |FROM d, tot)""".stripMargin
 
   private val funnelJoinSql: String =
     """FROM fb
@@ -3420,27 +3548,39 @@ object DocQueries {
          |FROM f GROUP BY source""".stripMargin
     },
     "pipe_dsir_weights" ->
-      s"""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
-         |    CAST('0x' || substr(md5('dsir|' || w), 1, 4) AS BIGINT) % 64 AS bkt
-         |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)),
-         |hist AS MATERIALIZED (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
-         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-         |  FROM tok GROUP BY 1),
-         |lp AS (SELECT bkt,
-         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 1000000) AS BIGINT)
-         |  - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS diff6
-         |  FROM hist),
-         |tot AS (SELECT
-         |    CAST(round(ln(CAST(SUM(cr) + 64 AS DOUBLE)) * 1000000) AS BIGINT)
-         |  - CAST(round(ln(CAST(SUM(ct) + 64 AS DOUBLE)) * 1000000) AS BIGINT) AS c6
-         |  FROM hist),
-         |d AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
-         |        CAST(SUM(diff6) AS BIGINT) AS s6
-         |      FROM tok JOIN lp USING (bkt) GROUP BY 1, 2)
-         |SELECT doc_id, lang, n_tokens,
-         |  round((CAST(s6 AS DOUBLE) / 1000000.0) / n_tokens
-         |        + CAST(c6 AS DOUBLE) / 1000000.0, 6) AS avg_logratio
-         |FROM d, tot""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, lang, n_tokens, avg_logratio FROM dsw""".stripMargin,
+    "pipe_dsir_select" ->
+      s"""WITH $dsirCtes,
+         |thr AS (SELECT percentile_cont(CAST(3 AS DOUBLE)/4)
+         |          WITHIN GROUP (ORDER BY avg_logratio) AS thr FROM dsw)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN avg_logratio > thr THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN avg_logratio > thr THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS tok_selected,
+         |  CAST(SUM(CASE WHEN avg_logratio > thr THEN 1 ELSE 0 END) * 1000
+         |    // COUNT(*) AS BIGINT) AS share_permille
+         |FROM dsw CROSS JOIN thr GROUP BY 1""".stripMargin,
+    "text_url_hosts" -> {
+      val t2 = "text" +
+        " || (CASE WHEN doc_id % 4 = 0 THEN ' http://site'" +
+        " || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'" +
+        " || CAST(doc_id AS VARCHAR) ELSE '' END)" +
+        " || (CASE WHEN doc_id % 6 = 0 THEN ' https://www.mirror'" +
+        " || CAST(doc_id % 5 AS VARCHAR) || '.example.org/q'" +
+        " || CAST(doc_id AS VARCHAR) ELSE '' END)"
+      s"""WITH h AS (SELECT doc_id,
+         |    regexp_replace(host, '^www\\.', '') AS host
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all($t2,
+         |          'https?://([a-z0-9.-]+)', 1)) AS host
+         |        FROM documents)),
+         |hd AS (SELECT host, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM h GROUP BY 1, 2)
+         |SELECT host, CAST(SUM(c) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM hd GROUP BY 1""".stripMargin
+    },
     "text_winnowing" -> winnowSql,
     "text_zipf_fit" ->
       // every OLS moment is an exact BIGINT over 1e-6-grid logs; the
@@ -3755,15 +3895,24 @@ object DocQueries {
          |GROUP BY lang""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($jaccardPairsSql) jp),
-         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+         |$clusterClosureCtes
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE
+         |$clusterClosureCtes,
+         |cs AS (SELECT cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM clusters JOIN documents d USING (doc_id)
+         |       GROUP BY 1, 2),
+         |pc AS (SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS sz,
+         |              CAST(MAX(c) AS BIGINT) AS maj
+         |       FROM cs GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(CASE WHEN maj = sz THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pure,
+         |  CAST(SUM(maj * 1000 // sz) // COUNT(*) AS BIGINT)
+         |    AS mean_purity_permille
+         |FROM pc GROUP BY 1""".stripMargin,
     "dedup_containment_pairs" -> containmentPairsSql,
     // Method-agreement rollup over the three pair sets. Every pair CTE
     // is MATERIALIZED: each is referenced from the chained FULL JOIN

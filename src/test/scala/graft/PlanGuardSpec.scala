@@ -87,6 +87,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_trigram_backoff",   // 1-row (N, V) train-totals broadcast
     "pipe_ccnet_buckets",     // same scorer chain + 1-row totals
     "pipe_dsir_weights",      // 1-row corpus-constant broadcast (c6)
+    "pipe_dsir_select",       // same chain + 1-row threshold broadcast
     "evt_cuped",              // 1-row midpoint + 1-row theta broadcasts
     "rel_cross_matrix",       // DELIBERATE cross join (contingency table
                               //   with zero cells — the §2.3 cross-join row)
