@@ -642,8 +642,44 @@ object AnalyticsQueries {
               col("point_mean"))
   }
 
+  /** Benford expected first-digit shares in permille
+    * (round(log10(1 + 1/d)·1000) — they sum to exactly 1000). Embedded
+    * as integer literals on both engines: no transcendental ever
+    * reaches the compare. */
+  private val BenfordPermille: Seq[(String, Long)] = Seq(
+    "1" -> 301L, "2" -> 176L, "3" -> 125L, "4" -> 97L, "5" -> 79L,
+    "6" -> 67L, "7" -> 58L, "8" -> 51L, "9" -> 46L)
+
+  /** Benford first-digit audit over order totals — the data-quality /
+    * fraud screen every financial-ish column gets (fabricated or
+    * capped values bend the leading-digit law). Per digit: observed
+    * count and permille vs the Benford expectation, and the absolute
+    * deviation. The first digit is taken from the INTEGER cents string
+    * (CAST(round(x·100) AS BIGINT) — the sanctioned exact-integer
+    * recovery — then BIGINT→VARCHAR, identical renderings), so no
+    * log10/power arithmetic can disagree at a decade boundary. One
+    * map-side digit tag, a 9-group aggregate, an allowlisted 1-row
+    * total broadcast. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expMap = typedlit(BenfordPermille.toMap)
+    val digits = Tables.orders(s, dir).select(
+      substring(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        .cast("string"), 1, 1).as("digit"))
+    val tot = digits.agg(count(lit(1)).as("n"))
+    digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_permille", expr("n_obs * 1000 DIV n"))
+      .withColumn("exp_permille", element_at(expMap, col("digit")))
+      .withColumn("dev_permille",
+        abs(col("obs_permille") - col("exp_permille")))
+      .select(col("digit"), col("n_obs"), col("obs_permille"),
+              col("exp_permille"), col("dev_permille"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_bootstrap_ci"     -> (bootstrapCi _),
+    "rel_benford_audit"    -> (benfordAudit _),
     "rel_ks_mannwhitney"   -> (ksMannWhitney _),
     "evt_dau_wau"        -> (dauWau _),
     "evt_hll_wau"        -> (hllWau _),
@@ -678,6 +714,23 @@ object AnalyticsQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "rel_benford_audit" -> {
+      val expCase = "CASE digit " + BenfordPermille
+        .map { case (d, p) => s"WHEN '$d' THEN $p" }
+        .mkString(" ") + " END"
+      s"""WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |      FROM d GROUP BY 1),
+         |g2 AS (SELECT digit, n_obs,
+         |    CAST(n_obs * 1000 // n AS BIGINT) AS obs_permille,
+         |    CAST($expCase AS BIGINT) AS exp_permille
+         |  FROM g CROSS JOIN tot)
+         |SELECT digit, n_obs, obs_permille, exp_permille,
+         |  CAST(abs(obs_permille - exp_permille) AS BIGINT) AS dev_permille
+         |FROM g2""".stripMargin
+    },
     "rel_bootstrap_ci" -> {
       val w = PoissonCdf32
         .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")

@@ -750,6 +750,36 @@ object DocQueries {
       .withColumn("share_permille", expr("n_selected * 1000 DIV n_docs"))
   }
 
+  /** Vocabulary drift between two corpus snapshots (even vs odd
+    * doc_ids, the NB-family split convention) — the check run before
+    * deciding whether a tokenizer retrain is due after a crawl
+    * refresh: each snapshot's top-2048 vocabulary by frequency
+    * (deterministic (count desc, word asc) tie-break), their overlap,
+    * and the Jaccard in exact permille. The rank filter compiles to a
+    * WindowGroupLimit (map-side top-k per half — the kmv_intersect
+    * precedent), so the window never sorts the full vocab at scale;
+    * the final census is one vocab-bounded aggregate. */
+  def pipeVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 2048
+    val wc = Tables.spread(Tables.documents(s, dir))
+      .select((col("doc_id") % 2 === 0).as("half_a"),
+              explode(TextOps.tokenize(col("text"))).as("w"))
+      .groupBy(col("half_a"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy(col("half_a"))
+      .orderBy(col("c").desc, col("w").asc)
+    wc.withColumn("rk", row_number().over(win)).filter(col("rk") <= k)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("halves"),
+           sum(when(col("half_a"), 1L).otherwise(0L)).as("in_a"))
+      .agg(sum(col("in_a")).as("n_a"),
+           sum(col("halves") - col("in_a")).as("n_b"),
+           sum(when(col("halves") === 2, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("jaccard_permille",
+        expr("n_common * 1000 DIV (n_a + n_b - n_common)"))
+  }
+
   /** URL host panel — the domain-level view every blocklist/allowlist
     * curation step needs (C4 drops by source URL; RefinedWeb's URL
     * filter is its FIRST gate). The fixture corpus carries no URLs, so
@@ -2259,13 +2289,23 @@ object DocQueries {
     * per-row regexp counts (map work, no shuffle) into one rollup;
     * the blocklist ships as literals (at real scale: a broadcast
     * variable compiled into one alternation). */
-  def pipeBadwordsGate(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc blocklist stats over an arbitrary (doc_id, source, text)
+    * frame — shared by the batch gate below and the STREAMING gate
+    * ([[graft.streaming.StreamOps.badwordsGateBatch]]): stateless pure
+    * map work, so streamed micro-batch outputs union to exactly one
+    * batch pass. */
+  private[graft] def badwordsDocStats(docs: DataFrame): DataFrame = {
     val nBad = BadWords
       .map(w => regexp_count(col("text"), lit(s"\\b$w\\b")).cast("long"))
       .reduce(_ + _)
-    Tables.spread(Tables.documents(s, dir))
-      .withColumn("n_bad", nBad)
+    docs.withColumn("n_bad", nBad)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_bad"), col("n_tok"),
+              (col("n_bad") > 0).as("flagged"))
+  }
+
+  def pipeBadwordsGate(s: SparkSession, dir: String): DataFrame = {
+    badwordsDocStats(Tables.spread(Tables.documents(s, dir)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_flagged"),
@@ -2539,6 +2579,7 @@ object DocQueries {
     "text_gopher_dupe_ngrams" -> (textGopherDupeNgrams _),
     "pipe_dsir_weights"   -> (pipeDsirWeights _),
     "pipe_dsir_select"    -> (pipeDsirSelect _),
+    "pipe_vocab_drift"    -> (pipeVocabDrift _),
     "text_url_hosts"      -> (textUrlHosts _),
     "dedup_cluster_purity" -> (dedupClusterPurity _),
     "text_bpe_merges"     -> (textBpeMerges _),
@@ -3562,6 +3603,26 @@ object DocQueries {
          |  CAST(SUM(CASE WHEN avg_logratio > thr THEN 1 ELSE 0 END) * 1000
          |    // COUNT(*) AS BIGINT) AS share_permille
          |FROM dsw CROSS JOIN thr GROUP BY 1""".stripMargin,
+    "pipe_vocab_drift" ->
+      s"""WITH wc AS (SELECT (doc_id % 2 = 0) AS half_a, w,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT half_a, w FROM (
+         |    SELECT half_a, w, row_number() OVER (
+         |      PARTITION BY half_a ORDER BY c DESC, w ASC) AS rk FROM wc)
+         |  WHERE rk <= 2048),
+         |m AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS halves,
+         |    CAST(SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS in_a
+         |  FROM top GROUP BY 1),
+         |z AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+         |    CAST(SUM(halves - in_a) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN halves = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_common
+         |  FROM m)
+         |SELECT n_a, n_b, n_common,
+         |  n_common * 1000 // (n_a + n_b - n_common) AS jaccard_permille
+         |FROM z""".stripMargin,
     "text_url_hosts" -> {
       val t2 = "text" +
         " || (CASE WHEN doc_id % 4 = 0 THEN ' http://site'" +

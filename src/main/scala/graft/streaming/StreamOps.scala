@@ -264,6 +264,24 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming C4 bad-words gate: each micro-batch of (doc_id, source,
+    * text) runs the batch gate's per-doc blocklist stats
+    * ([[graft.queries.DocQueries.badwordsDocStats]] — hit count, token
+    * mass, flagged) and hands them to `sink` — the page-drop decision a
+    * live ingestion pipeline applies at admission. STATELESS (the
+    * blocklist is a constant; no model, no history), so streamed
+    * outputs union to exactly one batch pass for ANY micro-batch
+    * partitioning (StreamingSpec pins this). */
+  def badwordsGateBatch(newDocs: DataFrame)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.queries.DocQueries.badwordsDocStats(batch), batchId)
+      }
+      .start()
+
   // ------------------------------------------------------- upsert sink
 
   /** Streaming MERGE: maintain a keyed current-state table from a change

@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_shard_assign",      // (total_docs, total_tokens) 1-row broadcast
     "pipe_gate_kappa",        // global-median quality 1-row broadcast
     "rel_bootstrap_ci",       // 64-row replicate-index broadcast fan-out
+    "rel_benford_audit",      // 1-row digit-total broadcast
     "text_nb_confusion",      // class-count NB param frame (|langs| rows)
     "text_nb_accuracy",       // same trained-classifier param frame
     "text_nb_calibration",    // same scored frame (params broadcast)

@@ -309,6 +309,39 @@ class StreamingSpec extends SparkSpec {
     assert(byId(1L).slice(2, 6).forall(_ == 0L), "doc 1 clean")
   }
 
+  test("streaming badwords gate equals one batch blocklist scan") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.DocQueries
+    // blocklist is Seq("slow", "merge", "window"): texts chosen so hits
+    // land on both sides of the batch split, plus a \b negative
+    // (substring "slowly" must NOT fire) and a clean doc
+    val b1 = Seq((1L, "s1", "the slow merge path"),
+                 (2L, "s2", "nothing listed here"))
+    val b2 = Seq((3L, "s1", "window window dressing"),
+                 (4L, "s2", "slowly does not count"))
+    val mem = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamOps.badwordsGateBatch(
+        mem.toDF().toDF("doc_id", "source", "text")) { (df, _) =>
+      val rows = df.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }; ()
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.toSet
+    val batch = DocQueries.badwordsDocStats((b1 ++ b2).toDF(
+        "doc_id", "source", "text")).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.size == 4)
+    val byId = buf.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(1L)(2) == 2L && byId(1L)(4) == true, "doc 1: slow+merge")
+    assert(byId(3L)(2) == 2L, "doc 3: window twice")
+    assert(byId(4L)(2) == 0L && byId(4L)(4) == false,
+           "doc 4: 'slowly' must not fire inside the word boundary")
+    assert(byId(2L)(2) == 0L, "doc 2 clean")
+  }
+
   test("built-in session windows over MemoryStream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamEvent]
