@@ -587,8 +587,8 @@ object AnalyticsQueries {
     * weights cap at 6, beyond which mass is < 6·10⁻⁴ per draw). A
     * seeded-md5 uniform u ∈ [0, 2³²) maps to the bootstrap weight
     * w = |{k : u ≥ t_k}| with ZERO float arithmetic. */
-  private val PoissonCdf32 = Seq(1580030168L, 3160060337L, 3950075421L,
-                                 4213413783L, 4279248373L, 4292415291L)
+  private[graft] val PoissonCdf32 = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L)
 
   /** Poisson-bootstrap confidence intervals for mean order value per
     * priority — the uncertainty quantification an eval/report pipeline

@@ -1305,6 +1305,35 @@ object DocQueries {
              .as("n_correct"))
       .withColumn("acc_permille", expr("n_correct * 1000 DIV n_docs"))
 
+  /** Per-class precision / recall / F1 of the trained NB classifier in
+    * exact permille — the standard report that completes the
+    * classifier-eval ladder (confusion → accuracy → calibration →
+    * gate). Every metric is a ratio of confusion-matrix integers, and
+    * F1 collapses to ONE exact integral divide: F1 = 2·tp/(2·tp+fp+fn)
+    * = 2000·tp DIV (n_true + n_pred). Derived entirely from the
+    * reuse'd |langs|²-row confusion frame — no second scoring pass;
+    * classes the model never predicts get precision 0, not a divide
+    * error. */
+  def textNbF1(s: SparkSession, dir: String): DataFrame = {
+    val conf = PlanCache.reuse(textNbConfusion(s, dir))
+    val trues = conf.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_true"))
+    val preds = conf.groupBy(col("lang_pred"))
+      .agg(sum(col("n_docs")).as("n_pred"))
+      .withColumnRenamed("lang_pred", "lang")
+    val diag = conf.filter(col("lang") === col("lang_pred"))
+      .select(col("lang"), col("n_docs").as("tp"))
+    trues.join(preds, Seq("lang"), "left")
+      .join(diag, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+              col("n_true"), coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("prec_permille", expr(
+        """CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+          | ELSE tp * 1000 DIV n_pred END""".stripMargin))
+      .withColumn("rec_permille", expr("tp * 1000 DIV n_true"))
+      .withColumn("f1_permille", expr("tp * 2000 DIV (n_true + n_pred)"))
+  }
+
   /** Reliability panel of the trained Naive-Bayes classifier —
     * predicted-margin buckets vs observed held-out accuracy, the
     * calibration check every curation paper runs before thresholding
@@ -2555,6 +2584,7 @@ object DocQueries {
     "pipe_contamination_ngram" -> (pipeContaminationNgram _),
     "pipe_gram_novelty"   -> (pipeGramNovelty _),
     "text_nb_confusion"   -> (textNbConfusion _),
+    "text_nb_f1"          -> (textNbF1 _),
     "text_nb_accuracy"    -> (textNbAccuracy _),
     "text_nb_calibration" -> (textNbCalibration _),
     "text_nb_gate"        -> (textNbGate _),
@@ -3845,6 +3875,27 @@ object DocQueries {
          |SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents d JOIN pred p USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
+    "text_nb_f1" ->
+      s"""WITH $nbCtes,
+         |conf AS MATERIALIZED (
+         |  SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+         |      FROM conf GROUP BY 1),
+         |pr AS (SELECT lang_pred AS lang,
+         |         CAST(SUM(n_docs) AS BIGINT) AS n_pred
+         |       FROM conf GROUP BY 1),
+         |dg AS (SELECT lang, n_docs AS tp FROM conf WHERE lang = lang_pred),
+         |j AS (SELECT t.lang, COALESCE(tp, 0) AS tp, n_true,
+         |        COALESCE(n_pred, 0) AS n_pred
+         |      FROM t LEFT JOIN pr USING (lang) LEFT JOIN dg USING (lang))
+         |SELECT lang, tp, n_true, n_pred,
+         |  CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(tp * 1000 // n_pred AS BIGINT) END AS prec_permille,
+         |  CAST(tp * 1000 // n_true AS BIGINT) AS rec_permille,
+         |  CAST(tp * 2000 // (n_true + n_pred) AS BIGINT) AS f1_permille
+         |FROM j""".stripMargin,
     "text_nb_accuracy" ->
       s"""WITH $nbCtes
          |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.Graphs
+import graft.operators.{Graphs, PlanCache}
 import graft.sources.Tables
 import Canon._
 
@@ -235,6 +235,38 @@ object EventQueries {
       sum(when(col("signup_us") < col("click_us") &&
                col("click_us") < col("purchase_us"), 1).otherwise(0))
         .as("n_full_funnel"))
+  }
+
+  /** Funnel step timing — the companion to [[funnel]]'s conversion
+    * counts: for users whose first signup precedes their first click
+    * (and click precedes purchase), the step-gap distribution as exact
+    * percentile interpolation over µs BIGINTs (median + p90 per step,
+    * the SLA numbers a conversion report carries next to the rates).
+    * One per-user firsts aggregate (PlanCache-shared across the two
+    * step branches), then a scalar panel per step over the tiny
+    * converting-user set. */
+  def funnelTiming(s: SparkSession, dir: String): DataFrame = {
+    def firstUs(t: String) =
+      min(when(col("event_type") === t, col("ts_us"))).as(s"${t}_us")
+    val perUser = PlanCache.reuse(
+      withTsUs(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(firstUs("signup"), firstUs("click"), firstUs("purchase")))
+    def step(name: String, gap: org.apache.spark.sql.Column,
+             cond: org.apache.spark.sql.Column): DataFrame =
+      perUser.filter(cond)
+        .select(gap.as("gap_us"))
+        .agg(count(lit(1)).as("n_users"),
+             expr("""percentile(gap_us, array(CAST(1 AS DOUBLE)/2,
+                   | CAST(9 AS DOUBLE)/10))""".stripMargin).as("qs"))
+        .select(lit(name).as("step"), col("n_users"),
+                get(col("qs"), lit(0)).as("p50_us"),
+                get(col("qs"), lit(1)).as("p90_us"))
+    step("signup_click", col("click_us") - col("signup_us"),
+         col("signup_us") < col("click_us"))
+      .union(step("click_purchase", col("purchase_us") - col("click_us"),
+        col("signup_us") < col("click_us") &&
+          col("click_us") < col("purchase_us")))
   }
 
   /** Event-sequence transition mining: (prev_type → type) bigram counts
@@ -568,6 +600,7 @@ object EventQueries {
     "evt_dow_seasonality"  -> (dowSeasonality _),
     "evt_reach"            -> (reach _),
     "evt_funnel"           -> (funnel _),
+    "evt_funnel_timing"    -> (funnelTiming _),
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
     "evt_new_users_daily"  -> (newUsersDaily _),
@@ -797,6 +830,29 @@ object EventQueries {
       }
       s"WITH ${(base +: rounds).mkString(",\n")}\nSELECT node, hops FROM d3"
     },
+    "evt_funnel_timing" ->
+      s"""WITH pu AS MATERIALIZED (SELECT user_id,
+         |    min(CASE WHEN event_type = 'signup' THEN $usExpr END)
+         |      AS signup_us,
+         |    min(CASE WHEN event_type = 'click' THEN $usExpr END)
+         |      AS click_us,
+         |    min(CASE WHEN event_type = 'purchase' THEN $usExpr END)
+         |      AS purchase_us
+         |  FROM events GROUP BY 1)
+         |SELECT 'signup_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  percentile_cont(CAST(1 AS DOUBLE)/2)
+         |    WITHIN GROUP (ORDER BY click_us - signup_us) AS p50_us,
+         |  percentile_cont(CAST(9 AS DOUBLE)/10)
+         |    WITHIN GROUP (ORDER BY click_us - signup_us) AS p90_us
+         |FROM pu WHERE signup_us < click_us
+         |UNION ALL
+         |SELECT 'click_purchase' AS step, CAST(COUNT(*) AS BIGINT),
+         |  percentile_cont(CAST(1 AS DOUBLE)/2)
+         |    WITHIN GROUP (ORDER BY purchase_us - click_us),
+         |  percentile_cont(CAST(9 AS DOUBLE)/10)
+         |    WITHIN GROUP (ORDER BY purchase_us - click_us)
+         |FROM pu WHERE signup_us < click_us AND click_us < purchase_us"""
+        .stripMargin,
     "evt_funnel" ->
       s"""SELECT COUNT(*) AS n_users,
          |CAST(SUM(CASE WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -319,6 +319,39 @@ object ScalingBench {
                sum(col("n_lines")).as("n_lines"),
                sum(col("n_dup_lines") % lit(1000003L)).as("chk"))
       }),
+      // round-12 bootstrap family: the Poisson-resample fan-out over
+      // 256x orders with DISTINCT order keys — md5-per-(row, rep) CPU
+      // work through one broadcast fan-out join into a map-side-
+      // combined (priority, rep) aggregate. The canonical
+      // embarrassingly-parallel shape (ZERO corpus shuffles before the
+      // 320-cell rollup), so its serial fraction bounds the pure
+      // per-stage scheduling overhead of the harness itself.
+      "scaled_bootstrap" -> ((s: SparkSession, dir: String) => {
+        val n = 256
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+                  col("o_totalprice"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("o_orderkey") * n + col("id")).as("o_orderkey"),
+                  col("o_orderpriority"), col("o_totalprice"))
+        val reps = broadcast(s.range(64).toDF("rep"))
+        val u = conv(substring(md5(concat(
+          lit("boot|"), col("o_orderkey").cast("string"),
+          lit("|"), col("rep").cast("string"))), 1, 8), 16, 10).cast("long")
+        val w = graft.queries.AnalyticsQueries.PoissonCdf32
+          .map(t => when(col("u") >= lit(t), 1L).otherwise(0L))
+          .reduce(_ + _)
+        o.crossJoin(reps)
+          .withColumn("u", u).withColumn("w", w)
+          .groupBy(col("o_orderpriority"), col("rep"))
+          .agg(sum(graft.queries.Canon.dec(col("o_totalprice")) * col("w"))
+                 .as("sw"),
+               sum(col("w")).as("nw"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("nw")).as("total_w"),
+               sum(col("sw"))
+                 .cast(org.apache.spark.sql.types.DoubleType).as("chk"))
+      }),
       // round-10 quality-filter family: char-diversity over 256x
       // documents with DISTINCT per-copy doc ids — the (doc, char)
       // explode + two map-side-combined hash aggregations is the

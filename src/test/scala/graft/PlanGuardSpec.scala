@@ -46,6 +46,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_nb_confusion",      // class-count NB param frame (|langs| rows)
     "text_nb_accuracy",       // same trained-classifier param frame
     "text_nb_calibration",    // same scored frame (params broadcast)
+    "text_nb_f1",             // same confusion chain (params broadcast)
     "text_nb_gate",           // same scored frame at the margin cut
     "pipe_contamination",     // benchmark-side scalar stats
     "pipe_pack_bins",         // shard-width scalar
