@@ -995,8 +995,7 @@ object DocQueries {
     * corpus: `n_novel` per doc is a plain count over `fst` grouped by
     * its min carrier — no second corpus pass, no gram-set broadcast. */
   def pipeGramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val dg = PlanCache.reuse(
-      gram13(s, dir).select(col("doc_id"), col("h")).distinct())
+    val dg = gram13Distinct(s, dir)
     val fst = dg.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val novel = fst.groupBy(col("first_doc").as("doc_id"))
       .agg(count(lit(1)).as("nn"))
@@ -1010,6 +1009,130 @@ object DocQueries {
            sum(coalesce(col("nn"), lit(0L))).as("n_novel"))
       .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
   }
+
+  /** Distinct (doc_id, h) 13-gram carrier frame — ONE helper shared by
+    * [[pipeGramNovelty]] and [[pipeGramProvenance]] so both consumers
+    * build the identical logical plan over the shared [[gram13]] frame
+    * and CacheManager sameResult dedup fires on the corpus-sized
+    * distinct (the round-5 shared-sketch rule). */
+  private def gram13Distinct(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      gram13(s, dir).select(col("doc_id"), col("h")).distinct())
+
+  /** Cross-source 13-gram PROVENANCE matrix — the DIRECTIONAL
+    * syndication detector a curation pipeline reads next to the
+    * symmetric overlap graph ([[pipeDomainOverlap]] says two domains
+    * share templates; this says who copied whom): for every distinct
+    * (doc, gram) re-occurrence (carrier ≠ first carrier, first = the
+    * smallest doc_id — the same deterministic first-seen order the
+    * novelty profile uses), the (origin source → carrier source) cell
+    * counts gram re-occurrences and carrying docs. A heavy off-diagonal
+    * cell is cross-site syndication (dedup must stay corpus-global);
+    * mass on the diagonal is in-house template duplication (safe to
+    * dedup per-domain) — the decision [[dedup_cluster_purity]] makes at
+    * cluster grain, here at flow grain.
+    *
+    * Scale shape (100 TB): rides the shared [[gram13Distinct]] frame —
+    * the first-carrier map is one gram-keyed aggregation (min is
+    * algebraic, map-side combined), the re-occurrence join is
+    * gram-keyed (never all-pairs), and the doc→source maps are
+    * id-keyed equi joins. `n_docs` is derived from a (cell, doc)
+    * pre-aggregation, never a count_distinct Expand (the r10
+    * value-grain rule). Output is |sources|²-bounded. */
+  def pipeGramProvenance(s: SparkSession, dir: String): DataFrame = {
+    val dg = gram13Distinct(s, dir)
+    val fst = dg.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val perCellDoc = dg.join(fst, Seq("h"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .join(src.select(col("doc_id").as("first_doc"),
+                       col("source").as("src_origin")), Seq("first_doc"))
+      .join(src.select(col("doc_id"), col("source").as("src_carrier")),
+            Seq("doc_id"))
+      .groupBy(col("src_origin"), col("src_carrier"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    perCellDoc.groupBy(col("src_origin"), col("src_carrier"))
+      .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Quality × duplication contingency matrix — the diagnostic linking
+    * the two headline curation axes (are duplicated documents also the
+    * low-quality ones? C4/RefinedWeb both observe boilerplate is): per
+    * (composite-quality quartile, power-of-two duplication bucket)
+    * cell, docs, exact token mass, and the canonical keepers exact
+    * dedup would retain. Quartile cutpoints are EXACT percentile
+    * interpolation over the integer quality scores (the ccnet-buckets
+    * precedent); the dup bucket is the INTEGER bit length of the exact
+    * group size (the [[pipeDupFactorHist]] rule — never floor(log2)).
+    *
+    * Scale shape (100 TB): rides the pinned [[domainQualityScored]]
+    * frame (no second entropy/TTR pass) and the one content-hash
+    * shuffle [[graft.operators.Dedup.exactGroups]] pays; the cutpoint
+    * row is a 1-row broadcast (PlanGuard-allowlisted scalar); the cell
+    * rollup is ≤ 4 × 64 groups. */
+  def pipeQualityDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = domainQualityScored(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val cuts = scored.agg(expr(
+      """percentile(quality_score, array(CAST(1 AS DOUBLE)/4,
+        | CAST(1 AS DOUBLE)/2, CAST(3 AS DOUBLE)/4))""".stripMargin).as("qs"))
+    val grp = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("content_hash"), col("n_docs").as("grp_n"),
+              col("keeper_id"))
+    docs.select(col("doc_id"),
+        TextOps.contentHash(col("text")).as("content_hash"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(grp, Seq("content_hash"))
+      .join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .select(
+        (lit(1L)
+          + when(col("quality_score") > get(col("qs"), lit(0)), 1L)
+              .otherwise(0L)
+          + when(col("quality_score") > get(col("qs"), lit(1)), 1L)
+              .otherwise(0L)
+          + when(col("quality_score") > get(col("qs"), lit(2)), 1L)
+              .otherwise(0L)).as("q_seg"),
+        (length(bin(col("grp_n"))) - 1).cast("long").as("dup_bucket"),
+        col("n_tokens"),
+        when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L)
+          .as("is_keeper"))
+      .groupBy(col("q_seg"), col("dup_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"),
+           sum(col("is_keeper")).as("n_keepers"))
+  }
+
+  /** Context-length fit panel — the truncation/padding accounting a
+    * pretraining pipeline runs before fixing its sequence length (what
+    * [[pipePackBins]] packs, this sizes): for each candidate context
+    * length, docs over the limit, the exact token mass truncation
+    * loses, the mass kept, and the padding wasted by naive
+    * one-doc-per-row batching (the number packing recovers). Lengths
+    * {16, 32, 64} bracket the fixture's 10-99-token docs so every
+    * branch exercises; production lengths only change the literals.
+    * kept_permille derives from the in-group identity kept + lost =
+    * total — no corpus-total broadcast needed.
+    *
+    * Scale shape (100 TB): one corpus pass — the per-doc token count
+    * projects the text away, the ×3 fan-out is a map-side explode of a
+    * 3-element literal (one codegen copy, the round-5 union-multiplier
+    * rule), and the rollup has exactly |lengths| groups. */
+  def pipeContextFit(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .select(size(split(col("text"), " ")).cast("long").as("n"),
+              explode(typedlit(Seq(16L, 32L, 64L))).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L))
+             .as("n_truncated"),
+           sum(least(col("n"), col("ctx_len"))).as("kept_mass"),
+           sum(greatest(col("n") - col("ctx_len"), lit(0L)))
+             .as("trunc_loss"),
+           sum(col("ctx_len") - least(col("n"), col("ctx_len")))
+             .as("pad_waste"))
+      .withColumn("kept_permille",
+        expr("kept_mass * 1000 DIV (kept_mass + trunc_loss)"))
 
   /** END-TO-END curation funnel — the survival report every corpus
     * paper tables (RefinedWeb table 2, Dolma §2): doc and token mass
@@ -2583,6 +2706,9 @@ object DocQueries {
     "pipe_contamination_winnow" -> (pipeContaminationWinnow _),
     "pipe_contamination_ngram" -> (pipeContaminationNgram _),
     "pipe_gram_novelty"   -> (pipeGramNovelty _),
+    "pipe_gram_provenance" -> (pipeGramProvenance _),
+    "pipe_quality_dup_matrix" -> (pipeQualityDupMatrix _),
+    "pipe_context_fit"    -> (pipeContextFit _),
     "text_nb_confusion"   -> (textNbConfusion _),
     "text_nb_f1"          -> (textNbF1 _),
     "text_nb_accuracy"    -> (textNbAccuracy _),
@@ -2787,6 +2913,20 @@ object DocQueries {
        |SELECT DISTINCT doc_id, CAST(1048575 - cm % 1048576 AS BIGINT) AS pos,
        |  CAST(cm // 1048576 AS BIGINT) AS gram_hash
        |FROM win WHERE n = 4""".stripMargin
+
+  /** Shared 13-gram carrier chain, ending in `dg(doc_id, h)` (distinct
+    * carriers) and `fst(h, first_doc)` (first-carrier map) — single-
+    * sourced by the novelty and provenance oracles so the gram hash
+    * idiom cannot drift between them. */
+  private lazy val gram13Ctes: String =
+    s"""g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
+       |        FROM documents)),
+       |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
+       |fst AS MATERIALIZED (
+       |  SELECT h, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)""".stripMargin
 
   /** Recursive transitive closure over the jaccard pair graph (twin of
     * [[graft.operators.Dedup.dupClusters]]), ending in
@@ -3851,13 +3991,7 @@ object DocQueries {
          |GROUP BY 1, 2""".stripMargin,
     // first-carrier novelty over the same md5-60 13-gram frame
     "pipe_gram_novelty" ->
-      s"""WITH g AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5('g13|' || gram), 1, 15) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest(${sqlShingles(13)}) AS gram
-         |        FROM documents)),
-         |dg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g),
-         |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM dg GROUP BY 1),
+      s"""WITH $gram13Ctes,
          |nov AS (SELECT first_doc AS doc_id,
          |          CAST(COUNT(*) AS BIGINT) AS nn FROM fst GROUP BY 1),
          |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
@@ -3870,6 +4004,73 @@ object DocQueries {
          |FROM per JOIN documents d USING (doc_id)
          |LEFT JOIN nov ON nov.doc_id = per.doc_id
          |GROUP BY 1""".stripMargin,
+    // directional first-carrier flow matrix over the SAME gram chain
+    "pipe_gram_provenance" ->
+      s"""WITH $gram13Ctes,
+         |re AS (SELECT dg.doc_id, fst.first_doc
+         |       FROM dg JOIN fst USING (h)
+         |       WHERE dg.doc_id <> fst.first_doc),
+         |pd AS (SELECT o.source AS src_origin, c.source AS src_carrier,
+         |         re.doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM re JOIN documents o ON o.doc_id = re.first_doc
+         |       JOIN documents c ON c.doc_id = re.doc_id
+         |       GROUP BY 1, 2, 3)
+         |SELECT src_origin, src_carrier,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pd GROUP BY 1, 2""".stripMargin,
+    // quality quartile × dup bucket contingency; cutpoints are exact
+    // percentile interpolation (identical on both engines), the dup
+    // bucket the same bit-length rule as pipe_dup_factor_hist
+    "pipe_quality_dup_matrix" ->
+      s"""WITH $charEntropyCtes,
+         |$ttrSegmentalCtes,
+         |q AS MATERIALIZED (
+         |  SELECT e.doc_id,
+         |    e.entropy_micro + 2 * t.mean_ttr_ppm - e.simpson_ppm
+         |      AS quality_score
+         |  FROM entq e JOIN ttrq t ON e.doc_id = t.doc_id),
+         |cut AS (SELECT
+         |  percentile_cont(CAST(1 AS DOUBLE)/4)
+         |    WITHIN GROUP (ORDER BY quality_score) AS q1,
+         |  percentile_cont(CAST(1 AS DOUBLE)/2)
+         |    WITHIN GROUP (ORDER BY quality_score) AS q2,
+         |  percentile_cont(CAST(3 AS DOUBLE)/4)
+         |    WITHIN GROUP (ORDER BY quality_score) AS q3
+         |  FROM q),
+         |gg AS (SELECT md5(text) AS ch, CAST(COUNT(*) AS BIGINT) AS grp_n,
+         |         MIN(doc_id) AS keeper_id
+         |       FROM documents GROUP BY 1),
+         |pd AS (SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+         |         gg.grp_n, gg.keeper_id
+         |       FROM documents d JOIN gg ON md5(d.text) = gg.ch)
+         |SELECT CAST(1 + (CASE WHEN quality_score > q1 THEN 1 ELSE 0 END)
+         |         + (CASE WHEN quality_score > q2 THEN 1 ELSE 0 END)
+         |         + (CASE WHEN quality_score > q3 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS q_seg,
+         |  CAST(length(bin(grp_n)) - 1 AS BIGINT) AS dup_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+         |  CAST(SUM(CASE WHEN pd.doc_id = keeper_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_keepers
+         |FROM pd JOIN q USING (doc_id) CROSS JOIN cut
+         |GROUP BY 1, 2""".stripMargin,
+    // truncation/padding accounting per candidate context length;
+    // kept + lost = total, so the permille needs no corpus-total CTE
+    "pipe_context_fit" ->
+      s"""WITH t AS (SELECT $nTok AS n FROM documents),
+         |f AS (SELECT n, unnest([16, 32, 64]) AS ctx_len FROM t)
+         |SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(SUM(least(n, ctx_len)) AS BIGINT) AS kept_mass,
+         |  CAST(SUM(greatest(n - ctx_len, 0)) AS BIGINT) AS trunc_loss,
+         |  CAST(SUM(ctx_len - least(n, ctx_len)) AS BIGINT) AS pad_waste,
+         |  CAST(SUM(least(n, ctx_len)) * 1000
+         |       // (SUM(least(n, ctx_len)) + SUM(greatest(n - ctx_len, 0)))
+         |       AS BIGINT) AS kept_permille
+         |FROM f GROUP BY ctx_len""".stripMargin,
     "text_nb_confusion" ->
       s"""WITH $nbCtes
          |SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs

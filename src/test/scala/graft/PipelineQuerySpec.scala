@@ -636,4 +636,62 @@ class PipelineQuerySpec extends SparkSpec {
     }
     graft.operators.PlanCache.releaseAll()
   }
+
+  test("gram provenance: flow matrix reconciles with the novelty ledger") {
+    val flows = DocQueries.pipeGramProvenance(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(flows.nonEmpty)
+    // every distinct (doc, gram) is either its gram's first carrier or
+    // a re-occurrence counted in exactly one flow cell, so total flow
+    // mass = distinct carriers − gram universe
+    val dgAll = DocQueries.gram13(spark, dir)
+      .select($"doc_id", $"h").distinct()
+    val carriers = dgAll.count()
+    val universe = dgAll.select($"h").distinct().count()
+    assert(flows.map(_._3).sum == carriers - universe)
+    flows.foreach { case (o, c, ng, nd) =>
+      assert(ng >= nd && nd > 0, s"$o->$c masses")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("quality-dup matrix: cells partition the corpus exactly") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val cells = DocQueries.pipeQualityDupMatrix(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cells.nonEmpty)
+    assert(cells.map(_._3).sum == docs.count())
+    val tokTotal = docs
+      .selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    assert(cells.map(_._4).sum == tokTotal)
+    // keepers across cells = distinct text groups
+    assert(cells.map(_._5).sum ==
+      docs.select(md5($"text".cast("binary"))).distinct().count())
+    cells.foreach { case (q, b, nd, tm, nk) =>
+      assert(q >= 1 && q <= 4 && b >= 0, s"cell ($q,$b)")
+      assert(nd >= nk && nk >= 0 && tm > 0, s"cell ($q,$b) masses")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("context fit: masses reconcile and tighten monotonically") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val total = docs
+      .selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    val rows = DocQueries.pipeContextFit(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(16L, 32L, 64L))
+    rows.foreach { case (l, nd, ntr, kept, lost, pad, pm) =>
+      assert(nd == docs.count())
+      assert(kept + lost == total, s"L=$l mass split")
+      assert(kept + pad == l * nd, s"L=$l padding identity")
+      assert(pm == kept * 1000 / total, s"L=$l permille")
+      assert(ntr >= 0 && ntr <= nd)
+    }
+    // a longer context never keeps less and never truncates more
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._4 >= a._4 && b._3 <= a._3 })
+    graft.operators.PlanCache.releaseAll()
+  }
 }

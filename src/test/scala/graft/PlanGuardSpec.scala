@@ -41,6 +41,7 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_epoch_decay",       // same (total_tokens, n_domains) 1-row side
     "pipe_shard_assign",      // (total_docs, total_tokens) 1-row broadcast
     "pipe_gate_kappa",        // global-median quality 1-row broadcast
+    "pipe_quality_dup_matrix", // quartile-cutpoint 1-row broadcast
     "rel_bootstrap_ci",       // 64-row replicate-index broadcast fan-out
     "rel_benford_audit",      // 1-row digit-total broadcast
     "text_nb_confusion",      // class-count NB param frame (|langs| rows)
