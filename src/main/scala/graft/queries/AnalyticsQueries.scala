@@ -677,7 +677,42 @@ object AnalyticsQueries {
               col("exp_permille"), col("dev_permille"))
   }
 
+  /** Differentially-private noisy counts via the two-sided GEOMETRIC
+    * mechanism (Ghosh-Roughgarden-Sundararajan 2009 — the discrete
+    * Laplace analogue, utility-optimal for counts; α = 1/2 ⇒ ε = ln 2
+    * per released count). Noise needs NO RNG and NO float: the
+    * magnitude has P(m) = 2⁻⁽ᵐ⁺¹⁾, realized EXACTLY as
+    * 16 − bit_length(v) for a seeded-md5 uniform v ∈ [1, 2¹⁶]
+    * (bit-length buckets are exact powers of two — the same integer
+    * inverse-CDF discipline as [[bootstrapCi]]'s Poisson thresholds;
+    * the one v = 2¹⁶ edge clamps to 0), the sign from an independent
+    * hash slice, and the release clamped at zero. Per nation: true
+    * customer count, the drawn noise, the DP release, and the absolute
+    * error — the utility panel a DP deployment publishes next to its ε.
+    *
+    * Scale shape: one map-side-combined count per nation, noise a pure
+    * per-row expression over the |nations|-row frame, names a
+    * broadcast dim join. */
+  def dpGeometricCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_cnt"))
+      .withColumn("u", conv(substring(md5(concat(lit("dp|"),
+        col("c_nationkey").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("v", expr("u % 65536 + 1"))
+      .withColumn("m", expr("greatest(16 - length(bin(v)), 0)"))
+      .withColumn("noise", expr(
+        "CAST(CASE WHEN (u DIV 65536) % 2 = 1 THEN -m ELSE m END AS BIGINT)"))
+      .withColumn("noisy_cnt",
+        expr("greatest(true_cnt + noise, CAST(0 AS BIGINT))"))
+      .withColumn("abs_err", expr("abs(noisy_cnt - true_cnt)"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name"), col("true_cnt"), col("noise"),
+              col("noisy_cnt"), col("abs_err"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_dp_geometric"     -> (dpGeometricCounts _),
     "rel_bootstrap_ci"     -> (bootstrapCi _),
     "rel_benford_audit"    -> (benfordAudit _),
     "rel_ks_mannwhitney"   -> (ksMannWhitney _),
@@ -714,6 +749,26 @@ object AnalyticsQueries {
   private val usExpr = "epoch_us(ts)"
 
   val oracles: Map[String, String] = Map(
+    "rel_dp_geometric" ->
+      s"""WITH cnt AS (SELECT c_nationkey,
+         |    CAST(COUNT(*) AS BIGINT) AS true_cnt
+         |  FROM customer GROUP BY 1),
+         |h AS (SELECT c_nationkey, true_cnt,
+         |    CAST('0x' || substr(md5('dp|' || CAST(c_nationkey AS VARCHAR)),
+         |         1, 15) AS BIGINT) AS u
+         |  FROM cnt),
+         |d AS (SELECT c_nationkey, true_cnt, u, u % 65536 + 1 AS v FROM h),
+         |e AS (SELECT c_nationkey, true_cnt,
+         |    CAST(CASE WHEN (u // 65536) % 2 = 1
+         |      THEN -(greatest(16 - length(bin(v)), 0))
+         |      ELSE greatest(16 - length(bin(v)), 0) END AS BIGINT) AS noise
+         |  FROM d)
+         |SELECT na.n_name, e.true_cnt, e.noise,
+         |  CAST(greatest(true_cnt + noise, 0) AS BIGINT) AS noisy_cnt,
+         |  CAST(abs(greatest(true_cnt + noise, 0) - true_cnt) AS BIGINT)
+         |    AS abs_err
+         |FROM e JOIN nation na ON na.n_nationkey = e.c_nationkey"""
+        .stripMargin,
     "rel_benford_audit" -> {
       val expCase = "CASE digit " + BenfordPermille
         .map { case (d, p) => s"WHEN '$d' THEN $p" }

@@ -2022,6 +2022,38 @@ object DocQueries {
            sum(col("n_s_words")).cast("long").as("n_s_words"),
            sum(when(col("has_vv"), 1L).otherwise(0L)).as("n_docs_vv"))
 
+  /** Readability panel per language — the Flesch-style complexity
+    * screen quality filters band on (HuggingFace/C4 audits report
+    * exactly these axes): a syllable PROXY as vowel-run count
+    * (`[aeiou]+` — the classic heuristic; char-class-only regex, in
+    * the (Java ∩ RE2) subset both engines match identically), words,
+    * syllables-per-word and long-word (≥ 3 vowel runs) share on the
+    * permille grid. Word counts are ≥ 1 per doc so no divide guard is
+    * needed; a vowel-free script (zh chars) degrades to 0, not an
+    * error.
+    *
+    * Scale shape (100 TB): pure per-row map work into a |langs|-group
+    * rollup — no shuffle before the aggregate's map-side combine. The
+    * per-word vowel filter is a higher-order `filter` whose lambda
+    * touches ONLY its argument (the round-5 HOF rule: nothing closed
+    * over re-evaluates per element). */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.spread(Tables.documents(s, dir))
+      .select(col("lang"),
+        size(words).cast("long").as("nw"),
+        regexp_count(col("text"), lit("[aeiou]+")).cast("long").as("syl"),
+        size(filter(words, w => regexp_count(w, lit("[aeiou]+")) >= 3))
+          .cast("long").as("nlong"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+           sum(col("syl")).as("n_syllables"),
+           sum(col("nlong")).as("n_longwords"))
+      .withColumn("syl_permille", expr("n_syllables * 1000 DIV n_words"))
+      .withColumn("longword_permille",
+        expr("n_longwords * 1000 DIV n_words"))
+  }
+
   /** MinHash Jaccard ESTIMATE per LSH candidate pair: matching signature
     * components / k — the quantity real dedup pipelines threshold on
     * (the exact-Jaccard verify pass is `dedup_jaccard_pairs`). Division
@@ -2683,6 +2715,7 @@ object DocQueries {
     "doc_top_bigrams"     -> (docTopBigrams _),
     "doc_textrank_keywords" -> (docTextrankKeywords _),
     "text_regex_scan"     -> (textRegexScan _),
+    "text_readability"    -> (textReadability _),
     "text_char_entropy"   -> (textCharEntropy _),
     "text_ttr_segmental"  -> (textTtrSegmental _),
     "doc_quality_composite" -> (docQualityComposite _),
@@ -3324,6 +3357,23 @@ object DocQueries {
          |CAST(SUM(CASE WHEN regexp_matches(text, 'value [a-z]+ value')
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_vv
          |FROM documents GROUP BY lang""".stripMargin,
+    "text_readability" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST($nTok AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+         |      AS syl,
+         |    CAST(len(list_filter($wordsSql,
+         |      w_ -> len(regexp_extract_all(w_, '[aeiou]+')) >= 3))
+         |      AS BIGINT) AS nlong
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(syl) AS BIGINT) AS n_syllables,
+         |  CAST(SUM(nlong) AS BIGINT) AS n_longwords,
+         |  CAST(SUM(syl) * 1000 // SUM(nw) AS BIGINT) AS syl_permille,
+         |  CAST(SUM(nlong) * 1000 // SUM(nw) AS BIGINT)
+         |    AS longword_permille
+         |FROM d GROUP BY 1""".stripMargin,
     "text_char_entropy" ->
       s"""WITH $charEntropyCtes
          |SELECT doc_id, n_chars, n_distinct, simpson_ppm, entropy_micro

@@ -588,7 +588,100 @@ object EventQueries {
              .as("max_ratio_permille"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-grid rollup a growth report runs over an event stream:
+    * per user, days since last activity (µs grid), event count, and
+    * exact purchase cents; each axis bucketed 1-5 by EXACT quintile
+    * cutpoints (percentile interpolation — an unpartitioned ntile would
+    * be a single-partition global sort, the round-2 rule), then one
+    * ≤125-cell census. The reference epoch is the stream's own max
+    * timestamp, so the panel is reproducible (no wall clock).
+    *
+    * Scale shape (100 TB): one user-keyed aggregate over the stream;
+    * the reference row and the quintile row are 1-row broadcasts
+    * (PlanGuard-allowlisted scalars); everything downstream of the
+    * per-user frame is |users|-sized, and the census is bounded at
+    * 5³ cells. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perUser = PlanCache.reuse(
+      withTsUs(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"),
+             count(lit(1)).as("frequency"),
+             sum(when(col("event_type") === "purchase",
+                 expr("CAST(round(value * 100) AS BIGINT)"))
+               .otherwise(0L)).as("monetary_cents")))
+    val ref = perUser.agg(max(col("last_us")).as("ref_us"))
+    val rfm = perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        expr("(ref_us - last_us) DIV 86400000000"))
+    def quintiles(c: String) = expr(
+      s"""percentile($c, array(CAST(1 AS DOUBLE)/5, CAST(2 AS DOUBLE)/5,
+         | CAST(3 AS DOUBLE)/5, CAST(4 AS DOUBLE)/5))""".stripMargin)
+    val cuts = rfm.agg(quintiles("recency_days").as("rq"),
+                       quintiles("frequency").as("fq"),
+                       quintiles("monetary_cents").as("mq"))
+    def seg(c: String, q: String) =
+      (0 to 3).map(i => when(col(c) > get(col(q), lit(i)), 1L)
+        .otherwise(0L)).foldLeft(lit(1L))(_ + _)
+    rfm.crossJoin(broadcast(cuts))
+      .select(seg("recency_days", "rq").as("r_seg"),
+              seg("frequency", "fq").as("f_seg"),
+              seg("monetary_cents", "mq").as("m_seg"),
+              col("frequency"), col("monetary_cents"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("frequency")).as("n_events"),
+           sum(col("monetary_cents")).as("monetary_cents"))
+  }
+
+  /** Inter-arrival REGULARITY panel — the rule-based bot screen run
+    * before training on user-generated data (scripted clients fire on
+    * timers; humans are bursty): per user with ≥ 8 gaps, the exact gap
+    * stats and the squared coefficient of variation
+    * CV² = Var/mean² = (n·Σg² − (Σg)²) / (Σg)² on the ppm grid —
+    * Poisson (human-ish) arrivals sit near 10⁶, timers near 0; the
+    * flag cuts at CV² < 1/4 (CV < 1/2). All integer arithmetic: Σg²
+    * rides DECIMAL(38,0) ≡ HUGEINT (µs gaps square past the BIGINT
+    * cliff), the numerator is ≥ 0 by Cauchy-Schwarz so DIV is safe,
+    * and ordering ties at equal µs don't change the gap multiset.
+    *
+    * Scale shape (100 TB): one user-partitioned window (the same
+    * shuffle the sessionizers ride) into a user-keyed aggregate; no
+    * global sort, no broadcast, output |users|-bounded. */
+  def botRegularity(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    withTsUs(Tables.events(s, dir))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("prev_us")).as("gap_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("gap_us")).as("sum_gap_us"),
+           min(col("gap_us")).as("min_gap_us"),
+           max(col("gap_us")).as("max_gap_us"),
+           sum(col("gap_us").cast("decimal(38,0)") * col("gap_us"))
+             .as("sum_sq"))
+      .filter(col("n_gaps") >= 8)
+      .select(col("user_id"), col("n_gaps"),
+              expr("sum_gap_us DIV n_gaps").as("mean_gap_us"),
+              col("min_gap_us"), col("max_gap_us"),
+              // all-zero gaps (sum = 0) are perfectly regular, not a
+              // divide error: Var = 0 ⇒ CV² = 0 by convention
+              expr("""CASE WHEN sum_gap_us = 0 THEN CAST(0 AS BIGINT)
+                | ELSE CAST((sum_sq * n_gaps
+                |   - CAST(sum_gap_us AS DECIMAL(38,0)) * sum_gap_us)
+                |   * 1000000
+                |   DIV (CAST(sum_gap_us AS DECIMAL(38,0)) * sum_gap_us)
+                |   AS BIGINT) END""".stripMargin).as("cv2_ppm"))
+      .withColumn("is_regular",
+        when(col("cv2_ppm") < 250000L, 1L).otherwise(0L))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rfm_segments"   -> (rfmSegments _),
+    "evt_bot_regularity" -> (botRegularity _),
     "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
     "evt_cuped"            -> (cuped _),
@@ -619,7 +712,72 @@ object EventQueries {
 
   private val usExpr = "epoch_us(ts)"
 
+  /** Quintile-cutpoint SELECT fragment: 4 exact percentile_cont lines
+    * over `m`, aliased `$p1..$p4`. */
+  private def quintileSql(m: String, p: String): String =
+    (1 to 4).map(i =>
+      s"""percentile_cont(CAST($i AS DOUBLE)/5)
+         |    WITHIN GROUP (ORDER BY $m) AS $p$i""".stripMargin)
+      .mkString(",\n  ")
+
+  /** 1-5 segment expression from four cutpoints. */
+  private def segSql(m: String, p: String): String =
+    s"CAST(1 + ${(1 to 4).map(i =>
+      s"(CASE WHEN $m > $p$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT)"
+
+  private val cv2Sql: String =
+    """CAST(CASE WHEN sum_gap_us = 0 THEN 0
+      |  ELSE (sum_sq * n_gaps - CAST(sum_gap_us AS HUGEINT) * sum_gap_us)
+      |    * 1000000
+      |    // (CAST(sum_gap_us AS HUGEINT) * sum_gap_us)
+      |  END AS BIGINT)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "evt_rfm_segments" ->
+      s"""WITH pu AS MATERIALIZED (
+         |  SELECT user_id, MAX($usExpr) AS last_us,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS monetary_cents
+         |  FROM events GROUP BY 1),
+         |ref AS (SELECT MAX(last_us) AS ref_us FROM pu),
+         |rfm AS MATERIALIZED (
+         |  SELECT user_id,
+         |    (ref_us - last_us) // 86400000000 AS recency_days,
+         |    frequency, monetary_cents
+         |  FROM pu CROSS JOIN ref),
+         |cut AS (SELECT
+         |  ${quintileSql("recency_days", "r")},
+         |  ${quintileSql("frequency", "f")},
+         |  ${quintileSql("monetary_cents", "m")}
+         |  FROM rfm)
+         |SELECT ${segSql("recency_days", "r")} AS r_seg,
+         |  ${segSql("frequency", "f")} AS f_seg,
+         |  ${segSql("monetary_cents", "m")} AS m_seg,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(frequency) AS BIGINT) AS n_events,
+         |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
+         |FROM rfm CROSS JOIN cut GROUP BY 1, 2, 3""".stripMargin,
+    "evt_bot_regularity" ->
+      s"""WITH g AS (SELECT user_id,
+         |    $usExpr - lag($usExpr) OVER (PARTITION BY user_id
+         |      ORDER BY $usExpr, event_id) AS gap_us
+         |  FROM events),
+         |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |    CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+         |    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+         |    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+         |    SUM(CAST(gap_us AS HUGEINT) * gap_us) AS sum_sq
+         |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+         |  HAVING COUNT(*) >= 8)
+         |SELECT user_id, n_gaps,
+         |  CAST(sum_gap_us // n_gaps AS BIGINT) AS mean_gap_us,
+         |  min_gap_us, max_gap_us,
+         |  $cv2Sql AS cv2_ppm,
+         |  CAST(CASE WHEN $cv2Sql < 250000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_regular
+         |FROM pu""".stripMargin,
     "evt_spike_ewma" -> {
       val num = (1 to 8).map(j =>
         s"COALESCE(lag(cnt, $j) OVER w * ${1L << (8 - j)}, 0)")

@@ -429,6 +429,47 @@ object StreamOps {
       }
   }
 
+  /** Daily-count input row for [[spikeEwmaStream]]. */
+  case class EwmaIn(event_type: String, day: Long, cnt: Long)
+  /** Ring of the ≤ 8 most recent observed daily counts, oldest first. */
+  case class EwmaRing(cnts: Seq[Long])
+  case class EwmaOut(event_type: String, day: Long, cnt: Long,
+                     fnum: Long, fden: Long, is_spike: Boolean)
+
+  /** Streaming twin of the batch binary-decay EWMA spike monitor
+    * ([[graft.queries.EventQueries.spikeEwma]]'s lag-window frame):
+    * each arriving (type, day, cnt) is scored against the forecast over
+    * the ≤ 8 PRECEDING observed days with weights 2^(8−j) — the whole
+    * recurrence stays exact BIGINT (spike = cnt·fden > 2·fnum by
+    * integer cross-multiplication; division never runs) — then pushed
+    * into the ring. State is a ≤ 8-long ring per event type
+    * (`flatMapGroupsWithState`, Update mode), never a history buffer;
+    * with per-type day-ordered arrival (the same monotone-day contract
+    * as [[cusumDriftStream]]) the emitted rows equal the batch
+    * lag-window frame row-for-row for ANY micro-batch split
+    * (spec-pinned against the registered batch rollup). */
+  def spikeEwmaStream(daily: Dataset[EwmaIn]): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaRing, EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[EwmaIn], state: GroupState[EwmaRing]) =>
+          var ring = state.getOption.getOrElse(EwmaRing(Nil)).cnts
+          val outs = rows.toSeq.sortBy(_.day).map { r =>
+            val hist = ring.reverse // hist(0) = lag 1, newest first
+            val fnum = hist.zipWithIndex
+              .map { case (c, i) => c << (7 - i) }.sum
+            val fden = hist.zipWithIndex
+              .map { case (_, i) => 1L << (7 - i) }.sum
+            val spike = fnum > 0 && r.cnt * fden > fnum * 2
+            ring = (ring :+ r.cnt).takeRight(8)
+            EwmaOut(et, r.day, r.cnt, fnum, fden, spike)
+          }
+          state.update(EwmaRing(ring))
+          outs.iterator
+      }
+  }
+
   case class CepState(lastClickUs: Long, lastAbUs: Long, nStage2: Long,
                       nComplete: Long, firstCompleteUs: Long)
   case class CepOut(user_id: Long, n_stage2: Long, n_complete: Long,

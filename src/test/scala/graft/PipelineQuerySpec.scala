@@ -674,6 +674,91 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("RFM segments: census partitions users and masses exactly") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val cells = graft.queries.EventQueries.rfmSegments(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(cells.nonEmpty)
+    assert(cells.map(_._4).sum == ev.select($"user_id").distinct().count())
+    assert(cells.map(_._5).sum == ev.count())
+    val cents = ev.filter($"event_type" === "purchase")
+      .selectExpr("sum(CAST(round(value * 100) AS BIGINT))").as[Long].head()
+    assert(cells.map(_._6).sum == cents)
+    cells.foreach { case (r, f, m, nu, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(nu > 0)
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("bot regularity: panel matches a first-principles recompute") {
+    val out = graft.queries.EventQueries.botRegularity(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // recompute one user's row with BigInt math over collected gaps
+    val uid = out.map(_._1).min
+    val ts = graft.sources.Tables.events(spark, dir)
+      .filter($"user_id" === uid)
+      .selectExpr("ts_ns DIV 1000 AS us", "event_id")
+      .as[(Long, Long)].collect().sortBy(identity).map(_._1)
+    val gaps = ts.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    val (n, sg) = (BigInt(gaps.size), BigInt(gaps.sum))
+    val ssq = gaps.map(g => BigInt(g) * g).sum
+    val cv2 = if (sg == 0) BigInt(0)
+              else (ssq * n - sg * sg) * 1000000 / (sg * sg)
+    val row = out.find(_._1 == uid).get
+    assert(row._2 == gaps.size && row._3 == (sg / n).toLong)
+    assert(row._4 == gaps.min && row._5 == gaps.max)
+    assert(row._6 == cv2.toLong)
+    out.foreach { case (_, ng, mean, mn, mx, c, reg) =>
+      assert(ng >= 8 && mn <= mean && mean <= mx && c >= 0)
+      assert(reg == (if (c < 250000) 1L else 0L))
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("readability: per-language panel matches a Scala replay") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"lang", $"text").as[(String, String)].collect()
+    def runs(t: String) = "[aeiou]+".r.findAllIn(t).size.toLong
+    val expect = docs.groupBy(_._1).map { case (l, ds) =>
+      val nw = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val syl = ds.map(d => runs(d._2)).sum
+      val nlong = ds.map(_._2.split(" ", -1).count(w => runs(w) >= 3)
+        .toLong).sum
+      l -> ((ds.size.toLong, nw, syl, nlong))
+    }
+    val out = DocQueries.textReadability(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == expect.keys.toSeq.sorted)
+    out.foreach { case (l, nd, nw, syl, nlong, sp, lp) =>
+      assert((nd, nw, syl, nlong) == expect(l), s"$l masses")
+      assert(sp == syl * 1000 / nw && lp == nlong * 1000 / nw, s"$l permille")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("DP geometric: noise replays the seeded inverse-CDF exactly") {
+    val out = graft.queries.AnalyticsQueries.dpGeometricCounts(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val keyOf = graft.sources.Tables.nation(spark, dir)
+      .select($"n_name", $"n_nationkey").as[(String, Long)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (name, tc, noise, nc, err) =>
+      val u = java.lang.Long.parseLong(
+        md5hex(s"dp|${keyOf(name)}").substring(0, 15), 16)
+      val v = u % 65536 + 1
+      val m = math.max(16 - java.lang.Long.toBinaryString(v).length, 0)
+      val expect = if ((u / 65536) % 2 == 1) -m else m
+      assert(noise == expect, s"$name noise")
+      assert(nc == math.max(tc + noise, 0L) && err == math.abs(nc - tc))
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("context fit: masses reconcile and tighten monotonically") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val total = docs

@@ -53,6 +53,7 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_pack_bins",         // shard-width scalar
     "pipe_stratified_sample", // per-stratum rate table
     "evt_funnel",             // single-row funnel pivot
+    "evt_rfm_segments",       // reference-epoch + quintile 1-row sides
     "dedup_exact_rows",       // corpus-count scalar
     "doc_tfidf_top_terms",    // corpus-N 1-row cross join
     "doc_bm25_topk",          // corpus (N, sum dl) 1-row cross join

@@ -821,6 +821,47 @@ class StreamingSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("streaming EWMA spike monitor reconciles with the batch rollup") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // fixture daily counts, day-ordered (the monotone-day contract)
+    val daily = graft.sources.Tables.events(spark, dir)
+      .selectExpr("event_type", "(ts_ns DIV 1000) DIV 86400000000 AS day")
+      .groupBy($"event_type", $"day")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .as[StreamOps.EwmaIn].collect().sortBy(r => (r.day, r.event_type))
+    val mem = MemoryStream[StreamOps.EwmaIn]
+    val q = StreamOps.spikeEwmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      daily.grouped(daily.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream").as[StreamOps.EwmaOut]
+      .collect()
+    // each (type, day) emits exactly once
+    assert(streamed.length == daily.length)
+    assert(streamed.map(o => (o.event_type, o.day)).distinct.length ==
+      streamed.length)
+    // ring forecasts use ≤ 8 lags: fden is a sum of distinct powers of 2
+    streamed.foreach { o =>
+      assert(o.fden >= 0 && o.fden <= 255 && o.fnum >= 0)
+      assert(o.is_spike == (o.fnum > 0 && o.cnt * o.fden > o.fnum * 2))
+    }
+    // per-type day and spike totals equal the REGISTERED batch rollup
+    val batch = graft.queries.EventQueries.spikeEwma(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    batch.foreach { case (et, nDays, nSpikes, _) =>
+      val mine = streamed.filter(_.event_type == et)
+      assert(mine.length == nDays, s"$et days")
+      assert(mine.count(_.is_spike).toLong == nSpikes, s"$et spikes")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("Trigger.AvailableNow drains the backlog, stops, and resumes from offsets") {
     val base = java.nio.file.Files.createTempDirectory("graft_availnow").toString
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
