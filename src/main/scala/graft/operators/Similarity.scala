@@ -787,6 +787,41 @@ object Similarity {
           .as("share_ppm"))
   }
 
+  /** Corpus-level residual energy after removing the dominant
+    * direction — the 1-row summary next to [[anisoEnergy]]'s
+    * per-vector panel (Mu & Viswanath 2018: all-but-the-top removes
+    * the common component; this is the exact accounting of how much
+    * energy that postprocess would delete corpus-wide). total = Σ|x|²,
+    * top = Σ (x·v)² DIV |v|² (per-vector truncated integral divide,
+    * mirrored on both engines), residual_ppm on the exact ppm grid.
+    * The ppm product rides DECIMAL(38,0) ≡ HUGEINT past the BIGINT
+    * cliff; a degenerate all-zero eigenvector guards to top = 0.
+    *
+    * Scale shape: consumes the PlanCache-pinned eigenvector and the
+    * shared component frame; one rid-keyed aggregate + a 1-row rollup
+    * (the |v|² side is a 1-row broadcast, PlanGuard-allowlisted). */
+  def residualEnergy(df: DataFrame, idCol: String, vecCol: String,
+                     iters: Int): DataFrame = {
+    val v = PlanCache.reuse(powerIteration(df, idCol, vecCol, iters))
+    val q = qGrid(df, idCol, vecCol)
+    val dots = q.join(broadcast(v), Seq("dim"))
+      .groupBy(col("rid"))
+      .agg(sum(col("qv") * col("vq")).as("dot"),
+           sum(col("qv") * col("qv")).as("x2"))
+    val vn = v.agg(sum(col("vq") * col("vq")).as("v2"))
+    dots.crossJoin(broadcast(vn))
+      .select(col("x2"),
+        expr("""CASE WHEN v2 = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(CAST(dot AS DECIMAL(38,0)) * dot DIV v2 AS BIGINT)
+          | END""".stripMargin).as("top_e"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("x2")).as("total_energy"),
+           sum(col("top_e")).as("top_energy"))
+      .withColumn("residual_ppm",
+        expr("""CASE WHEN total_energy = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST((CAST(total_energy AS DECIMAL(38,0)) - top_energy)
+          |   * 1000000 DIV total_energy AS BIGINT) END""".stripMargin))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
     * greedily select `k` of each query's candidates maximizing
     * `0.7·rel − 0.3·max_{s∈selected} sim(d, s)` — relevance traded

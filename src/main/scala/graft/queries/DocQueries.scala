@@ -2388,6 +2388,45 @@ object DocQueries {
            max(col("share")).as("max_share"))
   }
 
+  /** Temperature-scaled language sampling (the XLM-R/mBERT rule,
+    * Conneau et al. 2020 §3.1: q_i ∝ s_i^τ at τ = 0.7) — the standard
+    * multilingual rebalance that upsamples tail languages without
+    * flattening the head. Per language: docs, exact token mass, the
+    * raw share and the temperature share on the ppm grid, and the
+    * upsample flag. Determinism: the raw share is an exact integer
+    * ppm; the ONE transcendental (pow) is immediately recovered to an
+    * integer micro-grid via CAST(round(·1e6)) on BOTH engines (the
+    * epoch-decay rule), so the normalization below it is pure integer
+    * arithmetic — no float sum order can differ.
+    *
+    * Scale shape (100 TB): one |langs|-group corpus rollup; both the
+    * token total and the temperature normalizer are 1-row broadcasts
+    * (PlanGuard-allowlisted scalars); everything past the rollup is
+    * |langs|-sized. */
+  def pipeMixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.spread(Tables.documents(s, dir))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("tok_mass"))
+    val tot = perLang.agg(sum(col("tok_mass")).as("total_tok"))
+    val shared = PlanCache.reuse(perLang.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(tok_mass AS DECIMAL(38,0)) * 1000000" +
+             " DIV total_tok AS BIGINT)"))
+      .withColumn("am",
+        expr("CAST(round(pow(CAST(share_ppm AS DOUBLE) / 1000000, 0.7)" +
+             " * 1000000) AS BIGINT)")))
+    val norm = shared.agg(sum(col("am")).as("sum_am"))
+    shared.crossJoin(broadcast(norm))
+      .withColumn("temp_ppm",
+        expr("CAST(CAST(am AS DECIMAL(38,0)) * 1000000" +
+             " DIV sum_am AS BIGINT)"))
+      .withColumn("upsampled",
+        (col("temp_ppm") > col("share_ppm")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("tok_mass"),
+              col("share_ppm"), col("temp_ppm"), col("upsampled"))
+  }
+
   /** Data-mixture rebalancing plan: given target language weights, the
     * largest corpus that honors the mixture is bounded by the scarcest
     * language (total_cap = min over langs of count/weight); each lang
@@ -2697,6 +2736,7 @@ object DocQueries {
     "pipe_pii_redact"     -> (pipeRedact _),
     "pipe_contamination"  -> (pipeContamination _),
     "pipe_mixture_plan"   -> (pipeMixturePlan _),
+    "pipe_mixture_temperature" -> (pipeMixtureTemperature _),
     "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
@@ -3199,6 +3239,28 @@ object DocQueries {
          |least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE)) AS keep_rate,
          |CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
          |FROM j CROSS JOIN cap""".stripMargin,
+    // temperature sampling: the one pow() is recovered to an integer
+    // micro-grid via CAST(round(·1e6)) BEFORE normalization, so the
+    // normalizer sum is exact integer arithmetic on both engines
+    "pipe_mixture_temperature" ->
+      s"""WITH pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM($nTok) AS BIGINT) AS tok_mass
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT SUM(tok_mass) AS total_tok FROM pl),
+         |sh AS MATERIALIZED (SELECT lang, n_docs, tok_mass,
+         |    CAST(CAST(tok_mass AS HUGEINT) * 1000000 // total_tok
+         |         AS BIGINT) AS share_ppm,
+         |    CAST(round(pow(CAST(CAST(tok_mass AS HUGEINT) * 1000000
+         |           // total_tok AS BIGINT) / 1000000.0, 0.7) * 1000000)
+         |         AS BIGINT) AS am
+         |  FROM pl CROSS JOIN tot),
+         |nr AS (SELECT SUM(am) AS sum_am FROM sh)
+         |SELECT lang, n_docs, tok_mass, share_ppm,
+         |  CAST(CAST(am AS HUGEINT) * 1000000 // sum_am AS BIGINT)
+         |    AS temp_ppm,
+         |  CAST(CASE WHEN CAST(am AS HUGEINT) * 1000000 // sum_am
+         |         > share_ppm THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+         |FROM sh CROSS JOIN nr""".stripMargin,
     "pipe_clean_corpus" -> {
       val scores = TextOps.LangStopwords.map { case (lang, words) =>
         lang -> sqlWordHits(words)

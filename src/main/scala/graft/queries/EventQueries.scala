@@ -588,6 +588,45 @@ object EventQueries {
              .as("max_ratio_permille"))
   }
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` shape, strict-order
+    * greedy variant): per user, the deepest signup → click → purchase
+    * chain where every later step lands within `windowHours` of the
+    * user's FIRST signup and strictly after the previous step, each
+    * step taken at its EARLIEST qualifying time (greedy-earliest is
+    * deterministic and maximizes reachable depth for a fixed anchor).
+    * Unlike [[funnel]] (lifetime firsts), this bounds conversion to an
+    * attribution window — the form growth dashboards actually chart.
+    * Output: users per reached level (1-3).
+    *
+    * Scale shape (100 TB): three user-keyed equi joins over the one
+    * reused event projection (no broadcast, no window function, no
+    * global sort); each stage's aggregate combines map-side; the
+    * rollup is 3 rows. */
+  def windowFunnel(s: SparkSession, dir: String,
+                   windowHours: Long = 24L): DataFrame = {
+    val w = windowHours * HourUs
+    val ev = PlanCache.reuse(withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), col("event_type"), col("ts_us")))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("signup_us") &&
+              col("ts_us") <= col("signup_us") + lit(w))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s1, Seq("user_id")).join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("click_us") &&
+              col("ts_us") <= col("signup_us") + lit(w))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select((lit(1L)
+        + when(col("click_us").isNotNull, 1L).otherwise(0L)
+        + when(col("purchase_us").isNotNull, 1L).otherwise(0L))
+        .as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * customer-grid rollup a growth report runs over an event stream:
     * per user, days since last activity (µs grid), event count, and
@@ -681,6 +720,8 @@ object EventQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_rfm_segments"   -> (rfmSegments _),
+    "evt_window_funnel"  -> ((s: SparkSession, d: String) =>
+      windowFunnel(s, d)),
     "evt_bot_regularity" -> (botRegularity _),
     "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
@@ -733,6 +774,30 @@ object EventQueries {
       |  END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "evt_window_funnel" -> {
+      val w = 24L * HourUs
+      s"""WITH s1 AS MATERIALIZED (
+         |  SELECT user_id, MIN($usExpr) AS signup_us
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS MATERIALIZED (
+         |  SELECT e.user_id, MIN($usExpr) AS click_us
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND $usExpr > signup_us
+         |    AND $usExpr <= signup_us + $w
+         |  GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN($usExpr) AS purchase_us
+         |  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND $usExpr > click_us
+         |    AND $usExpr <= signup_us + $w
+         |  GROUP BY 1)
+         |SELECT CAST(1 + (CASE WHEN s2.user_id IS NOT NULL
+         |           THEN 1 ELSE 0 END)
+         |         + (CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS level,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |GROUP BY 1""".stripMargin
+    },
     "evt_rfm_segments" ->
       s"""WITH pu AS MATERIALIZED (
          |  SELECT user_id, MAX($usExpr) AS last_us,

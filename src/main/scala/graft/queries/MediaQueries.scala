@@ -267,7 +267,43 @@ object MediaQueries {
       .withColumn("n_windows", lit(AudioSamples.toLong / 64L))
   }
 
+  /** Color-histogram verification of the pHash near-dup candidates —
+    * the second-signal check an image-dedup pipeline runs before
+    * dropping a near-duplicate (two images can share a luminance aHash
+    * while differing tonally; the 8-bin band-1 histogram intersection
+    * `Σ_b min(h_a[b], h_b[b])` catches that): per verified pair
+    * (hamming ≤ 7), the exact intersected pixel mass and its permille
+    * of the $W×$H frame. Bins are `v DIV 32` over the REAL
+    * imageio-decoded pixel values — the oracle replays the generating
+    * formula, so a hash match re-proves the decode.
+    *
+    * Scale shape (100 TB): histograms are map-side per image (a
+    * |bins|-row frame per image); the intersection touches ONLY the
+    * LSH candidate pairs ([[mmPhashPairs]] — pigeonhole-lossless, never
+    * all-pairs) via pair-keyed equi joins; the shared
+    * [[phashFrame]]/pixel build dedups across the family through
+    * CacheManager sameResult. */
+  def mmHistPairs(s: SparkSession, dir: String): DataFrame = {
+    val n = RasterQueries.W * RasterQueries.H
+    val hist = graft.operators.PlanCache.reuse(
+      RasterQueries.tiffPixels(s, dir)
+        .filter(col("band") === 1)
+        .select(col("file"),
+                expr("CAST(value AS BIGINT) DIV 32").as("bin"))
+        .groupBy(col("file"), col("bin"))
+        .agg(count(lit(1)).as("cnt")))
+    mmPhashPairs(s, dir)
+      .join(hist.select(col("file").as("file_a"), col("bin"),
+                        col("cnt").as("ca")), Seq("file_a"))
+      .join(hist.select(col("file").as("file_b"), col("bin"),
+                        col("cnt").as("cb")), Seq("file_b", "bin"))
+      .groupBy(col("file_a"), col("file_b"), col("hamming"))
+      .agg(sum(least(col("ca"), col("cb"))).as("intersect_mass"))
+      .withColumn("sim_permille", expr(s"intersect_mass * 1000 DIV $n"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_hist_pairs"      -> (mmHistPairs _),
     "mm_byte_stats"      -> (mmByteStats _),
     "mm_frame_sample"    -> (mmFrameSample _),
     "mm_key_frames"      -> (mmKeyFrames _),
@@ -393,6 +429,39 @@ object MediaQueries {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM hs a JOIN hs b ON a.file < b.file
          |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin
+    },
+    "mm_hist_pairs" -> {
+      val (w, h) = (RasterQueries.W, RasterQueries.H)
+      val n = w * h
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+         |px AS (SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         |    (doc_id*7 + 13 + y*3 + x*5) % 256 AS v
+         |  FROM ids
+         |  CROSS JOIN (SELECT unnest(range(0, $h)) AS y)
+         |  CROSS JOIN (SELECT unnest(range(0, $w)) AS x)),
+         |s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv
+         |      FROM px GROUP BY 1),
+         |hs AS MATERIALIZED (SELECT px.doc_id,
+         |    'dataset/doc_' || px.doc_id || '.tif' AS file,
+         |    CAST(SUM(CASE WHEN px.v * $n > s.sv
+         |      THEN (CAST(1 AS BIGINT) << CAST(y * $w + x AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1, 2),
+         |hx AS MATERIALIZED (SELECT
+         |    'dataset/doc_' || doc_id || '.tif' AS file,
+         |    v // 32 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM px GROUP BY 1, 2),
+         |pr AS (SELECT a.file AS file_a, b.file AS file_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |  FROM hs a JOIN hs b ON a.file < b.file
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 7)
+         |SELECT pr.file_a, pr.file_b, pr.hamming,
+         |  CAST(SUM(least(ha.cnt, hb.cnt)) AS BIGINT) AS intersect_mass,
+         |  CAST(SUM(least(ha.cnt, hb.cnt)) * 1000 // $n AS BIGINT)
+         |    AS sim_permille
+         |FROM pr JOIN hx ha ON ha.file = pr.file_a
+         |JOIN hx hb ON hb.file = pr.file_b AND hb.bin = ha.bin
+         |GROUP BY 1, 2, 3""".stripMargin
     },
     "mm_phash_incr" -> {
       val (w, h) = (RasterQueries.W, RasterQueries.H)

@@ -280,6 +280,16 @@ object VectorQueries {
     Similarity.anisoEnergy(Tables.embeddings(s, dir), "vec_id",
                            "embedding", iters = 3)
 
+  /** Corpus residual energy after all-but-the-top
+    * ([[Similarity.residualEnergy]]): the 1-row accounting of how much
+    * energy removing the shared dominant direction deletes — rides the
+    * same pinned eigenvector/component frames as [[simAnisoEnergy]],
+    * so the marginal cost is one rid-keyed aggregation + a 1-row
+    * rollup. */
+  def simResidualEnergy(s: SparkSession, dir: String): DataFrame =
+    Similarity.residualEnergy(Tables.embeddings(s, dir), "vec_id",
+                              "embedding", iters = 3)
+
   /** Per-dimension profile: posexplode → groupBy(dim) with
     * order-independent aggregates only (min / max / positive count —
     * no float summation across rows, which would be partial-order
@@ -695,6 +705,7 @@ object VectorQueries {
     "sim_corr_matrix"   -> (simCorrMatrix _),
     "sim_power_iter"    -> (simPowerIter _),
     "sim_aniso_energy"  -> (simAnisoEnergy _),
+    "sim_residual_energy" -> (simResidualEnergy _),
     "sim_quantize"      -> (simQuantize _),
     "sim_pq_codes"      -> (simPqCodes _),
     "sim_topk_ivfpq"    -> (simTopKIvfPq _),
@@ -1389,6 +1400,24 @@ object VectorQueries {
          |    ELSE CAST(dot AS HUGEINT) * dot * 1000000
          |         // (CAST(x2 AS HUGEINT) * v2) END AS BIGINT) AS share_ppm
          |FROM d CROSS JOIN vn""".stripMargin,
+    "sim_residual_energy" ->
+      s"""WITH $powerIterCtes,
+         |vn AS (SELECT SUM(vq * vq) AS v2 FROM v3),
+         |d AS (SELECT q.rid, SUM(q.qv * v.vq) AS dot,
+         |        CAST(SUM(q.qv * q.qv) AS BIGINT) AS x2
+         |      FROM q JOIN v3 v ON q.dim = v.dim GROUP BY 1),
+         |t AS (SELECT x2,
+         |        CASE WHEN v2 = 0 THEN CAST(0 AS BIGINT)
+         |          ELSE CAST(CAST(dot AS HUGEINT) * dot // v2 AS BIGINT)
+         |          END AS top_e
+         |      FROM d CROSS JOIN vn)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(x2) AS BIGINT) AS total_energy,
+         |  CAST(SUM(top_e) AS BIGINT) AS top_energy,
+         |  CAST(CASE WHEN SUM(x2) = 0 THEN 0
+         |    ELSE (CAST(SUM(x2) AS HUGEINT) - SUM(top_e)) * 1000000
+         |         // SUM(x2) END AS BIGINT) AS residual_ppm
+         |FROM t""".stripMargin,
     "sim_centroid_assign" ->
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id, label, dim,

@@ -429,6 +429,37 @@ object StreamOps {
       }
   }
 
+  /** Running per-user RFM state maintained by a stream — the live
+    * feature store under [[graft.queries.EventQueries.rfmSegments]]'
+    * batch census: last-activity µs, event count, exact purchase
+    * cents. Every component is COMMUTATIVE-mergeable (max / count /
+    * sum), so unlike the day-ordered monitors the final state equals
+    * the batch aggregate under ANY micro-batch split or arrival order
+    * (spec-pinned); quintile bucketing stays a batch pass over the
+    * |users|-bounded state, exactly where the batch row does it. */
+  case class RfmState(last_us: Long, frequency: Long,
+                      monetary_cents: Long)
+  case class RfmOut(user_id: Long, last_us: Long, frequency: Long,
+                    monetary_cents: Long)
+
+  def rfmStateStream(events: Dataset[StreamEvent]): Dataset[RfmOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[RfmState, RfmOut](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[StreamEvent],
+         state: GroupState[RfmState]) =>
+          var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          rows.foreach { e =>
+            st = RfmState(math.max(st.last_us, micros(e.ts)),
+              st.frequency + 1L,
+              st.monetary_cents + (if (e.event_type == "purchase")
+                math.round(e.value * 100) else 0L))
+          }
+          state.update(st)
+          RfmOut(user, st.last_us, st.frequency, st.monetary_cents)
+      }
+  }
+
   /** Daily-count input row for [[spikeEwmaStream]]. */
   case class EwmaIn(event_type: String, day: Long, cnt: Long)
   /** Ring of the ≤ 8 most recent observed daily counts, oldest first. */

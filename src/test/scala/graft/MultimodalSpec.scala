@@ -70,6 +70,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.FakeCodec.decode(bytes).toSeq == bytes.toSeq)
   }
 
+  test("hist pairs: intersections verify exactly the pHash candidate set") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.queries.MediaQueries.mmPhashPairs(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val out = graft.queries.MediaQueries.mmHistPairs(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every output pair is a verified near-dup candidate with the same
+    // hamming, and the similarity is a valid pixel-mass share
+    out.foreach { case (a, b, hm, mass, pm) =>
+      assert(pairs.get((a, b)).contains(hm), s"($a,$b) not a candidate")
+      assert(mass >= 1 && mass <= 48 && pm == mass * 1000 / 48)
+    }
+    // replay one pair's intersection from the GENERATING formula — an
+    // engine-independent recompute (band 1, v = (id·7+13+y·3+x·5)%256)
+    val (fa, fb, _, mass0, _) = out.minBy(r => (r._1, r._2))
+    def hist(f: String): Map[Long, Long] = {
+      val id = "doc_(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
+      (for (y <- 0 until 6; x <- 0 until 8)
+        yield ((id * 7 + 13 + y * 3 + x * 5) % 256) / 32L)
+        .groupBy(b => b).map { case (b, v) => b -> v.size.toLong }
+    }
+    val (ha, hb) = (hist(fa), hist(fb))
+    val inter = (0L to 7L).map(b =>
+      math.min(ha.getOrElse(b, 0L), hb.getOrElse(b, 0L))).sum
+    assert(mass0 == inter)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("windowEnergy: exact integer windows, ragged tail, negative peaks") {
     import spark.implicits._
     // media 1: samples 3, -4, 2, 2, -5 with window 2 → ragged last window

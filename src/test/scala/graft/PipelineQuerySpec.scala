@@ -717,6 +717,87 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("window funnel: levels replay a per-user Scala recompute") {
+    val w = 24L * 3600L * 1000000L
+    val evs = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_type", "ts_ns DIV 1000 AS us")
+      .as[(Long, String, Long)].collect()
+    val byUser = evs.groupBy(_._1)
+    val levels = byUser.values.flatMap { rows =>
+      val first = (t: String) => rows.filter(_._2 == t).map(_._3)
+        .sorted.headOption
+      first("signup").map { su =>
+        val ck = rows.filter(r => r._2 == "click" && r._3 > su &&
+          r._3 <= su + w).map(_._3).sorted.headOption
+        val pu = ck.flatMap(c => rows.filter(r => r._2 == "purchase" &&
+          r._3 > c && r._3 <= su + w).map(_._3).sorted.headOption)
+        1L + (if (ck.isDefined) 1L else 0L) + (if (pu.isDefined) 1L else 0L)
+      }
+    }.groupBy(identity(_)).map { case (l, v) => l -> v.size.toLong }
+    val out = graft.queries.EventQueries.windowFunnel(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(out == levels)
+    assert(out.values.sum == byUser.count(_._2.exists(_._2 == "signup")))
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("residual energy: 1-row audit replays the pinned eigenvector math") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val v: Map[Int, Long] = graft.queries.VectorQueries
+      .simPowerIter(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    // Spark round() is HALF_UP away from zero — math.round floors at
+    // negative .5, so replay through BigDecimal
+    def q(x: Float): BigInt = BigInt(
+      new java.math.BigDecimal(x.toDouble * 1e7)
+        .setScale(0, java.math.RoundingMode.HALF_UP).toBigInteger)
+    val v2 = v.values.map(c => BigInt(c) * c).sum
+    var (total, top) = (BigInt(0), BigInt(0))
+    emb.foreach { case (_, xs) =>
+      val x2 = xs.map(x => q(x) * q(x)).sum
+      val dot = xs.zipWithIndex.map { case (x, i) =>
+        q(x) * BigInt(v.getOrElse(i + 1, 0L)) }.sum
+      total += x2
+      if (v2 != 0) top += dot * dot / v2
+    }
+    val (n, te, pe, ppm) = graft.queries.VectorQueries
+      .simResidualEnergy(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(n == emb.length)
+    assert(BigInt(te) == total && BigInt(pe) == top)
+    assert(pe <= te && ppm == (total - top) * 1000000 / total)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("mixture temperature: exact grid replay and tail-upsampling law") {
+    val rows = DocQueries.pipeMixtureTemperature(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 2)
+    val totalTok = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    // raw shares and the quantized pow replay
+    val ams = rows.map { case (l, _, tok, sp, _, _) =>
+      assert(sp == BigInt(tok) * 1000000 / totalTok, s"$l share")
+      l -> math.round(math.pow(sp.toDouble / 1000000, 0.7) * 1000000)
+    }.toMap
+    val sumAm = ams.values.map(BigInt(_)).sum
+    rows.foreach { case (l, _, _, sp, tp, up) =>
+      assert(tp == BigInt(ams(l)) * 1000000 / sumAm, s"$l temp share")
+      assert(up == (if (tp > sp) 1L else 0L))
+    }
+    // τ < 1 compresses: the boost ratio decreases with raw share
+    val sorted = rows.sortBy(_._4)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      // a smaller share never gets a smaller boost: tpa/spa >= tpb/spb
+      assert(BigInt(a._5) * b._4 >= BigInt(b._5) * a._4,
+        s"${a._1} vs ${b._1} boost monotonicity")
+    }
+    // ppm shares account for the whole corpus up to per-lang truncation
+    assert(math.abs(rows.map(_._5).sum - 1000000L) <= rows.length)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("readability: per-language panel matches a Scala replay") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"lang", $"text").as[(String, String)].collect()

@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
     "rel_cdc_asof",           // 2-row epoch table
     "pipe_mixture_plan",      // scarcest-language cap scalar
     "pipe_mixture_apply",     // same cap, applied
+    "pipe_mixture_temperature", // token-total + temp-normalizer 1-rows
     "pipe_domain_quality",    // global-median quality 1-row broadcast
     "pipe_domain_mixture",    // (total_tokens, n_domains) 1-row broadcast
     "pipe_epoch_decay",       // same (total_tokens, n_domains) 1-row side
@@ -101,6 +102,7 @@ class PlanGuardSpec extends SparkSpec {
                               //   re-rank itself is candidate-bounded
     "sim_power_iter",         // 1-row L∞-max broadcast per round (3)
     "sim_aniso_energy",       // same 3 + the 1-row |v|² broadcast
+    "sim_residual_energy",    // same eigenvector chain + |v|² 1-row
     "sim_semantic_dedup_incr",// frozen k-means centroid broadcasts (c=8)
     "sim_matryoshka_recall",  // 16-row query broadcast + truth side
     "sim_mrl_funnel",         // 16-row query broadcast, both stages

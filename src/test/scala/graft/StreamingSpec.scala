@@ -821,6 +821,49 @@ class StreamingSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("streaming RFM state equals the batch aggregate under any split") {
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .as[StreamEvent].collect()
+    // adversarial split: NOT time-ordered — RFM state is mergeable, so
+    // arrival order must not matter
+    val shuffled = evs.sortBy(e => e.event_id % 7)
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.rfmStateStream(mem.toDS())
+      .writeStream.format("memory").queryName("rfm_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      shuffled.grouped(shuffled.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // Update mode re-emits per batch: counters are monotone, keep max
+    val streamed = spark.table("rfm_state")
+      .as[StreamOps.RfmOut].collect().groupBy(_.user_id)
+      .map { case (u, rs) => u ->
+        rs.maxBy(r => (r.frequency, r.last_us, r.monetary_cents)) }
+    val batch = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_ns DIV 1000 AS us", "event_type", "value")
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.expr("max(us)").as("last_us"),
+           org.apache.spark.sql.functions.expr("count(1)").as("frequency"),
+           org.apache.spark.sql.functions.expr(
+             """sum(CASE WHEN event_type = 'purchase'
+               | THEN CAST(round(value * 100) AS BIGINT)
+               | ELSE 0 END)""".stripMargin).as("monetary_cents"))
+      .as[StreamOps.RfmOut].collect().map(r => r.user_id -> r).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, r) =>
+      assert((r.last_us, r.frequency, r.monetary_cents) ==
+        (batch(u).last_us, batch(u).frequency, batch(u).monetary_cents),
+        s"user $u")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("streaming EWMA spike monitor reconciles with the batch rollup") {
     implicit val sq = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
