@@ -588,6 +588,59 @@ object EventQueries {
              .as("max_ratio_permille"))
   }
 
+  /** Linear multi-touch attribution — the marketing-analytics ledger
+    * behind "which touch gets the credit": every purchase's EXACT
+    * cents are split across the user's click touches in the preceding
+    * 24 h (each touch gets cents DIV n; the earliest touch also gets
+    * the remainder, so credit conserves to the cent — no float split),
+    * bucketed solo / first / middle / last (the position-based
+    * attribution compare), plus an `unattributed` row for purchases
+    * with no qualifying touch. Touch order ties break on event_id.
+    *
+    * Scale shape (100 TB): one user-keyed equi join with a range
+    * predicate (events per user are bounded); the count/row_number
+    * windows partition per PURCHASE (tiny partitions, never a global
+    * sort); the rollup is 5 rows. */
+  def attributionLinear(s: SparkSession, dir: String,
+                        windowHours: Long = 24L): DataFrame = {
+    val w = windowHours * HourUs
+    val ev = PlanCache.reuse(withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts_us"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts_us").as("p_us"), col("cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+              col("ts_us").as("c_us"))
+    val touches = PlanCache.reuse(purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_us") < col("p_us") &&
+              col("c_us") >= col("p_us") - lit(w))
+      .select(col("p_id"), col("cents"), col("c_us"), col("c_id")))
+    val byP = Window.partitionBy(col("p_id"))
+    val credited = touches
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rn", row_number().over(
+        byP.orderBy(col("c_us").asc, col("c_id").asc)))
+      .withColumn("credit", expr(
+        "cents DIV n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END"))
+      .withColumn("bucket",
+        when(col("n") === 1, "solo").when(col("rn") === 1, "first")
+          .when(col("rn") === col("n"), "last").otherwise("middle"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_touches"),
+           sum(col("credit")).as("credited_cents"))
+    val un = purchases
+      .join(touches.select(col("p_id")).distinct(), Seq("p_id"),
+            "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+           coalesce(sum(col("cents")), lit(0L)).as("credited_cents"))
+      .select(lit("unattributed").as("bucket"), col("n_touches"),
+              col("credited_cents"))
+    credited.unionAll(un)
+  }
+
   /** Windowed funnel (the ClickHouse `windowFunnel` shape, strict-order
     * greedy variant): per user, the deepest signup → click → purchase
     * chain where every later step lands within `windowHours` of the
@@ -722,6 +775,8 @@ object EventQueries {
     "evt_rfm_segments"   -> (rfmSegments _),
     "evt_window_funnel"  -> ((s: SparkSession, d: String) =>
       windowFunnel(s, d)),
+    "evt_attribution_linear" -> ((s: SparkSession, d: String) =>
+      attributionLinear(s, d)),
     "evt_bot_regularity" -> (botRegularity _),
     "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
@@ -774,6 +829,39 @@ object EventQueries {
       |  END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "evt_attribution_linear" -> {
+      val w = 24L * HourUs
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |    $usExpr AS us, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |p AS MATERIALIZED (SELECT user_id, event_id AS p_id, us AS p_us,
+         |    cents FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM ev
+         |      WHERE event_type = 'click'),
+         |t AS MATERIALIZED (
+         |  SELECT p.p_id, p.cents, c.c_us, c.c_id
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE c.c_us < p.p_us AND c.c_us >= p.p_us - $w),
+         |r AS (SELECT p_id, cents,
+         |    COUNT(*) OVER (PARTITION BY p_id) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY p_id
+         |      ORDER BY c_us, c_id) AS rn
+         |  FROM t),
+         |cr AS (SELECT CASE WHEN n = 1 THEN 'solo'
+         |    WHEN rn = 1 THEN 'first' WHEN rn = n THEN 'last'
+         |    ELSE 'middle' END AS bucket,
+         |    cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END
+         |      AS credit
+         |  FROM r)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |  CAST(SUM(credit) AS BIGINT) AS credited_cents
+         |FROM cr GROUP BY 1
+         |UNION ALL
+         |SELECT 'unattributed', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+         |FROM p WHERE NOT EXISTS
+         |  (SELECT 1 FROM t WHERE t.p_id = p.p_id)""".stripMargin
+    },
     "evt_window_funnel" -> {
       val w = 24L * HourUs
       s"""WITH s1 AS MATERIALIZED (

@@ -717,6 +717,32 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("attribution: credit conserves to the cent across buckets") {
+    val out = graft.queries.EventQueries.attributionLinear(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val w = 24L * 3600L * 1000000L
+    val evs = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type",
+                  "ts_ns DIV 1000 AS us",
+                  "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, String, Long, Long)].collect()
+    val byUser = evs.groupBy(_._1)
+    val purchases = evs.filter(_._3 == "purchase")
+    // conservation: every purchase's cents land somewhere, exactly
+    val totalCents = purchases.map(_._5).sum
+    assert(out.values.map(_._2).sum == totalCents)
+    // attributed purchases each produce exactly one solo-or-first touch
+    val attributed = purchases.count { p =>
+      byUser(p._1).exists(e => e._3 == "click" && e._4 < p._4 &&
+        e._4 >= p._4 - w)
+    }
+    assert(out.getOrElse("solo", (0L, 0L))._1 +
+           out.getOrElse("first", (0L, 0L))._1 == attributed.toLong)
+    assert(out("unattributed")._1 == purchases.length - attributed)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("window funnel: levels replay a per-user Scala recompute") {
     val w = 24L * 3600L * 1000000L
     val evs = graft.sources.Tables.events(spark, dir)
