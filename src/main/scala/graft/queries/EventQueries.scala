@@ -307,6 +307,33 @@ object EventQueries {
         .agg(count(lit(1)).as("w")))
   }
 
+  /** Markov transition entropy per source event type — the
+    * predictability panel over the SAME shared digraph as
+    * pagerank/HITS (a type whose outgoing distribution has near-zero
+    * entropy is a deterministic flow edge; high entropy marks genuine
+    * branching): per src, out-degree, total outgoing weight, and the
+    * outgoing-distribution entropy on the 1e-6 log₂ grid via the
+    * char-entropy identity H = lq(n) − Σ w·lq(w) DIV n — all exact
+    * BIGINT, the one log₂ recovered to the integer micro-grid on both
+    * engines (the NLL-family rule). Weights are ≥ 1 and totals ≥ 1 so
+    * no divide guard is needed.
+    *
+    * Scale shape (100 TB): consumes the prewarm-pinned
+    * [[transitionEdges]] frame — the marginal cost is one
+    * |types|²-row aggregation. */
+  def markovEntropy(s: SparkSession, dir: String): DataFrame = {
+    def lq(x: String): String =
+      s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+    transitionEdges(s, dir)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_out"),
+           sum(col("w")).as("total_w"),
+           sum(col("w") * expr(lq("w"))).as("swl"))
+      .select(col("src"), col("n_out"), col("total_w"),
+              (expr(lq("total_w")) - expr("swl DIV total_w"))
+                .as("entropy_micro"))
+  }
+
   /** The event family's cross-query shared frames, PINNED for the
     * bench's explicitly-timed `_shared_frames` line: the transition
     * digraph feeds three graph queries ([[pagerank]], [[hitsScores]],
@@ -777,6 +804,7 @@ object EventQueries {
       windowFunnel(s, d)),
     "evt_attribution_linear" -> ((s: SparkSession, d: String) =>
       attributionLinear(s, d)),
+    "evt_markov_entropy" -> (markovEntropy _),
     "evt_bot_regularity" -> (botRegularity _),
     "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
@@ -829,6 +857,21 @@ object EventQueries {
       |  END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "evt_markov_entropy" ->
+      s"""WITH edges AS (
+         |  SELECT prev_type AS src, event_type AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM (SELECT user_id, event_type,
+         |          lag(event_type) OVER (PARTITION BY user_id
+         |            ORDER BY $usExpr ASC, event_id ASC) AS prev_type
+         |        FROM events)
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_out,
+         |  CAST(SUM(w) AS BIGINT) AS total_w,
+         |  CAST(round(log2(CAST(SUM(w) AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - CAST(SUM(w * CAST(round(log2(CAST(w AS DOUBLE)) * 1000000)
+         |        AS BIGINT)) // SUM(w) AS BIGINT) AS entropy_micro
+         |FROM edges GROUP BY 1""".stripMargin,
     "evt_attribution_linear" -> {
       val w = 24L * HourUs
       s"""WITH ev AS (SELECT user_id, event_id, event_type,

@@ -717,6 +717,27 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("markov entropy: grid replay from the transition counts") {
+    val edges = graft.queries.EventQueries.transitions(spark, dir)
+      .select($"prev_type", $"event_type", $"n_transitions")
+      .as[(String, String, Long)].collect()
+    def lq(x: Long): Long =
+      math.round(math.log(x.toDouble) / math.log(2) * 1e6)
+    val expect = edges.groupBy(_._1).map { case (src, es) =>
+      val tot = es.map(_._3).sum
+      val swl = es.map(e => e._3 * lq(e._3)).sum
+      src -> ((es.length.toLong, tot, lq(tot) - swl / tot))
+    }
+    val out = graft.queries.EventQueries.markovEntropy(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (src, n, tot, h) =>
+      assert((n, tot, h) == expect(src), s"$src")
+      assert(h >= 0, s"$src entropy nonneg")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("attribution: credit conserves to the cent across buckets") {
     val out = graft.queries.EventQueries.attributionLinear(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
