@@ -2388,6 +2388,79 @@ object DocQueries {
            max(col("share")).as("max_share"))
   }
 
+  /** Crawl-refresh delta — the snapshot diff a curation pipeline reads
+    * after a recrawl (CommonCrawl dumps overlap heavily; the delta
+    * decides how much reprocessing the refresh actually buys): exact
+    * content-hash groups of the even-doc_id half (the OLD snapshot, the
+    * [[pipeVocabDrift]] convention) full-outer-joined against the odd
+    * half (NEW), rolled up into retained / removed / added content with
+    * doc and token masses on both sides.
+    *
+    * Scale shape (100 TB): two content-hash aggregations (map-side
+    * combined) + ONE hash-keyed full outer join carrying one row per
+    * DISTINCT content — never doc-grain — then a 3-row rollup. */
+  def pipeCrawlDelta(s: SparkSession, dir: String): DataFrame = {
+    def half(even: Boolean) =
+      Tables.spread(Tables.documents(s, dir))
+        .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 === 1)
+        .groupBy(TextOps.contentHash(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+    half(even = true).select(col("content_hash"),
+        col("n_docs").as("docs_old"), col("tok").as("tok_old"))
+      .join(half(even = false).select(col("content_hash"),
+        col("n_docs").as("docs_new"), col("tok").as("tok_new")),
+        Seq("content_hash"), "full_outer")
+      .select(
+        when(col("docs_old").isNotNull && col("docs_new").isNotNull,
+          "retained")
+          .when(col("docs_new").isNull, "removed")
+          .otherwise("added").as("status"),
+        coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+        coalesce(col("tok_old"), lit(0L)).as("tok_old"),
+        coalesce(col("tok_new"), lit(0L)).as("tok_new"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_groups"),
+           sum(col("docs_old")).as("docs_old"),
+           sum(col("docs_new")).as("docs_new"),
+           sum(col("tok_old")).as("tok_old"),
+           sum(col("tok_new")).as("tok_new"))
+  }
+
+  /** Length-outlier screen — the robust per-source length filter every
+    * curation recipe runs before the content rules (truncated or
+    * concatenated crawl records show up as token-count outliers):
+    * per source, the exact-percentile median token count, the median
+    * absolute deviation (both exact interpolation — the
+    * order-independent robust pair), and docs outside median ± 3·MAD
+    * with the outlier share in permille. A zero-MAD source (constant
+    * lengths) flags any deviation, not a divide error.
+    *
+    * Scale shape (100 TB): one narrow (source, n) projection feeds two
+    * source-keyed percentile aggregates (array-form buffers) and a
+    * source-keyed join — no global sort, no broadcast beyond the
+    * |sources|-row med/mad dims. */
+  def pipeLengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.spread(Tables.documents(s, dir))
+      .select(col("source"), size(split(col("text"), " "))
+        .cast("long").as("n"))
+    val med = n.groupBy(col("source"))
+      .agg(expr("percentile(n, CAST(1 AS DOUBLE)/2)").as("med"))
+    val mad = n.join(med, Seq("source"))
+      .select(col("source"), abs(col("n") - col("med")).as("dev"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(dev, CAST(1 AS DOUBLE)/2)").as("mad"))
+    n.join(med, Seq("source")).join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           first(col("med")).as("med"), first(col("mad")).as("mad"),
+           sum(when(abs(col("n") - col("med")) > lit(3.0) * col("mad"),
+             1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_permille",
+        expr("n_outliers * 1000 DIV n_docs"))
+  }
+
   /** Temperature-scaled language sampling (the XLM-R/mBERT rule,
     * Conneau et al. 2020 §3.1: q_i ∝ s_i^τ at τ = 0.7) — the standard
     * multilingual rebalance that upsamples tail languages without
@@ -2737,6 +2810,8 @@ object DocQueries {
     "pipe_contamination"  -> (pipeContamination _),
     "pipe_mixture_plan"   -> (pipeMixturePlan _),
     "pipe_mixture_temperature" -> (pipeMixtureTemperature _),
+    "pipe_crawl_delta"    -> (pipeCrawlDelta _),
+    "pipe_length_outliers" -> (pipeLengthOutliers _),
     "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
@@ -3239,6 +3314,51 @@ object DocQueries {
          |least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE)) AS keep_rate,
          |CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
          |FROM j CROSS JOIN cap""".stripMargin,
+    "pipe_crawl_delta" ->
+      s"""WITH oldh AS (SELECT md5(text) AS ch,
+         |    CAST(COUNT(*) AS BIGINT) AS docs_old,
+         |    CAST(SUM($nTok) AS BIGINT) AS tok_old
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |newh AS (SELECT md5(text) AS ch,
+         |    CAST(COUNT(*) AS BIGINT) AS docs_new,
+         |    CAST(SUM($nTok) AS BIGINT) AS tok_new
+         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT
+         |    CASE WHEN docs_old IS NOT NULL AND docs_new IS NOT NULL
+         |      THEN 'retained'
+         |      WHEN docs_new IS NULL THEN 'removed'
+         |      ELSE 'added' END AS status,
+         |    COALESCE(docs_old, 0) AS docs_old,
+         |    COALESCE(docs_new, 0) AS docs_new,
+         |    COALESCE(tok_old, 0) AS tok_old,
+         |    COALESCE(tok_new, 0) AS tok_new
+         |  FROM oldh FULL OUTER JOIN newh USING (ch))
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(SUM(docs_old) AS BIGINT) AS docs_old,
+         |  CAST(SUM(docs_new) AS BIGINT) AS docs_new,
+         |  CAST(SUM(tok_old) AS BIGINT) AS tok_old,
+         |  CAST(SUM(tok_new) AS BIGINT) AS tok_new
+         |FROM j GROUP BY 1""".stripMargin,
+    "pipe_length_outliers" ->
+      s"""WITH n AS (SELECT source, CAST($nTok AS BIGINT) AS n
+         |           FROM documents),
+         |med AS (SELECT source,
+         |    percentile_cont(CAST(1 AS DOUBLE)/2)
+         |      WITHIN GROUP (ORDER BY n) AS med
+         |  FROM n GROUP BY 1),
+         |mad AS (SELECT n.source,
+         |    percentile_cont(CAST(1 AS DOUBLE)/2)
+         |      WITHIN GROUP (ORDER BY abs(n.n - med.med)) AS mad
+         |  FROM n JOIN med USING (source) GROUP BY 1)
+         |SELECT n.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ANY_VALUE(med.med) AS med, ANY_VALUE(mad.mad) AS mad,
+         |  CAST(SUM(CASE WHEN abs(n.n - med.med) > 3.0 * mad.mad
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(SUM(CASE WHEN abs(n.n - med.med) > 3.0 * mad.mad
+         |    THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+         |    AS outlier_permille
+         |FROM n JOIN med USING (source) JOIN mad ON mad.source = n.source
+         |GROUP BY 1""".stripMargin,
     // temperature sampling: the one pow() is recovered to an integer
     // micro-grid via CAST(round(·1e6)) BEFORE normalization, so the
     // normalizer sum is exact integer arithmetic on both engines

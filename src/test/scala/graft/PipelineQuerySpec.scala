@@ -717,6 +717,46 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("crawl delta: status masses partition both snapshot halves") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = DocQueries.pipeCrawlDelta(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val nOld = docs.filter($"doc_id" % 2 === 0).count()
+    val nNew = docs.filter($"doc_id" % 2 === 1).count()
+    assert(out.values.map(_._3).sum == nOld)
+    assert(out.values.map(_._4).sum == nNew)
+    out.get("removed").foreach(r => assert(r._4 == 0 && r._6 == 0))
+    out.get("added").foreach(r => assert(r._3 == 0 && r._5 == 0))
+    out.get("retained").foreach(r => assert(r._3 > 0 && r._4 > 0))
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("length outliers: median/MAD replay the exact interpolation") {
+    def pct(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val idx = (s.length - 1) * 0.5
+      val (lo, hi) = (s(idx.toInt), s(math.ceil(idx).toInt))
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val byS = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (s, v) => s -> v.map(_._2.toDouble).toSeq }
+    val out = DocQueries.pipeLengthOutliers(spark, dir)
+      .as[(String, Long, Double, Double, Long, Long)].collect()
+    assert(out.map(_._1).toSet == byS.keySet)
+    out.foreach { case (src, nd, med, mad, no, pm) =>
+      val vs = byS(src)
+      assert(nd == vs.length)
+      assert(med == pct(vs), s"$src med")
+      assert(mad == pct(vs.map(v => math.abs(v - med))), s"$src mad")
+      assert(no == vs.count(v => math.abs(v - med) > 3.0 * mad), s"$src out")
+      assert(pm == no * 1000 / nd)
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("markov entropy: grid replay from the transition counts") {
     val edges = graft.queries.EventQueries.transitions(spark, dir)
       .select($"prev_type", $"event_type", $"n_transitions")
