@@ -2388,6 +2388,53 @@ object DocQueries {
            max(col("share")).as("max_share"))
   }
 
+  /** Heaps-law vocabulary growth — vocabulary size vs corpus size at
+    * the doc_id quartile prefixes (the sublinear-growth curve a
+    * tokenizer-budget planner reads next to [[textZipfFit]]: if vocab
+    * still grows fast at 100% the crawl is lexically unsaturated): per
+    * quarter, cumulative docs, token mass, and DISTINCT vocabulary.
+    * The cumulative vocabulary needs no per-prefix rescan — a word's
+    * first-carrier doc (min doc_id, the [[pipeGramNovelty]] order)
+    * fully determines every prefix membership, so ONE word-keyed
+    * aggregate serves all four cuts. Cutpoints are exact doc_id
+    * percentiles (p100 ≡ max on both engines).
+    *
+    * Scale shape (100 TB): one token-count projection + one
+    * first-carrier word aggregate; the cut row and the two 1-row
+    * conditional rollups ride 1-row broadcasts
+    * (PlanGuard-allowlisted); output is exactly 4 rows via stack. */
+  def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val fw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val cuts = toks.agg(expr(
+      """percentile(doc_id, array(CAST(1 AS DOUBLE)/4,
+        | CAST(1 AS DOUBLE)/2, CAST(3 AS DOUBLE)/4,
+        | CAST(1 AS DOUBLE)))""".stripMargin).as("qs"))
+    val tAgg = toks.crossJoin(broadcast(cuts)).agg(
+      sum(when(col("doc_id") <= get(col("qs"), lit(0)), 1L)
+        .otherwise(0L)).as("d1"),
+      (1 to 3).flatMap(i => Seq(
+        sum(when(col("doc_id") <= get(col("qs"), lit(i)), 1L)
+          .otherwise(0L)).as(s"d${i + 1}"))) ++
+      (0 to 3).map(i =>
+        sum(when(col("doc_id") <= get(col("qs"), lit(i)), col("n"))
+          .otherwise(0L)).as(s"t${i + 1}")): _*)
+    val vAgg = fw.crossJoin(broadcast(cuts)).agg(
+      sum(when(col("first_doc") <= get(col("qs"), lit(0)), 1L)
+        .otherwise(0L)).as("v1"),
+      (1 to 3).map(i =>
+        sum(when(col("first_doc") <= get(col("qs"), lit(i)), 1L)
+          .otherwise(0L)).as(s"v${i + 1}")): _*)
+    tAgg.crossJoin(vAgg).select(expr(
+      "stack(4, " + (1 to 4).map(i =>
+        s"CAST($i AS BIGINT), d$i, t$i, v$i").mkString(", ") +
+      ") AS (quarter, docs_cum, tokens_cum, vocab_cum)"))
+  }
+
   /** Crawl-refresh delta — the snapshot diff a curation pipeline reads
     * after a recrawl (CommonCrawl dumps overlap heavily; the delta
     * decides how much reprocessing the refresh actually buys): exact
@@ -2812,6 +2859,7 @@ object DocQueries {
     "pipe_mixture_temperature" -> (pipeMixtureTemperature _),
     "pipe_crawl_delta"    -> (pipeCrawlDelta _),
     "pipe_length_outliers" -> (pipeLengthOutliers _),
+    "text_vocab_growth"   -> (textVocabGrowth _),
     "pipe_dedup_keep"     -> (pipeDedupKeep _),
     "doc_word_counts"     -> (docWordCounts _),
     "doc_tfidf_top_terms" -> (docTfIdfTopTerms _),
@@ -3314,6 +3362,41 @@ object DocQueries {
          |least(1.0, target_w * total_cap / CAST(n_docs AS DOUBLE)) AS keep_rate,
          |CAST(floor(target_w * total_cap) AS BIGINT) AS n_keep
          |FROM j CROSS JOIN cap""".stripMargin,
+    "text_vocab_growth" -> {
+      val qs = Seq("CAST(1 AS DOUBLE)/4", "CAST(1 AS DOUBLE)/2",
+                   "CAST(3 AS DOUBLE)/4", "CAST(1 AS DOUBLE)")
+      val cutCols = qs.zipWithIndex.map { case (q, i) =>
+        s"percentile_cont($q) WITHIN GROUP (ORDER BY doc_id) AS q${i + 1}"
+      }.mkString(",\n    ")
+      val tCols = (1 to 4).map(i =>
+        s"""SUM(CASE WHEN doc_id <= q$i THEN 1 ELSE 0 END) AS d$i,
+           |    SUM(CASE WHEN doc_id <= q$i THEN n ELSE 0 END) AS t$i"""
+          .stripMargin).mkString(",\n    ")
+      val vCols = (1 to 4).map(i =>
+        s"SUM(CASE WHEN first_doc <= q$i THEN 1 ELSE 0 END) AS v$i")
+        .mkString(",\n    ")
+      val rows = (1 to 4).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS quarter,
+           |  CAST(d$i AS BIGINT) AS docs_cum,
+           |  CAST(t$i AS BIGINT) AS tokens_cum,
+           |  CAST(v$i AS BIGINT) AS vocab_cum
+           |FROM ta CROSS JOIN va""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, CAST($nTok AS BIGINT) AS n
+         |              FROM documents),
+         |cut AS (SELECT
+         |    $cutCols
+         |  FROM toks),
+         |fw AS MATERIALIZED (SELECT w, MIN(doc_id) AS first_doc
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+         |  GROUP BY 1),
+         |ta AS (SELECT
+         |    $tCols
+         |  FROM toks CROSS JOIN cut),
+         |va AS (SELECT
+         |    $vCols
+         |  FROM fw CROSS JOIN cut)
+         |$rows""".stripMargin
+    },
     "pipe_crawl_delta" ->
       s"""WITH oldh AS (SELECT md5(text) AS ch,
          |    CAST(COUNT(*) AS BIGINT) AS docs_old,

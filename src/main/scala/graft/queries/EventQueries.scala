@@ -307,6 +307,44 @@ object EventQueries {
         .agg(count(lit(1)).as("w")))
   }
 
+  /** User-concentration (Pareto) panel — the "what share of traffic do
+    * the heaviest users carry" audit read before training on
+    * user-generated data (a corpus dominated by a few accounts is a
+    * bot/spam risk the [[botRegularity]] screen then inspects): per
+    * user event counts, the exact 90th-percentile cutpoint, and the
+    * event/value mass carried by the top decile vs the rest, with
+    * permille shares. Strictly-above-cutpoint membership is
+    * deterministic (exact interpolation on both engines).
+    *
+    * Scale shape (100 TB): one user-keyed aggregate; the cutpoint and
+    * the 2-group rollup ride a 1-row broadcast
+    * (PlanGuard-allowlisted). */
+  def userConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perUser = PlanCache.reuse(
+      withTsUs(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)"))
+               .as("cents")))
+    val cut = perUser.agg(
+      expr("percentile(n_events, CAST(9 AS DOUBLE)/10)").as("p90"))
+    val tot = perUser.agg(sum(col("n_events")).as("tot_events"),
+                          sum(col("cents")).as("tot_cents"))
+    perUser.crossJoin(broadcast(cut)).crossJoin(broadcast(tot))
+      .select(when(col("n_events") > col("p90"), "top_decile")
+                .otherwise("rest").as("band"),
+              col("n_events"), col("cents"),
+              col("tot_events"), col("tot_cents"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("n_events")).as("n_events"),
+           sum(col("cents")).as("cents"),
+           expr("CAST(SUM(n_events) * 1000 DIV first(tot_events)" +
+                " AS BIGINT)").as("event_share_permille"),
+           expr("CAST(SUM(cents) * 1000 DIV first(tot_cents)" +
+                " AS BIGINT)").as("cents_share_permille"))
+  }
+
   /** Markov transition entropy per source event type — the
     * predictability panel over the SAME shared digraph as
     * pagerank/HITS (a type whose outgoing distribution has near-zero
@@ -805,6 +843,7 @@ object EventQueries {
     "evt_attribution_linear" -> ((s: SparkSession, d: String) =>
       attributionLinear(s, d)),
     "evt_markov_entropy" -> (markovEntropy _),
+    "evt_user_concentration" -> (userConcentration _),
     "evt_bot_regularity" -> (botRegularity _),
     "evt_spike_ewma"     -> (spikeEwma _),
     "evt_cep_sequence"     -> (cepSequence _),
@@ -857,6 +896,26 @@ object EventQueries {
       |  END AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "evt_user_concentration" ->
+      s"""WITH pu AS MATERIALIZED (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1),
+         |cut AS (SELECT percentile_cont(CAST(9 AS DOUBLE)/10)
+         |    WITHIN GROUP (ORDER BY n_events) AS p90 FROM pu),
+         |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot_events,
+         |    CAST(SUM(cents) AS BIGINT) AS tot_cents FROM pu)
+         |SELECT CASE WHEN n_events > p90 THEN 'top_decile'
+         |         ELSE 'rest' END AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+         |  CAST(SUM(cents) AS BIGINT) AS cents,
+         |  CAST(SUM(n_events) * 1000 // ANY_VALUE(tot_events) AS BIGINT)
+         |    AS event_share_permille,
+         |  CAST(SUM(cents) * 1000 // ANY_VALUE(tot_cents) AS BIGINT)
+         |    AS cents_share_permille
+         |FROM pu CROSS JOIN cut CROSS JOIN tot GROUP BY 1""".stripMargin,
     "evt_markov_entropy" ->
       s"""WITH edges AS (
          |  SELECT prev_type AS src, event_type AS dst,

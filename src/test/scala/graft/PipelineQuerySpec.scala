@@ -717,6 +717,49 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("user concentration: bands partition users and masses") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val out = graft.queries.EventQueries.userConcentration(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet.subsetOf(Set("top_decile", "rest")))
+    assert(out.values.map(_._2).sum ==
+      ev.select($"user_id").distinct().count())
+    assert(out.values.map(_._3).sum == ev.count())
+    val shares = out.values.map(_._5).sum
+    assert(shares >= 998 && shares <= 1000) // truncation ≤ 1 per band
+    // the top decile by definition holds a disproportionate share
+    out.get("top_decile").foreach { t =>
+      val total = out.values.map(_._2).sum
+      assert(t._5 * total >= t._2 * 1000 ||
+        t._2 == 0, "top decile share at least proportional")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("vocab growth: quarters are cumulative and end at the corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val rows = DocQueries.textVocabGrowth(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // monotone non-decreasing in every column
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4)
+    }
+    // p100 cut covers the whole corpus exactly
+    val last = rows.last
+    assert(last._2 == docs.count())
+    assert(last._3 == docs
+      .selectExpr("sum(size(split(text, ' ')))").as[Long].head())
+    assert(last._4 == docs
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .select($"w").distinct().count())
+    // Heaps: vocabulary grows SUBLINEARLY in token mass past the first
+    // quarter (vocab ratio < token ratio, cross-multiplied)
+    assert(BigInt(last._4) * rows.head._3 < BigInt(last._3) * rows.head._4)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("crawl delta: status masses partition both snapshot halves") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val out = DocQueries.pipeCrawlDelta(spark, dir)

@@ -55,6 +55,8 @@ class PlanGuardSpec extends SparkSpec {
     "pipe_stratified_sample", // per-stratum rate table
     "evt_funnel",             // single-row funnel pivot
     "evt_rfm_segments",       // reference-epoch + quintile 1-row sides
+    "evt_user_concentration", // p90 cutpoint + totals 1-row sides
+    "text_vocab_growth",      // quartile-cut row + 1-row rollup joins
     "dedup_exact_rows",       // corpus-count scalar
     "doc_tfidf_top_terms",    // corpus-N 1-row cross join
     "doc_bm25_topk",          // corpus (N, sum dl) 1-row cross join
