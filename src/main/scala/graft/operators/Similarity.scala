@@ -814,12 +814,20 @@ object Similarity {
         expr("""CASE WHEN v2 = 0 THEN CAST(0 AS BIGINT)
           | ELSE CAST(CAST(dot AS DECIMAL(38,0)) * dot DIV v2 AS BIGINT)
           | END""".stripMargin).as("top_e"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("x2")).as("total_energy"),
-           sum(col("top_e")).as("top_energy"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("x2").cast("decimal(38,0)")).as("te_d"),
+           sum(col("top_e").cast("decimal(38,0)")).as("tp_d"))
       .withColumn("residual_ppm",
-        expr("""CASE WHEN total_energy = 0 THEN CAST(0 AS BIGINT)
-          | ELSE CAST((CAST(total_energy AS DECIMAL(38,0)) - top_energy)
-          |   * 1000000 DIV total_energy AS BIGINT) END""".stripMargin))
+        expr("""CASE WHEN te_d = 0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST((te_d - tp_d) * 1000000 DIV te_d AS BIGINT)
+          | END""".stripMargin))
+      // Accumulate in DECIMAL(38,0) — per-vector x2 is ~1e14 for unit
+      // vectors, so a plain BIGINT sum crosses the ANSI overflow cliff
+      // past ~92k vectors mid-aggregation; cast to BIGINT only at the
+      // final projection, exactly where DuckDB's HUGEINT sum does.
+      .select(col("n_vecs"), col("te_d").cast("long").as("total_energy"),
+              col("tp_d").cast("long").as("top_energy"),
+              col("residual_ppm"))
   }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):

@@ -3381,18 +3381,18 @@ object DocQueries {
            |  CAST(t$i AS BIGINT) AS tokens_cum,
            |  CAST(v$i AS BIGINT) AS vocab_cum
            |FROM ta CROSS JOIN va""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT doc_id, CAST($nTok AS BIGINT) AS n
-         |              FROM documents),
-         |cut AS (SELECT
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, CAST($nTok AS BIGINT) AS n FROM documents),
+         |cut AS MATERIALIZED (SELECT
          |    $cutCols
          |  FROM toks),
          |fw AS MATERIALIZED (SELECT w, MIN(doc_id) AS first_doc
          |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
          |  GROUP BY 1),
-         |ta AS (SELECT
+         |ta AS MATERIALIZED (SELECT
          |    $tCols
          |  FROM toks CROSS JOIN cut),
-         |va AS (SELECT
+         |va AS MATERIALIZED (SELECT
          |    $vCols
          |  FROM fw CROSS JOIN cut)
          |$rows""".stripMargin

@@ -661,6 +661,11 @@ object EventQueries {
     * bucketed solo / first / middle / last (the position-based
     * attribution compare), plus an `unattributed` row for purchases
     * with no qualifying touch. Touch order ties break on event_id.
+    * Purchases are guarded to cents >= 0 on BOTH engines: Spark DIV
+    * truncates toward zero while DuckDB // floors (and DuckDB's %
+    * breaks the quotient-remainder identity for negatives), so a
+    * refund-style negative value would silently diverge and break
+    * cent conservation — the guard keeps the split well-defined.
     *
     * Scale shape (100 TB): one user-keyed equi join with a range
     * predicate (events per user are bounded); the count/row_number
@@ -673,7 +678,8 @@ object EventQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
               col("ts_us"),
               expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val purchases = ev.filter(col("event_type") === "purchase" &&
+                              col("cents") >= 0)
       .select(col("user_id"), col("event_id").as("p_id"),
               col("ts_us").as("p_us"), col("cents"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -933,11 +939,11 @@ object EventQueries {
          |FROM edges GROUP BY 1""".stripMargin,
     "evt_attribution_linear" -> {
       val w = 24L * HourUs
-      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+      s"""WITH ev AS MATERIALIZED (SELECT user_id, event_id, event_type,
          |    $usExpr AS us, CAST(round(value * 100) AS BIGINT) AS cents
          |  FROM events),
          |p AS MATERIALIZED (SELECT user_id, event_id AS p_id, us AS p_us,
-         |    cents FROM ev WHERE event_type = 'purchase'),
+         |    cents FROM ev WHERE event_type = 'purchase' AND cents >= 0),
          |c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM ev
          |      WHERE event_type = 'click'),
          |t AS MATERIALIZED (

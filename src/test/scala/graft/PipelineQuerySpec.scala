@@ -832,7 +832,9 @@ class PipelineQuerySpec extends SparkSpec {
                   "CAST(round(value * 100) AS BIGINT) AS cents")
       .as[(Long, Long, String, Long, Long)].collect()
     val byUser = evs.groupBy(_._1)
-    val purchases = evs.filter(_._3 == "purchase")
+    // the operator guards cents >= 0 (Spark DIV vs DuckDB // disagree
+    // on negatives) — mirror the guard in the twin
+    val purchases = evs.filter(e => e._3 == "purchase" && e._5 >= 0)
     // conservation: every purchase's cents land somewhere, exactly
     val totalCents = purchases.map(_._5).sum
     assert(out.values.map(_._2).sum == totalCents)
