@@ -246,6 +246,121 @@ object Sketch {
            (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - reg AS INT))")) +
              (lit(width.toLong) - count(lit(1))) * (1L << 41)).as("t_scaled"))
 
+  // ------------------------------------------------------------------
+  // KLL-style deterministic mergeable quantile sketch
+  // ------------------------------------------------------------------
+
+  /** Deepest sampling level of the quantile sketch (rate 2^-12): with
+    * `cap` = 1024 the sketch serves exact-sample estimation up to
+    * ~4M rows and degrades to a uniform `cap`-subsample beyond. */
+  val KllMaxLevel = 12
+
+  /** Geometric level sampling for the quantile sketch (Karnin–Lang–
+    * Liberty, FOCS 2016, derandomized): KLL's compactor keeps each
+    * item with a fair coin per level; here the "coin flips" are the
+    * trailing-zero count of a 16-bit seeded-md5 slice — item x
+    * survives to level l iff slice(x) ≡ 0 (mod 2^l), so level l is a
+    * rate-2^-l uniform sample and S_{l+1} ⊆ S_l (populations are
+    * monotone non-increasing, exactly, not just in expectation). The
+    * HLL/AMS precedent: no RNG anywhere, the same digest slices replay
+    * in oracle SQL, so the full sketch state and every estimate
+    * derived from it are cross-engine hash-exact.
+    *
+    * Returns the leveled item stream `(l, v, h2)` — one row per
+    * (item, level ≤ its top level); expected 2 rows per input row
+    * (Σ 2^-l). `h2` is a DISJOINT 60-bit md5 slice used as the
+    * bounded-memory survivor tiebreak ([[kllSurvivors]]); bucket and
+    * tiebreak never share bits (the amsF2 rule — a shared bit would
+    * correlate membership with survivorship). */
+  def kllLeveled(rows: DataFrame, value: Column, rowKey: Column,
+                 maxL: Int = KllMaxLevel): DataFrame = {
+    val m = md5(concat(lit("kll|"), rowKey))
+    val b = conv(substring(m, 1, 4), 16, 10).cast("long")
+    val lvl = (1 to maxL).foldLeft(lit(0)) { (acc, l) =>
+      when(b % (1L << l) === 0, lit(l)).otherwise(acc)
+    }
+    rows.select(value.as("v"), lvl.as("toplvl"),
+                conv(substring(m, 5, 15), 16, 10).cast("long").as("h2"))
+      .select(explode(sequence(lit(0), col("toplvl"))).as("l"),
+              col("v"), col("h2"))
+  }
+
+  /** Exact per-level populations `(l, n)` — the merge-summable half of
+    * the sketch state (counts add across disjoint shards). Levels with
+    * zero population are simply absent; populations are monotone in
+    * `l`, which is what lets [[kllQuantiles]] pick the estimation
+    * level with one MIN. */
+  def kllCounts(leveled: DataFrame): DataFrame =
+    leveled.groupBy(col("l")).agg(count(lit(1)).as("n"))
+
+  /** Bounded survivor sets: per level, the `cap` items with the
+    * smallest `(h2, v)` — the KMV closure argument makes this
+    * mergeable (the union's bottom-cap is contained in the union of
+    * the shards' bottom-caps, so re-truncating a union of sketches
+    * equals sketching the union; spec-pinned). Because the tiebreak
+    * hash is independent of the value, a TRUNCATED level's survivors
+    * are themselves a uniform size-`cap` subsample — the estimator
+    * degrades gracefully instead of failing past the design scale.
+    *
+    * Scale shape (100 TB): the rank-≤cap filter plans as Spark 4
+    * WindowGroupLimit (the kmvSketch precedent) — every map task
+    * forwards at most `cap` rows per level, so the exchange carries
+    * ≤ cap·levels rows per map partition and the final sketch is
+    * ≤ cap·(maxL+1) longs regardless of corpus size. */
+  def kllSurvivors(leveled: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l")).orderBy(col("h2"), col("v"))
+    leveled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("l"), col("v"), col("h2"))
+  }
+
+  /** Merge law, counts half: cell-wise sum (shards must partition the
+    * data — sample sketches double-count overlaps, like every linear
+    * sketch here). */
+  def kllMergeCounts(sides: DataFrame*): DataFrame =
+    sides.reduce(_ unionAll _)
+      .groupBy(col("l")).agg(sum(col("n")).as("n"))
+
+  /** Merge law, survivors half: union then re-truncate bottom-`cap`
+    * per level — exact by KMV closure. */
+  def kllMergeSurvivors(cap: Int, sides: DataFrame*): DataFrame =
+    kllSurvivors(sides.reduce(_ unionAll _), cap)
+
+  /** Quantile estimates from the sketch state: pick the SHALLOWEST
+    * level whose full population fits `cap` (no truncation there, so
+    * the kept set IS the exact rate-2^-l sample; monotone populations
+    * make this one MIN), fall back to the deepest level when even it
+    * overflows, and read value-rank `ceil(q·n_s)` within the sample
+    * ordered by `(v, h2)`. Rank error vs the true quantile is
+    * binomial: σ = √(q(1−q)/n_s) with n_s ∈ (cap/2, cap] at design
+    * scale — the error-bound companion query asserts 5σ.
+    *
+    * The two windows below are SKETCH-sized by construction (≤ cap
+    * rows past the level filter), never corpus-sized — the documented
+    * exception to the no-unpartitioned-window rule. The 1-row level
+    * pick broadcasts (PlanGuard-allowlisted). */
+  def kllQuantiles(counts: DataFrame, survivors: DataFrame, cap: Int,
+                   maxL: Int, qsPermille: Seq[Int]): DataFrame = {
+    val ls = counts.agg(
+      coalesce(min(when(col("n") <= cap, col("l"))), lit(maxL))
+        .as("l_star"))
+    val sam = survivors.crossJoin(broadcast(ls))
+      .filter(col("l") === col("l_star"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("h2"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_star"))
+    sam.withColumn("rn", row_number().over(wr))
+      .withColumn("sample_n", count(lit(1)).over(wn))
+      .select(explode(array(qsPermille.map(lit): _*)).as("q_permille"),
+              col("l_star"), col("sample_n"), col("rn"), col("v"))
+      .filter(col("rn") === expr("(q_permille * sample_n + 999) DIV 1000"))
+      .select(col("q_permille").cast("long").as("q_permille"),
+              col("l_star").cast("long").as("sample_level"),
+              col("sample_n"), col("v").as("est_cents"))
+  }
+
   /** The HLL estimate from one [[hllState]] row — driver-side math for
     * specs and callers that want the number (α_m from Flajolet et al.
     * 2007 §4; linear counting below 2.5·m when empty buckets remain). */

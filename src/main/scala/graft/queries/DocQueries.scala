@@ -1531,6 +1531,75 @@ object DocQueries {
           .otherwise(lit(0L)))
   }
 
+  // ---------------------------------------------- trained LR filter
+
+  /** Even-doc_id training half with the en-vs-rest target — the NB
+    * family's split convention, reused for the LR filter. Training is
+    * EAGER driver-batched ([[graft.operators.LogReg.train]]), so the
+    * trained (B+1)-row literal is memoized per fixture dir — the three
+    * registry consumers (and every bench pass) train exactly once per
+    * JVM; the weights are deterministic, so a re-run could only
+    * reproduce the same literal. */
+  private val lrWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def lrWeights(s: SparkSession, dir: String): DataFrame =
+    lrWeightsMemo.getOrElseUpdate(dir,
+      graft.operators.LogReg.train(
+        graft.operators.LogReg.features(
+          Tables.spread(Tables.documents(s, dir))
+            .filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", col("lang") === "en")))
+
+  /** Held-out scored frame (odd doc_ids) under the frozen trained
+    * weights — identical construction across the gate and calibration
+    * rows, so CacheManager sameResult dedups the build. */
+  private def lrScoredFrom(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(graft.operators.LogReg.score(
+      graft.operators.LogReg.features(
+        Tables.spread(Tables.documents(s, dir))
+          .filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", col("lang") === "en"),
+      lrWeights(s, dir)))
+
+  /** The trained hard-sigmoid logistic-regression quality filter's
+    * weight table ([[graft.operators.LogReg]]) — 8 integer-grid
+    * full-batch GD steps over hashed bigram features on the even-half
+    * corpus; the oracle replays the ENTIRE training as an unrolled
+    * MATERIALIZED-CTE chain, so the trained model itself is
+    * cross-engine hash-exact. */
+  def textLrTrain(s: SparkSession, dir: String): DataFrame =
+    lrWeights(s, dir)
+
+  /** The trained LR filter AS A GATE (the CCNet/DoReMi admission
+    * step): held-out docs admitted at p̂ ≥ 0.6, reported per true
+    * label — the separation table (admit rate among true-en vs rest)
+    * that tells a pipeline owner what the filter would ship. */
+  def textLrGate(s: SparkSession, dir: String): DataFrame =
+    lrScoredFrom(s, dir)
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("p_micro") >= graft.operators.LogReg.GateCutMicro,
+                    1L).otherwise(0L)).as("n_admitted"),
+           sum(col("p_micro")).as("p_mass_micro"))
+      .withColumn("admit_permille", expr("n_admitted * 1000 DIV n_docs"))
+
+  /** Reliability panel of the trained LR filter — predicted-probability
+    * deciles vs observed positive rate on the held-out half (the
+    * textNbCalibration shape for the regression family). Everything
+    * integer: buckets are p̂ DIV 100000 clamped to 9, the observed rate
+    * is exact permille. */
+  def textLrCalibration(s: SparkSession, dir: String): DataFrame =
+    lrScoredFrom(s, dir)
+      .select(least(lit(9L), expr("p_micro DIV 100000")).as("bucket"),
+              col("y"), col("p_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("y")).as("n_pos"),
+           sum(col("p_micro")).as("p_mass"))
+      .select(col("bucket"), col("n_docs"),
+              expr("n_pos * 1000 DIV n_docs").as("pos_permille"),
+              expr("p_mass DIV n_docs").as("mean_p_micro"))
+
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
     * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
@@ -2841,7 +2910,12 @@ object DocQueries {
       // sit far apart in bench order: at r10's MaxLive the FIFO dropped
       // the reuse()d scorer in between and BOTH consumers paid the full
       // ~2.5-3 s build (VERDICT r10 #3)
-      "trigram_scored" -> PlanCache.pin(trigramScored(s, dir)))
+      "trigram_scored" -> PlanCache.pin(trigramScored(s, dir)),
+      // LR training is eager at construction (driver-batched GD) and
+      // memoized per dir: invoking it HERE lands the 8-step training
+      // cost in the prewarm build line (_build_doc), not on whichever
+      // text_lr_* row runs first (alphabetical = text_lr_calibration)
+      "lr_weights" -> PlanCache.pin(lrWeights(s, dir)))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2910,6 +2984,9 @@ object DocQueries {
     "text_nb_accuracy"    -> (textNbAccuracy _),
     "text_nb_calibration" -> (textNbCalibration _),
     "text_nb_gate"        -> (textNbGate _),
+    "text_lr_train"       -> (textLrTrain _),
+    "text_lr_gate"        -> (textLrGate _),
+    "text_lr_calibration" -> (textLrCalibration _),
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
@@ -3201,6 +3278,63 @@ object DocQueries {
       |LEFT JOIN (SELECT doc_id, 1 AS L FROM losers) lo USING (doc_id)
       |LEFT JOIN (SELECT doc_id, 1 AS C FROM contam) ct USING (doc_id)"""
       .stripMargin
+
+  /** Unrolled oracle twin of [[graft.operators.LogReg]]: featurization,
+    * then [[graft.operators.LogReg.Steps]] chained (z → r → g → w)
+    * CTE layers replaying the integer GD recurrence exactly (every
+    * multiply-referenced CTE MATERIALIZED — round-7 discipline; the
+    * chain length 4·Steps+4 is far under the binder budget). Ends with
+    * the trained `lrw<Steps>` plus the held-out scored frame `lrsc`. */
+  private lazy val lrCtes: String = {
+    import graft.operators.LogReg.{Buckets => B, Steps, Shift, UpdK}
+    def phat(z: String) =
+      s"""GREATEST(CAST(0 AS BIGINT), LEAST(CAST(1000000 AS BIGINT),
+         |      500000 + (($z + $Shift) // 4 - ${Shift / 4})))""".stripMargin
+    def featSel(pred: String) =
+      s"""SELECT DISTINCT doc_id, y,
+         |    CAST('0x' || substr(md5('lr|' || g), 1, 4) AS BIGINT) % $B
+         |      AS bkt
+         |  FROM (SELECT doc_id, y, unnest(${sqlShingles(2)}) AS g
+         |        FROM lrd WHERE $pred)
+         |  UNION ALL
+         |  SELECT doc_id, y, CAST($B AS BIGINT) AS bkt
+         |  FROM lrd WHERE $pred""".stripMargin
+    val base =
+      s"""lrd AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |    text FROM documents),
+         |lrf AS MATERIALIZED (
+         |  ${featSel("doc_id % 2 = 0")}),
+         |lrn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+         |        FROM lrf),
+         |lrw0 AS (SELECT CAST(unnest(range(0, ${B + 1})) AS BIGINT) AS bkt,
+         |         CAST(0 AS BIGINT) AS w)""".stripMargin
+    val steps = (1 to Steps).map { t =>
+      s"""lrz$t AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y,
+         |    CAST(SUM(w.w) AS BIGINT) AS z
+         |  FROM lrf f JOIN lrw${t - 1} w USING (bkt) GROUP BY 1),
+         |lrr$t AS (SELECT doc_id,
+         |    ${phat("z")} - y * 1000000 AS r FROM lrz$t),
+         |lrg$t AS (SELECT f.bkt, CAST(SUM(r.r) AS BIGINT) AS g
+         |  FROM lrf f JOIN lrr$t r USING (doc_id) GROUP BY 1),
+         |lrw$t AS MATERIALIZED (
+         |  SELECT w.bkt,
+         |    w.w - ((COALESCE(g.g, 0) + 4 * n * $UpdK) // (4 * n) - $UpdK)
+         |      AS w
+         |  FROM lrw${t - 1} w LEFT JOIN lrg$t g USING (bkt)
+         |  CROSS JOIN lrn)""".stripMargin
+    }
+    val serve =
+      s"""lsf AS MATERIALIZED (
+         |  ${featSel("doc_id % 2 <> 0")}),
+         |lsz AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y,
+         |    CAST(SUM(w.w) AS BIGINT) AS z
+         |  FROM lsf f JOIN lrw$Steps w USING (bkt) GROUP BY 1),
+         |lrsc AS (SELECT doc_id, y, ${phat("z")} AS p FROM lsz)"""
+        .stripMargin
+    (base +: steps :+ serve).mkString(",\n")
+  }
 
   val oracles: Map[String, String] = Map(
     "pipe_sample_exact_k" ->
@@ -4469,6 +4603,30 @@ object DocQueries {
          |       THEN SUM(admit * ok) * 1000 // SUM(admit)
          |       ELSE 0 END AS BIGINT) AS admitted_precision_permille
          |FROM ga GROUP BY 1""".stripMargin,
+    "text_lr_train" -> {
+      val steps = graft.operators.LogReg.Steps
+      s"""WITH $lrCtes
+         |SELECT bkt, CAST(w AS BIGINT) AS w_micro FROM lrw$steps"""
+        .stripMargin
+    },
+    "text_lr_gate" -> {
+      val cut = graft.operators.LogReg.GateCutMicro
+      s"""WITH $lrCtes
+         |SELECT y, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN p >= $cut THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(SUM(p) AS BIGINT) AS p_mass_micro,
+         |  CAST(SUM(CASE WHEN p >= $cut THEN 1 ELSE 0 END) * 1000
+         |    // COUNT(*) AS BIGINT) AS admit_permille
+         |FROM lrsc GROUP BY 1""".stripMargin
+    },
+    "text_lr_calibration" ->
+      s"""WITH $lrCtes
+         |SELECT LEAST(9, p // 100000) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS pos_permille,
+         |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_p_micro
+         |FROM lrsc GROUP BY 1""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

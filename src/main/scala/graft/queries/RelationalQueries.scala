@@ -374,6 +374,73 @@ object RelationalQueries {
                 col("exact_f2")).as("within_20pct"))
   }
 
+  /** Quantile-sketch constants, shared verbatim with the oracle replay:
+    * survivor capacity per level, deepest level, and the probed
+    * quantiles (permille). cap = 1024 keeps the estimation sample in
+    * (512, 1024] across every fixture scale (lineitem 6k → 600k rows)
+    * so the 5σ rank bound stays ≤ ~0.11. */
+  private val KllCap = 1024
+  private val KllQs = Seq(10, 250, 500, 750, 990)
+
+  /** The value stream the KLL rows sketch: exact lineitem price cents
+    * plus the deterministic per-row hash key. The key need not be
+    * unique — identical rows co-sample, which changes nothing in the
+    * exact replay and only correlates the sample at md5-collision
+    * rates. */
+  private def kllBase(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey")).as("rk"))
+
+  /** Mergeable quantile sketch over lineitem prices (the missing member
+    * of the sketch family — VERDICT r12 #2): KLL-style geometric level
+    * sampling derandomized via seeded md5 ([[Sketch.kllLeveled]]),
+    * bounded per-level survivor sets, estimates read from the
+    * shallowest untruncated level. The scale substitute for the exact
+    * `percentile` calls that buffer full groups (CLAUDE.md round-5
+    * gotcha): the sketch is ≤ cap·13 longs at ANY corpus size and
+    * merges across shards/days by count-sum + bottom-cap re-truncation
+    * (spec-pinned merge law). Deterministic end to end → the estimates
+    * themselves hash-match the oracle's identical replay. */
+  def kllQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+    val lev = PlanCache.reuse(
+      Sketch.kllLeveled(kllBase(s, dir), col("cents"), col("rk")))
+    Sketch.kllQuantiles(Sketch.kllCounts(lev),
+                        Sketch.kllSurvivors(lev, KllCap),
+                        KllCap, Sketch.KllMaxLevel, KllQs)
+  }
+
+  /** Error audit of [[kllQuantilesQuery]] against the EXACT value
+    * distribution: each estimate's true CDF bracket [count(v < est),
+    * count(v ≤ est)]/n in ppm vs the probed quantile, with a 5σ
+    * binomial rank bound (σ = √(q(1−q)/n_s)) plus one sample-step of
+    * discreteness slack — ≥5σ per the round-5 probabilistic-gate rule,
+    * so the flag never flips across fixture re-rolls. The bracket (not
+    * a point) absorbs value ties. The bound arithmetic is shared
+    * verbatim with the oracle (floor of correctly-rounded double ops
+    * on identical inputs — bit-exact across engines). */
+  def kllErrorQuery(s: SparkSession, dir: String): DataFrame = {
+    val est = kllQuantilesQuery(s, dir)
+    kllBase(s, dir).crossJoin(broadcast(est))
+      .groupBy(col("q_permille"), col("sample_n"), col("est_cents"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("cents") < col("est_cents"), 1L).otherwise(0L))
+             .as("n_lt"),
+           sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L))
+             .as("n_le"))
+      .select(col("q_permille"), col("sample_n"), col("est_cents"),
+        expr("n_lt * 1000000 DIV n_total").as("lo_ppm"),
+        expr("n_le * 1000000 DIV n_total").as("hi_ppm"),
+        expr("CAST(floor(5000000 * sqrt(CAST(q_permille * (1000 - " +
+             "q_permille) AS DOUBLE) / 1000000.0 / " +
+             "CAST(sample_n AS DOUBLE))) AS BIGINT) + " +
+             "1000000 DIV sample_n").as("bound_ppm"))
+      .withColumn("within_bound",
+        col("q_permille") * 1000 >= col("lo_ppm") - col("bound_ppm") &&
+        col("q_permille") * 1000 <= col("hi_ppm") + col("bound_ppm"))
+  }
+
   /** Distinct-intersection estimation across customer-activity years by
     * KMV sketch ([[graft.operators.Sketch.kmvSketch]]) — "how many
     * customers were active in BOTH year X and year Y" from k-long
@@ -1247,6 +1314,8 @@ object RelationalQueries {
     "rel_approx_distinct"   -> (approxDistinct _),
     "rel_join_size_est"     -> (joinSizeEst _),
     "rel_skew_f2_est"       -> (skewF2Est _),
+    "rel_kll_quantiles"     -> (kllQuantilesQuery _),
+    "rel_kll_error"         -> (kllErrorQuery _),
     "rel_kmv_intersect"     -> (kmvIntersect _),
     "rel_cc_chain"          -> (ccChain _),
     "rel_cube_sales"        -> (cubeSales _),
@@ -1456,6 +1525,55 @@ object RelationalQueries {
     s"""WITH ${(base +: rounds).mkString(",\n")}
        |SELECT node AS part_node, CAST(rank AS BIGINT) AS rank
        |FROM r3 WHERE rank > 0""".stripMargin
+  }
+
+  /** Shared oracle CTE chain of the KLL quantile-sketch rows —
+    * hash/levels/populations/survivors/estimates, mirroring
+    * [[graft.operators.Sketch.kllLeveled]]/`kllSurvivors`/
+    * `kllQuantiles` constants exactly (level CASE generated from the
+    * same maxL; bucket slice hex 1-4, tiebreak slice hex 5-19 —
+    * disjoint). Ends in `kest(q_permille, sample_level, sample_n,
+    * est_cents)`; `kb(v, …)` stays in scope for the error row's exact
+    * CDF side. */
+  private val kllCtes: String = {
+    val maxL = Sketch.KllMaxLevel
+    val lvlCase = (maxL to 1 by -1)
+      .map(l => s"WHEN b % ${1L << l} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""kh AS MATERIALIZED (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |    md5('kll|' || concat_ws('|', l_orderkey, l_linenumber,
+       |                            l_partkey, l_suppkey)) AS m
+       |  FROM lineitem),
+       |kb AS MATERIALIZED (
+       |  SELECT v, $lvlCase AS toplvl,
+       |    CAST('0x' || substr(m, 5, 15) AS BIGINT) AS h2
+       |  FROM (SELECT v, m, CAST('0x' || substr(m, 1, 4) AS BIGINT) AS b
+       |        FROM kh)),
+       |lv AS MATERIALIZED (
+       |  SELECT ls.l, kb.v, kb.h2
+       |  FROM kb JOIN (SELECT unnest(range(0, ${maxL + 1})) AS l) ls
+       |    ON ls.l <= kb.toplvl),
+       |cnt AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n FROM lv
+       |        GROUP BY 1),
+       |lsr AS (SELECT COALESCE(MIN(CASE WHEN n <= $KllCap THEN l END),
+       |                        $maxL) AS l_star FROM cnt),
+       |kept AS (SELECT l, v, h2 FROM (
+       |  SELECT l, v, h2,
+       |    ROW_NUMBER() OVER (PARTITION BY l ORDER BY h2, v) AS rn
+       |  FROM lv) WHERE rn <= $KllCap),
+       |sam AS (SELECT v, h2 FROM kept CROSS JOIN lsr
+       |        WHERE kept.l = lsr.l_star),
+       |sr AS (
+       |  SELECT v, ROW_NUMBER() OVER (ORDER BY v, h2) AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS ns FROM sam),
+       |kest AS MATERIALIZED (
+       |  SELECT CAST(q AS BIGINT) AS q_permille,
+       |    CAST(l_star AS BIGINT) AS sample_level,
+       |    ns AS sample_n, v AS est_cents
+       |  FROM sr CROSS JOIN lsr
+       |  CROSS JOIN (SELECT unnest([${KllQs.mkString(", ")}]) AS q) qs
+       |  WHERE rn = (q * ns + 999) // 1000)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2078,6 +2196,29 @@ object RelationalQueries {
          |SELECT exact_f2, est_f2,
          |  abs(est_f2 - exact_f2) * 5 <= exact_f2 AS within_20pct
          |FROM exact CROSS JOIN est""".stripMargin,
+    "rel_kll_quantiles" ->
+      s"""WITH $kllCtes
+         |SELECT q_permille, sample_level, sample_n, est_cents
+         |FROM kest""".stripMargin,
+    "rel_kll_error" ->
+      s"""WITH $kllCtes,
+         |cdf AS (
+         |  SELECT e.q_permille, e.sample_n, e.est_cents,
+         |    CAST(SUM(CASE WHEN kb.v < e.est_cents THEN 1 ELSE 0 END)
+         |      * 1000000 // COUNT(*) AS BIGINT) AS lo_ppm,
+         |    CAST(SUM(CASE WHEN kb.v <= e.est_cents THEN 1 ELSE 0 END)
+         |      * 1000000 // COUNT(*) AS BIGINT) AS hi_ppm,
+         |    CAST(floor(5000000 * sqrt(CAST(e.q_permille * (1000 -
+         |      e.q_permille) AS DOUBLE) / 1000000.0 /
+         |      CAST(e.sample_n AS DOUBLE))) AS BIGINT) +
+         |      1000000 // e.sample_n AS bound_ppm
+         |  FROM kb CROSS JOIN kest e
+         |  GROUP BY e.q_permille, e.sample_n, e.est_cents)
+         |SELECT q_permille, sample_n, est_cents, lo_ppm, hi_ppm,
+         |  bound_ppm,
+         |  q_permille * 1000 >= lo_ppm - bound_ppm AND
+         |  q_permille * 1000 <= hi_ppm + bound_ppm AS within_bound
+         |FROM cdf""".stripMargin,
     "rel_kmv_intersect" ->
       s"""WITH dk AS (SELECT DISTINCT year(o_orderdate) AS f,
          |                            o_custkey AS p FROM orders),

@@ -661,6 +661,101 @@ object VectorQueries {
       "vec_id", "embedding", "cell", 0.4)
   }
 
+  /** Old-vs-new occupancy of the trained quantizer cells — the shared
+    * base of the embedding drift panel: even vec_ids model the OLD
+    * crawl snapshot, odd the refreshed one (the pipe_crawl_delta split
+    * convention), counted per k-means cell. Rides the PlanCache-pinned
+    * `sim_kmeans_cells` frame — no second quantizer training
+    * (VERDICT r12 #3); the rollup is KmC rows. */
+  private def cellOcc(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    graft.operators.PlanCache.reuse(
+      Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+                             "embedding", KmC, KmIters)
+        .groupBy(col("cell"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+               .as("n_old"),
+             sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+               .as("n_new")))
+  }
+
+  /** Embedding-space crawl drift, per cell: old/new occupancy plus the
+    * squared L2 shift between the two halves' per-dimension MEDIAN
+    * centroids on the 1e-7 integer grid (medians are order-independent
+    * and oracle-replayable — the cellCentroids rationale; the quantized
+    * deltas make the rollup an exact integer sum). Detects the
+    * distribution shift a content-hash delta (`pipe_crawl_delta`)
+    * cannot see — reworded or re-templated content moves cells with
+    * zero hash overlap. A cell where one half is empty reports a NULL
+    * shift (no centroid to compare; both engines agree on the NULL).
+    *
+    * Scale shape (100 TB): one posexplode aggregation over the pinned
+    * assignment (the corpus never reshuffles — cell×2×dims groups),
+    * then cell-sized joins. Width: |Δ| ≤ 2·10⁷ per dim → Σ Δ² ≤
+    * 2.6·10¹⁶ at 64 dims, inside BIGINT. */
+  def simCellDrift(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val cells = Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+                                       "embedding", KmC, KmIters)
+    val med = cells
+      .select(col("cell"), (col("vec_id") % 2 === 0).as("old_half"),
+              posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("cell"), col("old_half"), (col("p") + 1).as("d"),
+              col("x").cast("double").as("xd"))
+      .groupBy(col("cell"), col("old_half"), col("d"))
+      .agg(expr("CAST(round(percentile(xd, 0.5) * 10000000) AS BIGINT)")
+             .as("mq"))
+    val shift = med.groupBy(col("cell"), col("d"))
+      .agg(count(lit(1)).as("halves"),
+           sum(when(col("old_half"), col("mq")).otherwise(0L)).as("mo"),
+           sum(when(not(col("old_half")), col("mq")).otherwise(0L))
+             .as("mn"))
+      .filter(col("halves") === 2)
+      .groupBy(col("cell"))
+      .agg(sum((col("mo") - col("mn")) * (col("mo") - col("mn")))
+             .as("shift2_q14"))
+    cellOcc(s, dir).join(shift, Seq("cell"), "left")
+      .select(col("cell"), col("n_old"), col("n_new"), col("shift2_q14"))
+  }
+
+  /** ONE number for "did the crawl refresh move the embedding
+    * distribution": Jensen-Shannon divergence between the old-half and
+    * new-half cell-OCCUPANCY distributions, on the exact integer grid
+    * (the [[DocQueries.textLangJsd]] arithmetic verbatim: mixture mass
+    * n_c = a·N_b + b·N_a over the common denominator 2·N_a·N_b, per-cell
+    * 1e-6 µ-log₂ terms, DECIMAL(38,0) ≡ HUGEINT weighted sums, output
+    * 2·H(M) − H(P) − H(Q) in micro-bits). Complements [[simCellDrift]]:
+    * the per-cell table localizes drift, this one trend-lines it. */
+  def simCellDriftJsd(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val occ = cellOcc(s, dir)
+    val tot = occ.agg(sum(col("n_old")).as("na"), sum(col("n_new")).as("nb"))
+    val lq = (x: String) =>
+      s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+    occ.crossJoin(broadcast(tot))
+      .selectExpr("n_old AS a", "n_new AS b", "na", "nb",
+        "CAST(n_old AS DECIMAL(38,0)) * nb + " +
+        "CAST(n_new AS DECIMAL(38,0)) * na AS nw")
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_cells"),
+           sum(expr(s"nw * ${lq("nw")}")).cast(dec38).as("sm"),
+           sum(expr(s"CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END"))
+             .as("sa"),
+           sum(expr(s"CASE WHEN b > 0 THEN b * ${lq("b")} ELSE 0 END"))
+             .as("sb"))
+      .selectExpr("n_cells",
+        s"""CASE WHEN na = 0 OR nb = 0 THEN NULL
+           | ELSE ${lq("2 * na * nb")} - CAST(sm DIV
+           |   (2 * CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)
+           | END AS h_m_micro""".stripMargin,
+        s"CASE WHEN na = 0 THEN NULL ELSE ${lq("na")} - (sa DIV na) " +
+          "END AS h_a_micro",
+        s"CASE WHEN nb = 0 THEN NULL ELSE ${lq("nb")} - (sb DIV nb) " +
+          "END AS h_b_micro")
+      .withColumn("jsd_micro2",
+        expr("2 * h_m_micro - h_a_micro - h_b_micro"))
+  }
+
   /** The sim family's cross-query shared frames, PINNED for the bench's
     * explicitly-timed `_shared_frames` line: the brute-force truth@3
     * (left side of all five recall rows), the trained k-means quantizer
@@ -724,6 +819,8 @@ object VectorQueries {
     "sim_bitext_mine"        -> (simBitextMine _),
     "sim_ivf_trained_recall" -> (simIvfTrainedRecall _),
     "sim_semantic_dedup"     -> (simSemanticDedup _),
+    "sim_cell_drift"         -> (simCellDrift _),
+    "sim_cell_drift_jsd"     -> (simCellDriftJsd _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
     "dedup_text_vs_semantic" -> (dedupTextVsSemantic _),
     "sim_matryoshka_recall"  -> (simMatryoshkaRecall _),
@@ -1269,6 +1366,70 @@ object VectorQueries {
          |    SELECT 1 FROM sd_dups p WHERE p.dup_id = b.vec_id)
          |    THEN 0 ELSE 1 END AS BIGINT) AS keep
          |FROM basg b""".stripMargin,
+    "sim_cell_drift" ->
+      s"""WITH $kmTrainedCte,
+         |occ AS (SELECT cell,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_old,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM kfinal GROUP BY 1),
+         |meds AS (SELECT cell, vec_id % 2 = 0 AS old_half, d,
+         |    CAST(round(percentile_cont(0.5) WITHIN GROUP (
+         |      ORDER BY CAST(embedding[d] AS DOUBLE)) * 10000000)
+         |      AS BIGINT) AS mq
+         |  FROM kfinal
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${Dims + 1}))
+         |              AS INTEGER) AS d)
+         |  GROUP BY 1, 2, 3),
+         |sh AS (SELECT cell,
+         |    CAST(SUM((mo - mn) * (mo - mn)) AS BIGINT) AS shift2_q14
+         |  FROM (SELECT cell, d, COUNT(*) AS halves,
+         |      SUM(CASE WHEN old_half THEN mq ELSE 0 END) AS mo,
+         |      SUM(CASE WHEN NOT old_half THEN mq ELSE 0 END) AS mn
+         |    FROM meds GROUP BY 1, 2)
+         |  WHERE halves = 2 GROUP BY 1)
+         |SELECT CAST(occ.cell AS INTEGER) AS cell, occ.n_old, occ.n_new,
+         |  sh.shift2_q14
+         |FROM occ LEFT JOIN sh ON occ.cell = sh.cell""".stripMargin,
+    "sim_cell_drift_jsd" -> {
+      def lq(x: String) =
+        s"CAST(round(log2(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+      s"""WITH $kmTrainedCte,
+         |occ AS (SELECT cell,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_old,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM kfinal GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS na,
+         |               CAST(SUM(n_new) AS BIGINT) AS nb FROM occ),
+         |e AS (SELECT n_old AS a, n_new AS b, na, nb,
+         |    CAST(n_old AS HUGEINT) * nb + CAST(n_new AS HUGEINT) * na
+         |      AS nw
+         |  FROM occ CROSS JOIN tot),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    MAX(na) AS na, MAX(nb) AS nb,
+         |    SUM(nw * ${lq("nw")}) AS sm,
+         |    CAST(SUM(CASE WHEN a > 0 THEN a * ${lq("a")} ELSE 0 END)
+         |      AS BIGINT) AS sa,
+         |    CAST(SUM(CASE WHEN b > 0 THEN b * ${lq("b")} ELSE 0 END)
+         |      AS BIGINT) AS sb
+         |  FROM e),
+         |h AS (SELECT n_cells,
+         |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+         |      ELSE ${lq("2 * na * nb")} - CAST(sm //
+         |        (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+         |      END AS h_m_micro,
+         |    CASE WHEN na = 0 THEN NULL ELSE ${lq("na")} - sa // na
+         |      END AS h_a_micro,
+         |    CASE WHEN nb = 0 THEN NULL ELSE ${lq("nb")} - sb // nb
+         |      END AS h_b_micro
+         |  FROM g)
+         |SELECT n_cells, h_m_micro, h_a_micro, h_b_micro,
+         |  2 * h_m_micro - h_a_micro - h_b_micro AS jsd_micro2
+         |FROM h""".stripMargin
+    },
     "sim_ivf_trained_recall" ->
       s"""WITH $kmScoredCte,
          |approx AS (

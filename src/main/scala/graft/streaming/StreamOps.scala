@@ -245,6 +245,33 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming LR quality gate: each micro-batch of new (doc_id, lang,
+    * text) documents is featurized and scored against the FROZEN
+    * trained logistic-regression weights
+    * ([[graft.operators.LogReg.score]]) — the admission filter a live
+    * ingestion pipeline runs with a model trained offline. State is
+    * EXTERNAL (the (B+1)-row weight table, pinned like the NB model:
+    * FIFO eviction after ~MaxLive batches would silently retrain per
+    * batch); scoring is per-doc independent, so the union of streamed
+    * outputs equals one batch [[graft.operators.LogReg.score]] over
+    * the same docs for ANY micro-batch partitioning (StreamingSpec
+    * pins this). */
+  def lrScoreGateBatch(newDocs: DataFrame, weights: DataFrame)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.operators.PlanCache.pin(weights)
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.LogReg.score(
+               graft.operators.LogReg.features(
+                 batch, "doc_id", "text", col("lang") === "en"),
+               weights),
+             batchId)
+      }
+      .start()
+  }
+
   /** Streaming PII gate: each micro-batch of new documents runs the
     * scan+redact rule families ([[graft.operators.Pii]]) and hands the
     * per-doc stats rows ([[graft.queries.PiiQueries.docStatsFor]] —

@@ -352,6 +352,28 @@ object ScalingBench {
                sum(col("sw"))
                  .cast(org.apache.spark.sql.types.DoubleType).as("chk"))
       }),
+      // round-12 PII scan family: the pure per-row-map shape the panel
+      // lacked (regex detect + masked redact, ZERO shuffles before a
+      // 1-row rollup) over a 256x corpus with DISTINCT doc ids — the
+      // synthetic-injection arithmetic keys on doc_id, so distinct ids
+      // keep every rule family firing at its fixture rate across
+      // copies. Measures the map-side regex engine (java.util.regex
+      // under codegen'd regexp_count/regexp_replace), the admission-
+      // scrubber cost at corpus scale.
+      "scaled_pii_scan" -> ((s: SparkSession, dir: String) => {
+        val n = 256
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("doc_id") * n + col("id")).as("doc_id"),
+                  col("source"), col("text"))
+        graft.queries.PiiQueries.docStatsFor(docs)
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_email") + col("n_phone") + col("n_ipv4") +
+                   col("n_id9")).as("n_hits"),
+               sum(col("chars_after") % lit(1000003L)).as("chk"))
+      }),
       // round-10 quality-filter family: char-diversity over 256x
       // documents with DISTINCT per-copy doc ids — the (doc, char)
       // explode + two map-side-combined hash aggregations is the

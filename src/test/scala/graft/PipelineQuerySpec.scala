@@ -821,6 +821,46 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("LR filter: integer GD loop replays a driver-side Scala twin") {
+    import graft.operators.LogReg
+    val train = Seq(
+      (0L, "en", "aa bb aa"), (2L, "en", "aa cc"),
+      (4L, "fr", "cc dd cc"), (6L, "fr", "dd ee"),
+      (8L, "fr", "")                          // bias-only document
+    ).toDF("doc_id", "lang", "text")
+    val feats = LogReg.features(train, "doc_id", "text", $"lang" === "en")
+    val fRows = feats.as[(Long, Long, Long)].collect()
+    // every doc carries the bias feature, even the empty one
+    assert(fRows.count(_._3 == LogReg.BiasBkt.toLong) == 5)
+    val n = fRows.map(_._1).distinct.length
+    val byDoc = fRows.groupBy(_._1)
+    def phat(z: Long): Long = math.max(0L, math.min(1000000L,
+      500000L + ((z + LogReg.Shift) / 4 - LogReg.Shift / 4)))
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to LogReg.Steps) {
+      val r = byDoc.map { case (d, rows) =>
+        d -> (phat(rows.map(row => w(row._3)).sum) -
+              rows.head._2 * 1000000L)
+      }
+      val grad = fRows.groupBy(_._3).map { case (b, rows) =>
+        b -> rows.map(row => r(row._1)).sum
+      }
+      w = (0L to LogReg.Buckets.toLong).map { b =>
+        val g = grad.getOrElse(b, 0L)
+        // g + 4nK >= 0, so Scala / == Spark DIV == DuckDB //
+        b -> (w(b) - ((g + 4L * n * LogReg.UpdK) / (4L * n) - LogReg.UpdK))
+      }.toMap.withDefaultValue(0L)
+    }
+    val trained = LogReg.train(feats).as[(Long, Long)].collect().toMap
+    assert(trained.size == LogReg.Buckets + 1)
+    trained.foreach { case (b, v) => assert(v == w(b), s"bkt $b") }
+    // the trained model separates the two dialects
+    val scored = LogReg.score(feats, LogReg.train(feats))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(scored(0L) > scored(4L))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("attribution: credit conserves to the cent across buckets") {
     val out = graft.queries.EventQueries.attributionLinear(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))

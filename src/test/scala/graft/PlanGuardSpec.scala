@@ -65,6 +65,8 @@ class PlanGuardSpec extends SparkSpec {
     "doc_assoc_pairs",        // corpus-N 1-row cross join (lift scale)
     "rel_join_size_est",      // exact-count × est-count 1-row scalars
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars
+    "rel_kll_quantiles",      // 1-row estimation-level (l_star) broadcast
+    "rel_kll_error",          // same l_star 1-row + 5-row estimate table
     "rel_kmv_intersect",      // year-flag pair table (7 rows) + sketch
     "rel_modularity",         // undirected-edge-count m 1-row broadcast
     "evt_hits",               // L1-total 1-row broadcasts (4: 2 rounds × 2)
@@ -81,6 +83,8 @@ class PlanGuardSpec extends SparkSpec {
     "sim_kmeans_inertia",     // same k-means centroid broadcasts
     "sim_bitext_mine",        // label-cell centroid broadcast (8 rows)
     "sim_semantic_dedup",     // same k-means centroid broadcasts
+    "sim_cell_drift",         // same k-means centroid broadcasts (c=8)
+    "sim_cell_drift_jsd",     // same + 1-row occupancy-totals broadcast
     "dedup_text_vs_semantic", // same k-means centroid broadcasts (agreement matrix)
     "sim_ivf_trained_recall", // same chain + 1-row truth scalars
     "sim_quantize", "sim_pq_codes",   // codebook broadcast

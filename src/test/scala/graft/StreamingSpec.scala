@@ -279,6 +279,42 @@ class StreamingSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("streaming LR gate equals one batch score under frozen weights") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{LogReg, PlanCache}
+    // separable corpus: en speaks "aa bb", fr speaks "cc dd"
+    val train = Seq(
+      (0L, "en", "aa bb aa bb"), (2L, "en", "aa bb cc"),
+      (4L, "fr", "cc dd cc dd"), (6L, "fr", "cc dd")
+    ).toDF("doc_id", "lang", "text")
+    val w = PlanCache.reuse(LogReg.train(
+      LogReg.features(train, "doc_id", "text", $"lang" === "en")))
+    val b1 = Seq((10L, "en", "aa bb aa"))
+    val b2 = Seq((11L, "fr", "cc dd cc"), (12L, "en", "aa dd"))
+    val mem = MemoryStream[(Long, String, String)]
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamOps.lrScoreGateBatch(
+        mem.toDF().toDF("doc_id", "lang", "text"), w) { (df, _) =>
+      val rows = df.as[(Long, Long, Long, Long)].collect()
+      buf.synchronized { buf ++= rows }; ()
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = buf.toSet
+    val batch = LogReg.score(
+        LogReg.features((b1 ++ b2).toDF("doc_id", "lang", "text"),
+                        "doc_id", "text", $"lang" === "en"), w)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    // the trained filter separates across the micro-batch split
+    val p = streamed.map(r => r._1 -> r._4).toMap
+    assert(p(10L) > p(11L))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("streaming PII gate equals one batch scan+redact") {
     implicit val sq = spark.sqlContext
     import graft.queries.PiiQueries

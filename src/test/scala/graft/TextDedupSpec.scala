@@ -158,6 +158,58 @@ class TextDedupSpec extends SparkSpec {
     assert(merged == whole && merged.nonEmpty)
   }
 
+  test("KLL quantile sketch: merge law, monotone levels, capped survivors") {
+    val rows = (0 until 4096).map(i => ((i * 2654435761L) % 100003L, i.toLong))
+      .toDF("v", "i")
+    def lev(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kllLeveled(df, $"v", concat_ws("|", $"i"))
+    val cap = 64 // small enough that truncation is actually exercised
+    val whole = lev(rows)
+    val cnts = Sketch.kllCounts(whole).as[(Int, Long)].collect().toMap
+    // S_{l+1} ⊆ S_l: populations are monotone EXACTLY, not just E[]
+    val byL = (0 to Sketch.KllMaxLevel).map(l => cnts.getOrElse(l, 0L))
+    assert(byL.zip(byL.tail).forall { case (a, b) => b <= a } && byL.head == 4096L)
+    val sWhole = Sketch.kllSurvivors(whole, cap).as[(Int, Long, Long)].collect()
+    assert(sWhole.groupBy(_._1).forall(_._2.length <= cap))
+    // merge law: counts cell-sum, survivors re-truncate (KMV closure)
+    val a = rows.filter($"i" % 2 === 0)
+    val b = rows.filter($"i" % 2 =!= 0)
+    val mc = Sketch.kllMergeCounts(
+      Sketch.kllCounts(lev(a)), Sketch.kllCounts(lev(b)))
+      .as[(Int, Long)].collect().toMap
+    assert(mc == cnts)
+    val ms = Sketch.kllMergeSurvivors(cap,
+      Sketch.kllSurvivors(lev(a), cap), Sketch.kllSurvivors(lev(b), cap))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(ms == sWhole.toSet && ms.nonEmpty)
+    // repartition invariance (the reference's process-count axis)
+    val sRep = Sketch.kllSurvivors(lev(rows.repartition(7)), cap)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(sRep == sWhole.toSet)
+  }
+
+  test("KLL estimator: exact at level 0, 5σ rank bound on the fixture") {
+    // n ≤ cap → l_star = 0, the sample IS the data, estimates are exact
+    // order statistics at rank ceil(q·n)
+    val small = (1 to 500).map(i => (i.toLong * 7 % 1009, i.toLong))
+      .toDF("v", "i")
+    val lev = Sketch.kllLeveled(small, $"v", concat_ws("|", $"i"))
+    val qs = Seq(100, 500, 900)
+    val est = Sketch.kllQuantiles(Sketch.kllCounts(lev),
+        Sketch.kllSurvivors(lev, 1024), 1024, Sketch.KllMaxLevel, qs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val sortedV = small.as[(Long, Long)].collect().map(_._1).sorted
+    assert(est.forall(_._2 == 0L) && est.forall(_._3 == 500L))
+    qs.zip(est).foreach { case (q, e) =>
+      assert(e._4 == sortedV((q * 500 + 999) / 1000 - 1), s"q=$q")
+    }
+    // fixture-scale audit: every probed quantile within its 5σ bound
+    val err = graft.queries.RelationalQueries.kllErrorQuery(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(err.length == 5 && err.forall(_.getAs[Boolean]("within_bound")))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("exact groups find the duplicate and keep min id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .filter($"n_docs" > 1).collect()

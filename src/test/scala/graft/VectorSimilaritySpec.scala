@@ -461,6 +461,29 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(out(2)._5 == 0.7 * 0.89 - 0.3 * 1.0)
   }
 
+  test("cell drift: occupancy partitions the corpus, shift replay, JSD bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val drift = graft.queries.VectorQueries.simCellDrift(spark, dir)
+      .as[(Int, Long, Long, Option[Long])].collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // occupancy is a partition of the corpus: halves sum to the total
+    assert(drift.map(r => r._2 + r._3).sum == nVecs && drift.nonEmpty)
+    // shift is defined exactly for two-sided cells, and non-negative
+    drift.foreach { case (cell, nOld, nNew, shift) =>
+      assert(shift.isDefined == (nOld > 0 && nNew > 0), s"cell $cell")
+      shift.foreach(v => assert(v >= 0))
+    }
+    val jsd = graft.queries.VectorQueries.simCellDriftJsd(spark, dir)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(jsd._1 == drift.length.toLong)
+    // JSD ∈ [0, 2] bits (micro-bits ×2 grid) up to log-quantization
+    // noise of a few µ-bits per term
+    val j = jsd._5.get
+    assert(j >= -10L && j <= 2000010L, s"jsd_micro2=$j")
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("mmrRerank: k beyond pool size yields no null picks, stays per-query") {
     // two queries, 2 candidates each, k=3: only 2 picks materialize per
     // query (the empty third round selects nothing) and queries never mix
