@@ -361,6 +361,73 @@ object Sketch {
               col("sample_n"), col("v").as("est_cents"))
   }
 
+  /** Group-keyed [[kllLeveled]]: carries `groupCols` through the
+    * leveled stream so every group builds an independent sketch over
+    * ONE shared scan — the actual shape of "per-source length
+    * quantiles" at corpus scale (the exact `percentile` alternative
+    * buffers every group's full value set per executor). Hashes ignore
+    * the group, so a group's sketch here is bit-identical to running
+    * the ungrouped pipeline on that group's slice (spec-pinned law). */
+  def kllLeveledBy(rows: DataFrame, groupCols: Seq[String], value: Column,
+                   rowKey: Column, maxL: Int = KllMaxLevel): DataFrame = {
+    val m = md5(concat(lit("kll|"), rowKey))
+    val b = conv(substring(m, 1, 4), 16, 10).cast("long")
+    val lvl = (1 to maxL).foldLeft(lit(0)) { (acc, l) =>
+      when(b % (1L << l) === 0, lit(l)).otherwise(acc)
+    }
+    rows
+      .select(groupCols.map(col) ++ Seq(value.as("v"), lvl.as("toplvl"),
+        conv(substring(m, 5, 15), 16, 10).cast("long").as("h2")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        explode(sequence(lit(0), col("toplvl"))).as("l"),
+        col("v"), col("h2")): _*)
+  }
+
+  /** Per-(group, level) populations — [[kllCounts]] with a group key. */
+  def kllCountsBy(leveled: DataFrame, groupCols: Seq[String]): DataFrame =
+    leveled.groupBy((groupCols :+ "l").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-(group, level) bottom-`cap` survivors — [[kllSurvivors]] with
+    * a group key; same WindowGroupLimit map-side bound per partition. */
+  def kllSurvivorsBy(leveled: DataFrame, groupCols: Seq[String],
+                     cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "l").map(col): _*)
+      .orderBy(col("h2"), col("v"))
+    leveled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select((groupCols ++ Seq("l", "v", "h2")).map(col): _*)
+  }
+
+  /** Per-group quantile estimates — [[kllQuantiles]] with the 1-row
+    * level pick replaced by a group-keyed equi join (sketch-sized on
+    * both sides) and group-partitioned rank windows (≤ cap rows per
+    * partition by construction). */
+  def kllQuantilesBy(counts: DataFrame, survivors: DataFrame,
+                     groupCols: Seq[String], cap: Int, maxL: Int,
+                     qsPermille: Seq[Int]): DataFrame = {
+    val ls = counts.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(min(when(col("n") <= cap, col("l"))), lit(maxL))
+             .as("l_star"))
+    val sam = survivors.join(ls, groupCols)
+      .filter(col("l") === col("l_star"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("v"), col("h2"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    sam.withColumn("rn", row_number().over(wr))
+      .withColumn("sample_n", count(lit(1)).over(wn))
+      .select(groupCols.map(col) ++ Seq(
+        explode(array(qsPermille.map(lit): _*)).as("q_permille"),
+        col("l_star"), col("sample_n"), col("rn"), col("v")): _*)
+      .filter(col("rn") === expr("(q_permille * sample_n + 999) DIV 1000"))
+      .select(groupCols.map(col) ++ Seq(
+        col("q_permille").cast("long").as("q_permille"),
+        col("l_star").cast("long").as("sample_level"),
+        col("sample_n"), col("v").as("est_cents")): _*)
+  }
+
   /** The HLL estimate from one [[hllState]] row — driver-side math for
     * specs and callers that want the number (α_m from Flajolet et al.
     * 2007 §4; linear counting below 2.5·m when empty buckets remain). */

@@ -1600,6 +1600,63 @@ object DocQueries {
               expr("n_pos * 1000 DIV n_docs").as("pos_permille"),
               expr("p_mass DIV n_docs").as("mean_p_micro"))
 
+  /** Exact AUC of the trained LR filter on the held-out half — the
+    * threshold-free eval completing the classifier ladder (confusion →
+    * accuracy → F1 → calibration → gate → AUC). Mann-Whitney midrank
+    * arithmetic over the score grain ([[AnalyticsQueries.ksMannWhitney]]
+    * verbatim): 2U = 2·R₊ − n₊(n₊+1) stays integer under ties, and
+    * auc_micro = U·10⁶/(n₊n₋) rides DECIMAL(38,0) past the BIGINT
+    * cliff (n₊n₋ ~ 2.5·10¹⁷ at 10⁹ held-out docs). The cumulative
+    * window is unpartitioned but SCORE-GRID-bounded: p̂ lives on the
+    * clamped micro grid, so the frame never exceeds 10⁶+1 rows at any
+    * corpus size. */
+  def textLrAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = lrScoredFrom(s, dir)
+      .groupBy(col("p_micro").as("v"))
+      .agg(sum(col("y")).as("ca"), sum(lit(1L) - col("y")).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = cum.agg(max(col("cuma")).as("na"),
+                         max(col("cumb")).as("nb"))
+    cum.crossJoin(broadcast(totals))
+      .agg(sum(col("ca") * ((col("cuma") + col("cumb") - col("ca") -
+                             col("cb")) * 2 + col("ca") + col("cb") + 1))
+             .as("r2a"),
+           max(col("na")).as("n_pos"), max(col("nb")).as("n_neg"))
+      .withColumn("u2", col("r2a") - col("n_pos") * (col("n_pos") + 1))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          | ELSE CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000 DIV
+          |   (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)
+          | END""".stripMargin).as("auc_micro"))
+  }
+
+  /** Expected / maximum calibration error of the LR filter — the one-
+    * number summary of [[textLrCalibration]]'s panel, EXACT by mass
+    * cross-multiplication: per decile |mean p̂ − positive rate|·n_b =
+    * |Σp̂ − n₊·10⁶| without any per-bucket division, so
+    * ECE_micro = Σ_b |pm_b − pos_b·10⁶| DIV n (the mass-weighted gap)
+    * and MCE takes the per-bucket integral gap. */
+  def textLrEce(s: SparkSession, dir: String): DataFrame =
+    lrScoredFrom(s, dir)
+      .select(least(lit(9L), expr("p_micro DIV 100000")).as("bucket"),
+              col("y"), col("p_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("pos"),
+           sum(col("p_micro")).as("pm"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(col("nb")).as("n_docs"),
+           sum(abs(col("pm") - col("pos") * 1000000L)).as("gap_mass"),
+           max(expr("abs(pm - pos * 1000000) DIV nb")).as("mce_micro"))
+      .select(col("n_buckets"), col("n_docs"),
+        expr("""CASE WHEN n_docs = 0 THEN NULL
+          | ELSE gap_mass DIV n_docs END""".stripMargin).as("ece_micro"),
+        col("mce_micro"))
+
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
     * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
@@ -2987,6 +3044,8 @@ object DocQueries {
     "text_lr_train"       -> (textLrTrain _),
     "text_lr_gate"        -> (textLrGate _),
     "text_lr_calibration" -> (textLrCalibration _),
+    "text_lr_auc"         -> (textLrAuc _),
+    "text_lr_ece"         -> (textLrEce _),
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
@@ -4627,6 +4686,41 @@ object DocQueries {
          |  CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS pos_permille,
          |  CAST(SUM(p) // COUNT(*) AS BIGINT) AS mean_p_micro
          |FROM lrsc GROUP BY 1""".stripMargin,
+    "text_lr_auc" ->
+      s"""WITH $lrCtes,
+         |apv AS (SELECT p AS v, CAST(SUM(y) AS BIGINT) AS ca,
+         |          CAST(SUM(1 - y) AS BIGINT) AS cb
+         |        FROM lrsc GROUP BY 1),
+         |acum AS (SELECT v, ca, cb,
+         |    SUM(ca) OVER (ORDER BY v) AS cuma,
+         |    SUM(cb) OVER (ORDER BY v) AS cumb
+         |  FROM apv),
+         |atot AS (SELECT CAST(MAX(cuma) AS BIGINT) AS n_pos,
+         |           CAST(MAX(cumb) AS BIGINT) AS n_neg FROM acum)
+         |SELECT n_pos, n_neg,
+         |  CAST(SUM(ca * ((cuma + cumb - ca - cb) * 2 + ca + cb + 1))
+         |    - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST(SUM(ca * ((cuma + cumb - ca - cb) * 2 + ca + cb
+         |        + 1)) - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+         |      // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |    END AS BIGINT) AS auc_micro
+         |FROM acum, atot GROUP BY n_pos, n_neg""".stripMargin,
+    "text_lr_ece" ->
+      s"""WITH $lrCtes,
+         |eb AS (SELECT LEAST(9, p // 100000) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(y) AS BIGINT) AS pos,
+         |    CAST(SUM(p) AS BIGINT) AS pm
+         |  FROM lrsc GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(nb) AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN SUM(nb) = 0 THEN NULL
+         |    ELSE SUM(abs(pm - pos * 1000000)) // SUM(nb)
+         |    END AS BIGINT) AS ece_micro,
+         |  CAST(MAX(abs(pm - pos * 1000000) // nb) AS BIGINT)
+         |    AS mce_micro
+         |FROM eb""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

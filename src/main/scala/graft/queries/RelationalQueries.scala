@@ -379,8 +379,8 @@ object RelationalQueries {
     * quantiles (permille). cap = 1024 keeps the estimation sample in
     * (512, 1024] across every fixture scale (lineitem 6k → 600k rows)
     * so the 5σ rank bound stays ≤ ~0.11. */
-  private val KllCap = 1024
-  private val KllQs = Seq(10, 250, 500, 750, 990)
+  private[graft] val KllCap = 1024
+  private[graft] val KllQs = Seq(10, 250, 500, 750, 990)
 
   /** The value stream the KLL rows sketch: exact lineitem price cents
     * plus the deterministic per-row hash key. The key need not be
@@ -439,6 +439,28 @@ object RelationalQueries {
       .withColumn("within_bound",
         col("q_permille") * 1000 >= col("lo_ppm") - col("bound_ppm") &&
         col("q_permille") * 1000 <= col("hi_ppm") + col("bound_ppm"))
+  }
+
+  /** Per-GROUP quantile sketch — the [[kllQuantilesQuery]] machinery in
+    * its actual production shape: one shared scan builds an independent
+    * sketch per return flag (group-keyed level sets, group-partitioned
+    * bottom-cap windows), the group-wise replacement for exact
+    * `percentile` calls that buffer every group's full value set.
+    * Hashes ignore the group key, so each group's estimates are
+    * bit-identical to running the ungrouped sketch on that group's
+    * slice (spec-pinned law, and what makes shard→group merges
+    * composable). */
+  def kllGroupQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey")).as("rk"))
+    val lev = PlanCache.reuse(
+      Sketch.kllLeveledBy(base, Seq("flag"), col("cents"), col("rk")))
+    Sketch.kllQuantilesBy(Sketch.kllCountsBy(lev, Seq("flag")),
+                          Sketch.kllSurvivorsBy(lev, Seq("flag"), KllCap),
+                          Seq("flag"), KllCap, Sketch.KllMaxLevel, KllQs)
   }
 
   /** Distinct-intersection estimation across customer-activity years by
@@ -1316,6 +1338,7 @@ object RelationalQueries {
     "rel_skew_f2_est"       -> (skewF2Est _),
     "rel_kll_quantiles"     -> (kllQuantilesQuery _),
     "rel_kll_error"         -> (kllErrorQuery _),
+    "rel_kll_group_quantiles" -> (kllGroupQuantilesQuery _),
     "rel_kmv_intersect"     -> (kmvIntersect _),
     "rel_cc_chain"          -> (ccChain _),
     "rel_cube_sales"        -> (cubeSales _),
@@ -1572,6 +1595,53 @@ object RelationalQueries {
        |    CAST(l_star AS BIGINT) AS sample_level,
        |    ns AS sample_n, v AS est_cents
        |  FROM sr CROSS JOIN lsr
+       |  CROSS JOIN (SELECT unnest([${KllQs.mkString(", ")}]) AS q) qs
+       |  WHERE rn = (q * ns + 999) // 1000)""".stripMargin
+  }
+
+  /** Group-keyed twin of [[kllCtes]] (return-flag grain), ending in
+    * `gkest(flag, q_permille, sample_level, sample_n, est_cents)`. */
+  private val kllGrpCtes: String = {
+    val maxL = Sketch.KllMaxLevel
+    val lvlCase = (maxL to 1 by -1)
+      .map(l => s"WHEN b % ${1L << l} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""gkb AS MATERIALIZED (
+       |  SELECT flag, v, $lvlCase AS toplvl,
+       |    CAST('0x' || substr(m, 5, 15) AS BIGINT) AS h2
+       |  FROM (SELECT flag, v, m,
+       |          CAST('0x' || substr(m, 1, 4) AS BIGINT) AS b
+       |        FROM (SELECT l_returnflag AS flag,
+       |                CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+       |                md5('kll|' || concat_ws('|', l_orderkey,
+       |                  l_linenumber, l_partkey, l_suppkey)) AS m
+       |              FROM lineitem))),
+       |glv AS MATERIALIZED (
+       |  SELECT gkb.flag, ls.l, gkb.v, gkb.h2
+       |  FROM gkb JOIN (SELECT unnest(range(0, ${maxL + 1})) AS l) ls
+       |    ON ls.l <= gkb.toplvl),
+       |gcnt AS (SELECT flag, l, CAST(COUNT(*) AS BIGINT) AS n
+       |         FROM glv GROUP BY 1, 2),
+       |glsr AS (SELECT flag,
+       |    COALESCE(MIN(CASE WHEN n <= $KllCap THEN l END), $maxL)
+       |      AS l_star
+       |  FROM gcnt GROUP BY 1),
+       |gkept AS (SELECT flag, l, v, h2 FROM (
+       |  SELECT flag, l, v, h2,
+       |    ROW_NUMBER() OVER (PARTITION BY flag, l ORDER BY h2, v) AS rn
+       |  FROM glv) WHERE rn <= $KllCap),
+       |gsam AS (SELECT k.flag, k.v, k.h2
+       |  FROM gkept k JOIN glsr ON k.flag = glsr.flag
+       |  WHERE k.l = glsr.l_star),
+       |gsr AS (SELECT flag, v,
+       |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v, h2) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY flag) AS BIGINT) AS ns
+       |  FROM gsam),
+       |gkest AS (
+       |  SELECT gsr.flag, CAST(q AS BIGINT) AS q_permille,
+       |    CAST(l_star AS BIGINT) AS sample_level,
+       |    ns AS sample_n, v AS est_cents
+       |  FROM gsr JOIN glsr ON gsr.flag = glsr.flag
        |  CROSS JOIN (SELECT unnest([${KllQs.mkString(", ")}]) AS q) qs
        |  WHERE rn = (q * ns + 999) // 1000)""".stripMargin
   }
@@ -2219,6 +2289,10 @@ object RelationalQueries {
          |  q_permille * 1000 >= lo_ppm - bound_ppm AND
          |  q_permille * 1000 <= hi_ppm + bound_ppm AS within_bound
          |FROM cdf""".stripMargin,
+    "rel_kll_group_quantiles" ->
+      s"""WITH $kllGrpCtes
+         |SELECT flag, q_permille, sample_level, sample_n, est_cents
+         |FROM gkest""".stripMargin,
     "rel_kmv_intersect" ->
       s"""WITH dk AS (SELECT DISTINCT year(o_orderdate) AS f,
          |                            o_custkey AS p FROM orders),

@@ -756,6 +756,43 @@ object VectorQueries {
         expr("2 * h_m_micro - h_a_micro - h_b_micro"))
   }
 
+  /** Benchmark contamination at the EMBEDDING level — the semantic
+    * counterpart of `pipe_contamination`'s exact 13-gram index: the
+    * held-out benchmark slice (vec_id % 10 = 0, the contamination
+    * split convention) probes the training corpus (the rest) for
+    * same-label-cell cosine near-dups at the SemDeDup threshold
+    * (≥ 0.4). Per cell: benchmark size, contaminated count (bench
+    * vectors with ≥ 1 corpus near-dup), and candidate-pair mass.
+    * Catches paraphrased/translated benchmark leakage that exact
+    * n-gram overlap cannot see (the reason SemDeDup-style scans run
+    * next to gram indexes in decontamination pipelines).
+    *
+    * Scale shape (100 TB): cell-blocked — the pair space is
+    * Σ_cell |bench_c|·|corpus_c|, never |bench|×|corpus|; one
+    * cell-keyed equi join + two cell-grain rollups. */
+  def simEmbedContamination(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("label").as("cell"), col("vec_id").as("b_id"),
+              col("embedding").as("bv"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("label").as("cell"), col("vec_id").as("c_id"),
+              col("embedding").as("cv"))
+    val hits = bench.join(corpus, Seq("cell"))
+      .filter(VectorFunctions.cosineSim(col("bv"), col("cv")) >= 0.4)
+      .groupBy(col("cell"), col("b_id"))
+      .agg(count(lit(1)).as("n_near"))
+    bench.groupBy(col("cell")).agg(count(lit(1)).as("n_bench"))
+      .join(hits.groupBy(col("cell"))
+              .agg(count(lit(1)).as("n_contaminated"),
+                   sum(col("n_near")).as("n_pairs")),
+            Seq("cell"), "left")
+      .select(col("cell"), col("n_bench"),
+              coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** The sim family's cross-query shared frames, PINNED for the bench's
     * explicitly-timed `_shared_frames` line: the brute-force truth@3
     * (left side of all five recall rows), the trained k-means quantizer
@@ -821,6 +858,7 @@ object VectorQueries {
     "sim_semantic_dedup"     -> (simSemanticDedup _),
     "sim_cell_drift"         -> (simCellDrift _),
     "sim_cell_drift_jsd"     -> (simCellDriftJsd _),
+    "sim_embed_contamination" -> (simEmbedContamination _),
     "sim_semantic_dedup_incr" -> (simSemanticDedupIncr _),
     "dedup_text_vs_semantic" -> (dedupTextVsSemantic _),
     "sim_matryoshka_recall"  -> (simMatryoshkaRecall _),
@@ -1430,6 +1468,28 @@ object VectorQueries {
          |  2 * h_m_micro - h_a_micro - h_b_micro AS jsd_micro2
          |FROM h""".stripMargin
     },
+    "sim_embed_contamination" ->
+      s"""WITH $embnCte,
+         |bench AS (SELECT label AS cell, vec_id AS b_id,
+         |    embedding AS bv, nrm AS bn
+         |  FROM embn WHERE vec_id % 10 = 0),
+         |corp AS (SELECT label AS cell, vec_id AS c_id,
+         |    embedding AS cv, nrm AS cn
+         |  FROM embn WHERE vec_id % 10 <> 0),
+         |chits AS (SELECT b.cell, b.b_id, CAST(COUNT(*) AS BIGINT)
+         |    AS n_near
+         |  FROM bench b JOIN corp c ON b.cell = c.cell
+         |  WHERE ${sqlCosN(sqlDot("b.bv", "c.cv"), "b.bn", "c.cn")} >= 0.4
+         |  GROUP BY 1, 2),
+         |chb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+         |    CAST(SUM(n_near) AS BIGINT) AS n_pairs
+         |  FROM chits GROUP BY 1),
+         |cbb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_bench
+         |  FROM bench GROUP BY 1)
+         |SELECT cbb.cell, cbb.n_bench,
+         |  COALESCE(chb.n_contaminated, 0) AS n_contaminated,
+         |  COALESCE(chb.n_pairs, 0) AS n_pairs
+         |FROM cbb LEFT JOIN chb ON cbb.cell = chb.cell""".stripMargin,
     "sim_ivf_trained_recall" ->
       s"""WITH $kmScoredCte,
          |approx AS (

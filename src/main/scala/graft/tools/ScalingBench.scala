@@ -326,8 +326,12 @@ object ScalingBench {
       // embarrassingly-parallel shape (ZERO corpus shuffles before the
       // 320-cell rollup), so its serial fraction bounds the pure
       // per-stage scheduling overhead of the harness itself.
+      // (sized 4x: the ×64 replicate fan-out ALREADY multiplies work —
+      // 4×150k orders × 64 reps ≈ 38M md5 rows ≈ 40-80 s at 1 core;
+      // the as-coded-in-r12 256x cell was ~2.5 BILLION md5s and never
+      // actually swept — it ran >19 min at 1 core before this resize)
       "scaled_bootstrap" -> ((s: SparkSession, dir: String) => {
-        val n = 256
+        val n = 4
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderpriority"),
                   col("o_totalprice"))
@@ -360,8 +364,10 @@ object ScalingBench {
       // copies. Measures the map-side regex engine (java.util.regex
       // under codegen'd regexp_count/regexp_replace), the admission-
       // scrubber cost at corpus scale.
+      // (sized 64x: ~320k docs ≈ 10 regex passes each ≈ 30-60 s at 1
+      // core — the panel's t1 band; 256x measured minutes/cell)
       "scaled_pii_scan" -> ((s: SparkSession, dir: String) => {
-        val n = 256
+        val n = 64
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), col("text"))
           .repartition(s.sparkContext.defaultParallelism)

@@ -861,6 +861,44 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("LR AUC and ECE: brute-force pair twin and bucket-mass replay") {
+    val dir = "/root/testdata/sf0.001"
+    // the scored frame the rows derive from (re-derived here the same
+    // way — memoized weights make this the identical model)
+    val scored = graft.queries.DocQueries
+      .registry("text_lr_gate")(spark, dir) // forces training memo
+    scored.collect()
+    val auc = graft.queries.DocQueries.textLrAuc(spark, dir)
+      .as[(Long, Long, Long, Option[Long])].head()
+    // brute-force 2U over all (pos, neg) pairs: 2·[p+ > p−] + [p+ = p−]
+    val ps = graft.operators.LogReg.score(
+      graft.operators.LogReg.features(
+        graft.sources.Tables.documents(spark, dir)
+          .filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", $"lang" === "en"),
+      graft.queries.DocQueries.textLrTrain(spark, dir))
+      .select($"y", $"p_micro").as[(Long, Long)].collect()
+    val pos = ps.filter(_._1 == 1L).map(_._2)
+    val neg = ps.filter(_._1 == 0L).map(_._2)
+    val u2 = pos.iterator.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert((auc._1, auc._2) == (pos.length.toLong, neg.length.toLong))
+    assert(auc._3 == u2, s"u2 ${auc._3} vs brute $u2")
+    // ECE/MCE: recompute the bucket gap masses from the scored rows
+    val byB = ps.groupBy(t => math.min(9L, t._2 / 100000L))
+    val gaps = byB.map { case (_, rows) =>
+      val nb = rows.length.toLong
+      val gap = math.abs(rows.map(_._2).sum - rows.count(_._1 == 1L) * 1000000L)
+      (nb, gap)
+    }
+    val ece = graft.queries.DocQueries.textLrEce(spark, dir)
+      .as[(Long, Long, Option[Long], Long)].head()
+    assert(ece._1 == byB.size.toLong && ece._2 == ps.length.toLong)
+    assert(ece._3.get == gaps.map(_._2).sum / ps.length)
+    assert(ece._4 == gaps.map(t => t._2 / t._1).max)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("attribution: credit conserves to the cent across buckets") {
     val out = graft.queries.EventQueries.attributionLinear(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))

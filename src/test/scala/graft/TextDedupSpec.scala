@@ -210,6 +210,34 @@ class TextDedupSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("KLL per-group: each group's sketch equals its slice's ungrouped sketch") {
+    import graft.queries.RelationalQueries.{KllCap, KllQs}
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.RelationalQueries
+      .kllGroupQuantilesQuery(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val flags = out.map(_._1).distinct
+    assert(flags.length >= 2)
+    // hashes ignore the group key, so slicing first is equivalent
+    flags.foreach { f =>
+      val base = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter($"l_returnflag" === f)
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          concat_ws("|", $"l_orderkey", $"l_linenumber",
+                    $"l_partkey", $"l_suppkey").as("rk"))
+      val lev = Sketch.kllLeveled(base, $"cents", $"rk")
+      val ung = Sketch.kllQuantiles(Sketch.kllCounts(lev),
+          Sketch.kllSurvivors(lev, KllCap), KllCap, Sketch.KllMaxLevel,
+          KllQs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val grp = out.filter(_._1 == f)
+        .map(t => (t._2, t._3, t._4, t._5)).toSet
+      assert(grp == ung && grp.nonEmpty, s"flag $f")
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("exact groups find the duplicate and keep min id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .filter($"n_docs" > 1).collect()

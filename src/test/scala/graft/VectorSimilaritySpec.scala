@@ -484,6 +484,38 @@ class VectorSimilaritySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("embed contamination: census partitions the bench slice, brute twin") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.VectorQueries.simEmbedContamination(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    val bench = emb.filter(_._1 % 10 == 0)
+    val corp = emb.filter(_._1 % 10 != 0)
+    assert(out.map(_._2).sum == bench.length.toLong)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = corp.groupBy(_._2)
+    val truth = bench.groupBy(_._2).map { case (cell, bs) =>
+      val cs = byCell.getOrElse(cell, Array.empty)
+      val contaminated = bs.count(b => cs.exists(c => cos(b._3, c._3) >= 0.4))
+      val pairs = bs.iterator.map(b => cs.count(c => cos(b._3, c._3) >= 0.4).toLong).sum
+      cell -> ((bs.length.toLong, contaminated.toLong, pairs))
+    }
+    out.foreach { case (cell, nb, nc, np) =>
+      assert(truth(cell) == ((nb, nc, np)), s"cell $cell")
+      assert(nc <= nb && np >= nc)
+    }
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("mmrRerank: k beyond pool size yields no null picks, stays per-query") {
     // two queries, 2 candidates each, k=3: only 2 picks materialize per
     // query (the empty third round selects nothing) and queries never mix
