@@ -191,6 +191,35 @@ object EventQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Classic cohort retention matrix — the growth table every product
+    * analytics stack draws: users cohorted by FIRST-seen day, and for
+    * each offset k = 0..7, how many of the cohort were active on day
+    * cohort+k (any event), with exact permille retention. k = 0 is
+    * 1000‰ by construction (the first event itself) — the identity the
+    * spec pins.
+    *
+    * Scale shape (100 TB): one user-keyed min-aggregate (cohorts), one
+    * (user, day)-distinct aggregate (activity — bounded by user-days,
+    * not raw events), one user-keyed equi join, then a (cohort, k)
+    * rollup of size days×8. No windows, no cross join. */
+  def retentionDaily(s: SparkSession, dir: String,
+                     maxK: Long = 7L): DataFrame = {
+    val ev = withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+    val cohorts = PlanCache.reuse(ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day")))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    ev.distinct().join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
+      .filter(col("k") >= 0 && col("k") <= maxK)
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .withColumn("retention_permille",
+        expr("n_active * 1000 DIV n_cohort"))
+  }
+
   /** Z-score outliers per event_type: exact decimal moments → mean and
     * stddev in double → |v-mean|/stddev > 3. Unlike ln(), sqrt and
     * division are correctly-rounded IEEE ops, so z-scores are bit-exact
@@ -866,6 +895,8 @@ object EventQueries {
     "evt_outliers"         -> (outliers _),
     "evt_value_histogram"  -> (valueHistogram _),
     "evt_new_users_daily"  -> (newUsersDaily _),
+    "evt_retention_daily"  -> ((s: SparkSession, d: String) =>
+      retentionDaily(s, d)),
     "evt_asof_attribution" -> (asofAttribution _),
     "evt_range_join"      -> (rangeJoin _),
     "evt_rolling_7d"      -> (rolling7d _),
@@ -1311,6 +1342,24 @@ object EventQueries {
          |      FROM (SELECT user_id, MIN($usExpr // $DayUs) AS day
          |            FROM events GROUP BY user_id)
          |      GROUP BY day)""".stripMargin,
+    "evt_retention_daily" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id, $usExpr // $DayUs AS day FROM events),
+         |coh AS MATERIALIZED (
+         |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+         |act AS (SELECT DISTINCT user_id, day FROM ev),
+         |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+         |       FROM coh GROUP BY 1),
+         |ret AS (SELECT c.cohort_day, a.day - c.cohort_day AS k,
+         |          CAST(COUNT(*) AS BIGINT) AS n_active
+         |        FROM act a JOIN coh c USING (user_id)
+         |        WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+         |        GROUP BY 1, 2)
+         |SELECT r.cohort_day, r.k, r.n_active, s.n_cohort,
+         |  CAST(r.n_active * 1000 // s.n_cohort AS BIGINT)
+         |    AS retention_permille
+         |FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day"""
+        .stripMargin,
     "evt_asof_attribution" ->
       s"""WITH c AS (SELECT user_id, event_id AS click_id, $usExpr AS ts_us
          |           FROM events WHERE event_type = 'click'),

@@ -899,6 +899,31 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("retention cohorts: day-0 identity, census, full Scala twin") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.EventQueries.retentionDaily(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val k0 = out.filter(_._2 == 0L)
+    assert(k0.nonEmpty)
+    k0.foreach(r => assert(r._3 == r._4 && r._5 == 1000L, s"cohort ${r._1}"))
+    out.foreach(r => assert(r._3 <= r._4 && r._2 >= 0 && r._2 <= 7))
+    // twin: recompute the whole matrix from raw (user, day) pairs
+    val ud = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "(ts_ns DIV 1000) DIV 86400000000 AS day")
+      .as[(Long, Long)].collect().distinct
+    val cohort = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    val truth = ud.map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .filter(t => t._2 >= 0 && t._2 <= 7)
+      .groupBy(identity).map { case ((c, k), rows) =>
+        (c, k, rows.length.toLong, sizes(c),
+         rows.length.toLong * 1000 / sizes(c))
+      }.toSet
+    assert(out.toSet == truth)
+    assert(k0.map(_._4).sum == cohort.size.toLong)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("attribution: credit conserves to the cent across buckets") {
     val out = graft.queries.EventQueries.attributionLinear(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
