@@ -1657,6 +1657,37 @@ object DocQueries {
           | ELSE gap_mass DIV n_docs END""".stripMargin).as("ece_micro"),
         col("mce_micro"))
 
+  /** Precision/recall/F1 of the LR filter at the nine decile
+    * thresholds — the full operating curve behind the single-point
+    * [[textLrGate]], read before picking a production cut. All
+    * integer: confusion counts per threshold + exact permille ratios
+    * (the textNbF1 arithmetic, including the one-divide
+    * F1 = 2000·tp DIV (admitted + positives)). One 9× explode over the
+    * reuse'd scored frame, a 9-row rollup. */
+  def textLrPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val sc = lrScoredFrom(s, dir)
+    val tot = sc.agg(sum(col("y")).as("n_pos_total"))
+    sc.crossJoin(broadcast(tot))
+      .select(explode(array((1 to 9).map(i => lit(i * 100000L)): _*))
+                .as("thr_micro"),
+              col("y"), col("p_micro"), col("n_pos_total"))
+      .groupBy(col("thr_micro"), col("n_pos_total"))
+      .agg(sum(when(col("p_micro") >= col("thr_micro"), 1L).otherwise(0L))
+             .as("n_admitted"),
+           sum(when(col("p_micro") >= col("thr_micro"), col("y"))
+                 .otherwise(0L)).as("tp"))
+      .select(col("thr_micro"), col("n_admitted"), col("tp"),
+        expr("""CASE WHEN n_admitted = 0 THEN CAST(0 AS BIGINT)
+          | ELSE tp * 1000 DIV n_admitted END""".stripMargin)
+          .as("precision_permille"),
+        expr("""CASE WHEN n_pos_total = 0 THEN CAST(0 AS BIGINT)
+          | ELSE tp * 1000 DIV n_pos_total END""".stripMargin)
+          .as("recall_permille"),
+        expr("""CASE WHEN tp = 0 THEN CAST(0 AS BIGINT)
+          | ELSE tp * 2000 DIV (n_admitted + n_pos_total) END"""
+          .stripMargin).as("f1_permille"))
+  }
+
   /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(freq)
     * on ln(rank) for the top-100 tokens (deterministic count-desc/token
     * tie-break), reporting slope (Zipf exponent ≈ −1 for natural
@@ -3046,6 +3077,7 @@ object DocQueries {
     "text_lr_calibration" -> (textLrCalibration _),
     "text_lr_auc"         -> (textLrAuc _),
     "text_lr_ece"         -> (textLrEce _),
+    "text_lr_pr_curve"    -> (textLrPrCurve _),
     "pipe_dup_factor_hist" -> (pipeDupFactorHist _),
     "pipe_domain_overlap" -> (pipeDomainOverlap _),
     "text_wordpiece_fertility" -> (textWordpieceFertility _),
@@ -4721,6 +4753,31 @@ object DocQueries {
          |  CAST(MAX(abs(pm - pos * 1000000) // nb) AS BIGINT)
          |    AS mce_micro
          |FROM eb""".stripMargin,
+    "text_lr_pr_curve" ->
+      s"""WITH $lrCtes,
+         |ptot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos_total
+         |         FROM lrsc),
+         |pth AS (SELECT t.thr_micro, n_pos_total,
+         |    CAST(SUM(CASE WHEN p >= t.thr_micro THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_admitted,
+         |    CAST(SUM(CASE WHEN p >= t.thr_micro THEN y ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM lrsc CROSS JOIN ptot
+         |  CROSS JOIN (SELECT CAST(unnest([${
+             (1 to 9).map(_ * 100000L).mkString(", ")}]) AS BIGINT)
+         |              AS thr_micro) t
+         |  GROUP BY 1, 2)
+         |SELECT thr_micro, n_admitted, tp,
+         |  CAST(CASE WHEN n_admitted = 0 THEN 0
+         |    ELSE tp * 1000 // n_admitted END AS BIGINT)
+         |    AS precision_permille,
+         |  CAST(CASE WHEN n_pos_total = 0 THEN 0
+         |    ELSE tp * 1000 // n_pos_total END AS BIGINT)
+         |    AS recall_permille,
+         |  CAST(CASE WHEN tp = 0 THEN 0
+         |    ELSE tp * 2000 // (n_admitted + n_pos_total) END AS BIGINT)
+         |    AS f1_permille
+         |FROM pth""".stripMargin,
     "text_unigram_nll" ->
       // ln() quantization mirrors TextOps.unigramNll: per-word log-probs
       // land on a 1e-6 integer grid BEFORE the per-doc sum, so the only

@@ -220,6 +220,34 @@ object EventQueries {
         expr("n_active * 1000 DIV n_cohort"))
   }
 
+  /** L7 stickiness — daily DAU / trailing-7-day WAU, the engagement
+    * ratio product dashboards chart next to retention. Exact (no HLL):
+    * WAU(d) counts distinct users active in [d−6, d], computed by
+    * exploding each (user, day) row to the 7 report days it covers —
+    * a bounded 7× fan-out of the user-day grain (never raw events) —
+    * then deduplicating per (user, report day). Report days are
+    * restricted to days that actually occur (a left-semi join against
+    * the day spine), so leading/trailing phantom days never appear.
+    *
+    * Scale shape (100 TB): two distinct shuffles at user-day grain
+    * (the 7× fan-out rides map-side), day-grain rollups; no windows,
+    * no cross join. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = PlanCache.reuse(withTsUs(Tables.events(s, dir))
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct())
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+              explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_permille", expr("dau * 1000 DIV wau"))
+  }
+
   /** Z-score outliers per event_type: exact decimal moments → mean and
     * stddev in double → |v-mean|/stddev > 3. Unlike ln(), sqrt and
     * division are correctly-rounded IEEE ops, so z-scores are bit-exact
@@ -897,6 +925,7 @@ object EventQueries {
     "evt_new_users_daily"  -> (newUsersDaily _),
     "evt_retention_daily"  -> ((s: SparkSession, d: String) =>
       retentionDaily(s, d)),
+    "evt_stickiness"       -> (stickiness _),
     "evt_asof_attribution" -> (asofAttribution _),
     "evt_range_join"      -> (rangeJoin _),
     "evt_rolling_7d"      -> (rolling7d _),
@@ -1342,6 +1371,21 @@ object EventQueries {
          |      FROM (SELECT user_id, MIN($usExpr // $DayUs) AS day
          |            FROM events GROUP BY user_id)
          |      GROUP BY day)""".stripMargin,
+    "evt_stickiness" ->
+      s"""WITH ud AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, $usExpr // $DayUs AS day
+         |  FROM events),
+         |dsp AS (SELECT DISTINCT day FROM ud),
+         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+         |        FROM ud GROUP BY 1),
+         |cover AS (SELECT DISTINCT user_id, day + i AS day
+         |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+         |wau AS (SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+         |        FROM cover c JOIN dsp USING (day) GROUP BY 1)
+         |SELECT dau.day, dau.dau, wau.wau,
+         |  CAST(dau.dau * 1000 // wau.wau AS BIGINT)
+         |    AS stickiness_permille
+         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "evt_retention_daily" ->
       s"""WITH ev AS MATERIALIZED (
          |  SELECT user_id, $usExpr // $DayUs AS day FROM events),

@@ -403,12 +403,23 @@ object RelationalQueries {
     * merges across shards/days by count-sum + bottom-cap re-truncation
     * (spec-pinned merge law). Deterministic end to end → the estimates
     * themselves hash-match the oracle's identical replay. */
-  def kllQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
-    val lev = PlanCache.reuse(
+  /** The shared leveled item stream (rel_kll_quantiles +
+    * rel_kll_error consume it; prewarm-pinned so the ~1-2 s build
+    * lands in the bench's attributed line, not on whichever row runs
+    * first — the alphabetically-first-absorption rule). */
+  private def kllLev(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
       Sketch.kllLeveled(kllBase(s, dir), col("cents"), col("rk")))
-    Sketch.kllQuantiles(Sketch.kllCounts(lev),
-                        Sketch.kllSurvivors(lev, KllCap),
-                        KllCap, Sketch.KllMaxLevel, KllQs)
+
+  def kllQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+    val lev = kllLev(s, dir)
+    // the 5-row estimate frame is itself reuse'd: the error row's
+    // broadcast side then reads the persisted rows instead of
+    // re-running the survivor windows
+    PlanCache.reuse(
+      Sketch.kllQuantiles(Sketch.kllCounts(lev),
+                          Sketch.kllSurvivors(lev, KllCap),
+                          KllCap, Sketch.KllMaxLevel, KllQs))
   }
 
   /** Error audit of [[kllQuantilesQuery]] against the EXACT value
@@ -450,14 +461,20 @@ object RelationalQueries {
     * bit-identical to running the ungrouped sketch on that group's
     * slice (spec-pinned law, and what makes shard→group merges
     * composable). */
-  def kllGroupQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The group-keyed leveled stream (prewarm-pinned, same rationale
+    * as [[kllLev]]). */
+  private def kllLevGrp(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir).select(
       col("l_returnflag").as("flag"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
       concat_ws("|", col("l_orderkey"), col("l_linenumber"),
                 col("l_partkey"), col("l_suppkey")).as("rk"))
-    val lev = PlanCache.reuse(
+    PlanCache.reuse(
       Sketch.kllLeveledBy(base, Seq("flag"), col("cents"), col("rk")))
+  }
+
+  def kllGroupQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
+    val lev = kllLevGrp(s, dir)
     Sketch.kllQuantilesBy(Sketch.kllCountsBy(lev, Seq("flag")),
                           Sketch.kllSurvivorsBy(lev, Seq("flag"), KllCap),
                           Seq("flag"), KllCap, Sketch.KllMaxLevel, KllQs)
@@ -1296,7 +1313,13 @@ object RelationalQueries {
     "co_purchase_edges" -> PlanCache.pin(coPurchaseEdges(s, dir)),
     "co_ship_edges"     -> PlanCache.pin(coShipEdges(s, dir)),
     "lpa_labels"        -> PlanCache.pin(
-      Graphs.labelPropagation(coPurchaseEdges(s, dir), "a", "b", rounds = 4)))
+      Graphs.labelPropagation(coPurchaseEdges(s, dir), "a", "b", rounds = 4)),
+    // KLL leveled streams: 2 consumers each (error+quantiles / the
+    // grouped row and any future per-group error audit); the ~1.2M-row
+    // build otherwise lands on the alphabetically-first family row
+    // (measured 6.4/6.0 s in-registry vs 1.8/0.9 s warm, r13)
+    "kll_leveled"     -> PlanCache.pin(kllLev(s, dir)),
+    "kll_leveled_grp" -> PlanCache.pin(kllLevGrp(s, dir)))
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_ppr_seeds"         -> (relPprSeeds _),

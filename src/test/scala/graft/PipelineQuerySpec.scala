@@ -924,6 +924,48 @@ class PipelineQuerySpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("LR PR curve: threshold-monotone, reconciles with the gate point") {
+    val out = DocQueries.textLrPrCurve(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 9)
+    // admitted and tp are non-increasing in the threshold
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"thr ${b._1}")
+    }
+    out.foreach { r =>
+      assert(r._3 <= r._2, "tp bounded by admitted")
+      assert(r._4 <= 1000L && r._5 <= 1000L && r._6 <= 1000L)
+    }
+    // the 600000 row IS the gate's operating point
+    val gate = DocQueries.textLrGate(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val p6 = out.find(_._1 == 600000L).get
+    assert(p6._2 == gate.map(_._3).sum, "admitted total")
+    assert(p6._3 == gate.filter(_._1 == 1L).map(_._3).sum, "tp = admitted positives")
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("stickiness: WAU dominates DAU, full Scala twin") {
+    val out = graft.queries.EventQueries.stickiness(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (d, dau, wau, st) =>
+      assert(wau >= dau && st > 0L && st <= 1000L, s"day $d")
+    }
+    val ud = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "(ts_ns DIV 1000) DIV 86400000000 AS day")
+      .as[(Long, Long)].collect().distinct
+    val days = ud.map(_._2).distinct.toSet
+    val truth = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(t => t._2 >= d - 6 && t._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau, dau * 1000 / wau)
+    }
+    assert(out.toSet == truth)
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("attribution: credit conserves to the cent across buckets") {
     val out = graft.queries.EventQueries.attributionLinear(spark, dir)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))

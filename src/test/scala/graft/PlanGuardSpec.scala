@@ -51,6 +51,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_nb_f1",             // same confusion chain (params broadcast)
     "text_nb_gate",           // same scored frame at the margin cut
     "text_lr_auc",            // 1-row (n_pos, n_neg) totals broadcast
+    "text_lr_pr_curve",       // 1-row positives-total broadcast
     "pipe_contamination",     // benchmark-side scalar stats
     "pipe_pack_bins",         // shard-width scalar
     "pipe_stratified_sample", // per-stratum rate table
