@@ -40,4 +40,13 @@ object GraftSession {
       // split planning: default 128m is right for the 100 TB case; keep
       // explicit so local experiments change it consciously
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // rank-filter pushdown budget: rn <= k filters plan as
+      // WindowGroupLimit (map-side top-k before the exchange) only up
+      // to this threshold, and the default 1000 silently missed the
+      // KLL sketch's cap = 1024 survivor windows — the whole level-0
+      // stream then sorted inside one window partition (caught by the
+      // round-13 plan audit). 4096 covers every rank filter the engine
+      // plans (KMV k = 256, KLL cap = 1024) with headroom; the limit
+      // state is k rows per partition — trivially memory-safe
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
 }
