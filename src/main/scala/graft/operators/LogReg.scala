@@ -99,6 +99,11 @@ object LogReg {
     val spark = f.sparkSession
     import spark.implicits._
     val n = f.select(col("doc_id")).distinct().count()
+    // training is EAGER: an empty/filtered-out split must fail legibly
+    // here, not as a bare ArithmeticException in the 4n divide below
+    // (ADVICE r13)
+    require(n > 0,
+      "LogReg.train: empty training split (0 distinct docs) — nothing to fit")
     var w: Map[Long, Long] = (0L to Buckets.toLong).map(_ -> 0L).toMap
     for (_ <- 1 to Steps) {
       val wm = typedlit(w)

@@ -796,6 +796,11 @@ object Similarity {
     * mirrored on both engines), residual_ppm on the exact ppm grid.
     * The ppm product rides DECIMAL(38,0) ≡ HUGEINT past the BIGINT
     * cliff; a degenerate all-zero eigenvector guards to top = 0.
+    * The energy TOTALS are emitted on a 10⁻⁶ grid (`*_mega = Σ DIV
+    * 10⁶`): raw per-vector x2 is ~10¹⁴ for unit vectors, so a raw
+    * BIGINT emission overflows past ~9·10⁴ vectors — the mega grid
+    * moves the documented output bound to ~9·10¹⁰ unit vectors
+    * (ADVICE r13; residual_ppm itself is overflow-safe at any size).
     *
     * Scale shape: consumes the PlanCache-pinned eigenvector and the
     * shared component frame; one rid-keyed aggregate + a 1-row rollup
@@ -823,10 +828,14 @@ object Similarity {
           | END""".stripMargin))
       // Accumulate in DECIMAL(38,0) — per-vector x2 is ~1e14 for unit
       // vectors, so a plain BIGINT sum crosses the ANSI overflow cliff
-      // past ~92k vectors mid-aggregation; cast to BIGINT only at the
-      // final projection, exactly where DuckDB's HUGEINT sum does.
-      .select(col("n_vecs"), col("te_d").cast("long").as("total_energy"),
-              col("tp_d").cast("long").as("top_energy"),
+      // past ~92k vectors mid-aggregation; emit on the mega grid (DIV
+      // 10⁶, truncation identical to DuckDB HUGEINT // on nonnegative
+      // sums) so the BIGINT projection holds to ~9e10 unit vectors.
+      .select(col("n_vecs"),
+              expr("CAST(te_d DIV 1000000 AS BIGINT)")
+                .as("total_energy_mega"),
+              expr("CAST(tp_d DIV 1000000 AS BIGINT)")
+                .as("top_energy_mega"),
               col("residual_ppm"))
   }
 

@@ -330,20 +330,23 @@ object Sketch {
   /** Quantile estimates from the sketch state: pick the SHALLOWEST
     * level whose full population fits `cap` (no truncation there, so
     * the kept set IS the exact rate-2^-l sample; monotone populations
-    * make this one MIN), fall back to the deepest level when even it
-    * overflows, and read value-rank `ceil(q·n_s)` within the sample
-    * ordered by `(v, h2)`. Rank error vs the true quantile is
-    * binomial: σ = √(q(1−q)/n_s) with n_s ∈ (cap/2, cap] at design
-    * scale — the error-bound companion query asserts 5σ.
+    * make this one MIN), fall back to the deepest POPULATED level when
+    * every populated level overflows (max(l) over the counts — a
+    * static max-level fallback could name an EMPTY level past the
+    * design scale and silently return zero estimate rows, ADVICE r13),
+    * and read value-rank `ceil(q·n_s)` within the sample ordered by
+    * `(v, h2)`. Rank error vs the true quantile is binomial:
+    * σ = √(q(1−q)/n_s) with n_s ∈ (cap/2, cap] at design scale — the
+    * error-bound companion query asserts 5σ.
     *
     * The two windows below are SKETCH-sized by construction (≤ cap
     * rows past the level filter), never corpus-sized — the documented
     * exception to the no-unpartitioned-window rule. The 1-row level
     * pick broadcasts (PlanGuard-allowlisted). */
   def kllQuantiles(counts: DataFrame, survivors: DataFrame, cap: Int,
-                   maxL: Int, qsPermille: Seq[Int]): DataFrame = {
+                   qsPermille: Seq[Int]): DataFrame = {
     val ls = counts.agg(
-      coalesce(min(when(col("n") <= cap, col("l"))), lit(maxL))
+      coalesce(min(when(col("n") <= cap, col("l"))), max(col("l")))
         .as("l_star"))
     val sam = survivors.crossJoin(broadcast(ls))
       .filter(col("l") === col("l_star"))
@@ -405,10 +408,10 @@ object Sketch {
     * both sides) and group-partitioned rank windows (≤ cap rows per
     * partition by construction). */
   def kllQuantilesBy(counts: DataFrame, survivors: DataFrame,
-                     groupCols: Seq[String], cap: Int, maxL: Int,
+                     groupCols: Seq[String], cap: Int,
                      qsPermille: Seq[Int]): DataFrame = {
     val ls = counts.groupBy(groupCols.map(col): _*)
-      .agg(coalesce(min(when(col("n") <= cap, col("l"))), lit(maxL))
+      .agg(coalesce(min(when(col("n") <= cap, col("l"))), max(col("l")))
              .as("l_star"))
     val sam = survivors.join(ls, groupCols)
       .filter(col("l") === col("l_star"))

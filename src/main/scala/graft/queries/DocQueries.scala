@@ -1540,15 +1540,26 @@ object DocQueries {
     * registry consumers (and every bench pass) train exactly once per
     * JVM; the weights are deterministic, so a re-run could only
     * reproduce the same literal. */
+  // the memo stores the COLLECTED weight rows, not a DataFrame: a
+  // cached DataFrame stays bound to the SparkSession that trained it,
+  // and a stop/recreate cycle would serve a frame on a dead session
+  // (ADVICE r13). The 65-row literal rebuilds on the CURRENT session
+  // per call — free next to the training it memoizes.
   private val lrWeightsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def lrWeights(s: SparkSession, dir: String): DataFrame =
-    lrWeightsMemo.getOrElseUpdate(dir,
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
+  private def lrWeights(s: SparkSession, dir: String): DataFrame = {
+    val rows = lrWeightsMemo.getOrElseUpdate(dir, {
+      import s.implicits._
       graft.operators.LogReg.train(
         graft.operators.LogReg.features(
           Tables.spread(Tables.documents(s, dir))
             .filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", col("lang") === "en")))
+          "doc_id", "text", col("lang") === "en"))
+        .as[(Long, Long)].collect().toSeq
+    })
+    import s.implicits._
+    rows.toDF("bkt", "w_micro")
+  }
 
   /** Held-out scored frame (odd doc_ids) under the frozen trained
     * weights — identical construction across the gate and calibration
@@ -2704,6 +2715,56 @@ object DocQueries {
               col("share_ppm"), col("temp_ppm"), col("upsampled"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, public): turn
+    * per-domain EXCESS LOSS under a trained proxy into a sampling-
+    * weight table — the canonical curation step composing the two
+    * halves already in the registry (the trained LR filter's held-out
+    * scores and the temperature row's integer-grid normalization).
+    * Per source: mean p̂ under the frozen LR weights; excess =
+    * max(0, corpus mean − source mean) on the micro grid (the filter
+    * score is a quality proxy, so LOW-scoring domains carry excess
+    * loss and get UPWEIGHTED — DoReMi's multiplicative-weights
+    * direction); domain mass m = n_docs·(10⁶ + excess) (the softmax-
+    * free multiplicative update on the baseline doc-share, exact in
+    * DECIMAL(38,0) ≡ HUGEINT); and the final weights by CUMULATIVE-
+    * ROUNDING allocation — w_i = ⌊C_i·10⁶/Σm⌋ − ⌊C_{i−1}·10⁶/Σm⌋ over
+    * the source-ordered prefix sums C_i, which telescopes to EXACTLY
+    * 10⁶ ppm (the cent-conservation discipline of
+    * `evt_attribution_linear`, spec-pinned).
+    *
+    * Scale shape (100 TB): one doc_id-keyed join of the reuse'd scored
+    * frame onto the source map, one |sources|-group rollup; everything
+    * past it is |sources|-sized — the totals are 1-row broadcasts
+    * (PlanGuard-allowlisted) and the allocation window orders ≤
+    * |domains| rows (domains are bounded — RefinedWeb §3 — so the
+    * unpartitioned window is constant-size at any corpus). */
+  def pipeDomainWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = lrScoredFrom(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p_micro")).as("p_mass"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"),
+                      sum(col("p_mass")).as("p_mass_total"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("mean_p_micro", expr("p_mass DIV n_docs"))
+      .withColumn("excess_micro",
+        expr("greatest(CAST(0 AS BIGINT), " +
+             "p_mass_total DIV n_total - p_mass DIV n_docs)"))
+      .withColumn("m",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * (1000000 + excess_micro)"))
+    val msum = scored.agg(sum(col("m")).as("m_sum"))
+    val w = Window.orderBy(col("source"))
+    scored.crossJoin(broadcast(msum))
+      .withColumn("cum_m", sum(col("m")).over(w))
+      .withColumn("weight_ppm",
+        expr("CAST(cum_m * 1000000 DIV m_sum AS BIGINT) - " +
+             "CAST((cum_m - m) * 1000000 DIV m_sum AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("mean_p_micro"),
+              col("excess_micro"), col("weight_ppm"))
+  }
+
   /** Data-mixture rebalancing plan: given target language weights, the
     * largest corpus that honors the mixture is bounded by the scarcest
     * language (total_cap = min over langs of count/weight); each lang
@@ -3019,6 +3080,7 @@ object DocQueries {
     "pipe_contamination"  -> (pipeContamination _),
     "pipe_mixture_plan"   -> (pipeMixturePlan _),
     "pipe_mixture_temperature" -> (pipeMixtureTemperature _),
+    "pipe_domain_weights" -> (pipeDomainWeights _),
     "pipe_crawl_delta"    -> (pipeCrawlDelta _),
     "pipe_length_outliers" -> (pipeLengthOutliers _),
     "text_vocab_growth"   -> (textVocabGrowth _),
@@ -3689,6 +3751,33 @@ object DocQueries {
          |  CAST(CASE WHEN CAST(am AS HUGEINT) * 1000000 // sum_am
          |         > share_ppm THEN 1 ELSE 0 END AS BIGINT) AS upsampled
          |FROM sh CROSS JOIN nr""".stripMargin,
+    // the full trained-LR chain replays, then the DoReMi rollup: mean
+    // held-out p̂ per source, nonnegative excess vs the corpus point,
+    // multiplicative-weights mass, cumulative-rounding ppm allocation
+    "pipe_domain_weights" ->
+      s"""WITH $lrCtes,
+         |dwp AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(s.p) AS BIGINT) AS p_mass
+         |  FROM lrsc s JOIN documents d USING (doc_id) GROUP BY 1),
+         |dwt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |    CAST(SUM(p_mass) AS BIGINT) AS p_mass_total FROM dwp),
+         |dws AS (SELECT source, n_docs,
+         |    p_mass // n_docs AS mean_p_micro,
+         |    GREATEST(0, p_mass_total // n_total - p_mass // n_docs)
+         |      AS excess_micro,
+         |    CAST(n_docs AS HUGEINT) *
+         |      (1000000 + GREATEST(0,
+         |         p_mass_total // n_total - p_mass // n_docs)) AS m
+         |  FROM dwp CROSS JOIN dwt),
+         |dwm AS (SELECT SUM(m) AS m_sum FROM dws),
+         |dwc AS (SELECT source, n_docs, mean_p_micro, excess_micro, m,
+         |    SUM(m) OVER (ORDER BY source) AS cum_m FROM dws)
+         |SELECT source, n_docs,
+         |  CAST(mean_p_micro AS BIGINT) AS mean_p_micro,
+         |  CAST(excess_micro AS BIGINT) AS excess_micro,
+         |  CAST(cum_m * 1000000 // m_sum
+         |       - (cum_m - m) * 1000000 // m_sum AS BIGINT) AS weight_ppm
+         |FROM dwc CROSS JOIN dwm""".stripMargin,
     "pipe_clean_corpus" -> {
       val scores = TextOps.LangStopwords.map { case (lang, words) =>
         lang -> sqlWordHits(words)

@@ -1633,8 +1633,10 @@ object VectorQueries {
          |          END AS top_e
          |      FROM d CROSS JOIN vn)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |  CAST(SUM(x2) AS BIGINT) AS total_energy,
-         |  CAST(SUM(top_e) AS BIGINT) AS top_energy,
+         |  CAST(CAST(SUM(x2) AS HUGEINT) // 1000000 AS BIGINT)
+         |    AS total_energy_mega,
+         |  CAST(CAST(SUM(top_e) AS HUGEINT) // 1000000 AS BIGINT)
+         |    AS top_energy_mega,
          |  CAST(CASE WHEN SUM(x2) = 0 THEN 0
          |    ELSE (CAST(SUM(x2) AS HUGEINT) - SUM(top_e)) * 1000000
          |         // SUM(x2) END AS BIGINT) AS residual_ppm

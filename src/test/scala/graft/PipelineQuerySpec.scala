@@ -1042,7 +1042,9 @@ class PipelineQuerySpec extends SparkSpec {
       .simResidualEnergy(spark, dir)
       .as[(Long, Long, Long, Long)].head()
     assert(n == emb.length)
-    assert(BigInt(te) == total && BigInt(pe) == top)
+    // energies are emitted on the mega grid (Σ DIV 10⁶ — the BIGINT
+    // overflow bound moved from ~9e4 to ~9e10 unit vectors, ADVICE r13)
+    assert(BigInt(te) == total / 1000000 && BigInt(pe) == top / 1000000)
     assert(pe <= te && ppm == (total - top) * 1000000 / total)
     graft.operators.PlanCache.releaseAll()
   }
@@ -1072,6 +1074,40 @@ class PipelineQuerySpec extends SparkSpec {
     }
     // ppm shares account for the whole corpus up to per-lang truncation
     assert(math.abs(rows.map(_._5).sum - 1000000L) <= rows.length)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("domain weights: exact ppm conservation and DoReMi direction") {
+    val rows = DocQueries.pipeDomainWeights(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 2)
+    // cumulative-rounding allocation telescopes to EXACTLY 10⁶ ppm —
+    // the cent-conservation law, no per-row truncation drift at all
+    assert(rows.map(_._5).sum == 1000000L)
+    rows.foreach { case (src, n, meanP, excess, w) =>
+      assert(n > 0 && meanP >= 0 && meanP <= 1000000, s"$src mean")
+      assert(excess >= 0 && w >= 0, s"$src nonneg")
+    }
+    // excess consistency: one corpus operating point X with
+    // excess = max(0, X − mean_p) — positive-excess rows pin X exactly,
+    // zero-excess rows must sit at or above it
+    val xs = rows.filter(_._4 > 0).map(r => r._3 + r._4).distinct
+    assert(xs.length <= 1, s"inconsistent corpus point: ${xs.toSeq}")
+    xs.headOption.foreach { x =>
+      rows.filter(_._4 == 0).foreach { r =>
+        assert(r._3 >= x, s"${r._1} zero-excess below corpus point")
+      }
+    }
+    // per-row allocation within 1 ppm of the exact multiplicative-
+    // weights share m_i·10⁶/Σm (two floors in the telescoping), and the
+    // direction law rides it: mass m_i = n_i·(10⁶ + excess_i) upweights
+    // exactly the high-excess (low-scoring) domains
+    val m = rows.map(r => r._1 -> BigInt(r._2) * (1000000L + r._4)).toMap
+    val mSum = m.values.sum
+    rows.foreach { case (src, _, _, _, w) =>
+      val exact = m(src) * 1000000 / mSum
+      assert((BigInt(w) - exact).abs <= 1, s"$src ppm vs exact share")
+    }
     graft.operators.PlanCache.releaseAll()
   }
 

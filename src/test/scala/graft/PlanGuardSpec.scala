@@ -69,6 +69,8 @@ class PlanGuardSpec extends SparkSpec {
     "rel_skew_f2_est",        // exact-F2 × est-F2 1-row scalars
     "rel_kll_quantiles",      // 1-row estimation-level (l_star) broadcast
     "rel_kll_error",          // same l_star 1-row + 5-row estimate table
+    "rel_kll_merge",          // same 1-row l_star pick over the merged state
+    "pipe_domain_weights",    // corpus-point + Σm 1-row broadcasts
     "rel_kmv_intersect",      // year-flag pair table (7 rows) + sketch
     "rel_modularity",         // undirected-edge-count m 1-row broadcast
     "evt_hits",               // L1-total 1-row broadcasts (4: 2 rounds × 2)

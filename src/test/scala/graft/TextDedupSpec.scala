@@ -196,7 +196,7 @@ class TextDedupSpec extends SparkSpec {
     val lev = Sketch.kllLeveled(small, $"v", concat_ws("|", $"i"))
     val qs = Seq(100, 500, 900)
     val est = Sketch.kllQuantiles(Sketch.kllCounts(lev),
-        Sketch.kllSurvivors(lev, 1024), 1024, Sketch.KllMaxLevel, qs)
+        Sketch.kllSurvivors(lev, 1024), 1024, qs)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     val sortedV = small.as[(Long, Long)].collect().map(_._1).sorted
     assert(est.forall(_._2 == 0L) && est.forall(_._3 == 500L))
@@ -228,14 +228,45 @@ class TextDedupSpec extends SparkSpec {
                     $"l_partkey", $"l_suppkey").as("rk"))
       val lev = Sketch.kllLeveled(base, $"cents", $"rk")
       val ung = Sketch.kllQuantiles(Sketch.kllCounts(lev),
-          Sketch.kllSurvivors(lev, KllCap), KllCap, Sketch.KllMaxLevel,
-          KllQs)
+          Sketch.kllSurvivors(lev, KllCap), KllCap, KllQs)
         .as[(Long, Long, Long, Long)].collect().toSet
       val grp = out.filter(_._1 == f)
         .map(t => (t._2, t._3, t._4, t._5)).toSet
       assert(grp == ung && grp.nonEmpty, s"flag $f")
     }
     graft.operators.PlanCache.releaseAll()
+  }
+
+  test("KLL merge row: merged parity-shard sketches ≡ whole-corpus sketch") {
+    import graft.queries.RelationalQueries.{KllCap, KllMergeQs}
+    val dir = "/root/testdata/sf0.001"
+    val merged = graft.queries.RelationalQueries.kllMergeQuery(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // independent whole-corpus build at the merge grid (no shard split)
+    val base = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", $"l_orderkey", $"l_linenumber",
+                $"l_partkey", $"l_suppkey").as("rk"))
+    val lev = Sketch.kllLeveled(base, $"cents", $"rk")
+    val whole = Sketch.kllQuantiles(Sketch.kllCounts(lev),
+        Sketch.kllSurvivors(lev, KllCap), KllCap, KllMergeQs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(merged == whole && merged.size == KllMergeQs.size)
+    graft.operators.PlanCache.releaseAll()
+  }
+
+  test("KLL level pick falls back to the deepest POPULATED level") {
+    // every populated level exceeds cap AND the design max level (12)
+    // is absent from the counts: the estimator must estimate from the
+    // deepest level that EXISTS (2), not silently return zero rows by
+    // filtering on an unpopulated static maxL (ADVICE r13)
+    val counts = Seq((0, 100L), (1, 60L), (2, 40L)).toDF("l", "n")
+    val survivors = (0 to 2).flatMap(l => (1 to 10).map(i =>
+      (l, i.toLong * 11, i.toLong * 7919))).toDF("l", "v", "h2")
+    val est = Sketch.kllQuantiles(counts, survivors, cap = 10,
+        qsPermille = Seq(500))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(est.length == 1 && est.head._2 == 2L && est.head._3 == 10L)
   }
 
   test("exact groups find the duplicate and keep min id") {
