@@ -350,6 +350,14 @@ object Sketch {
         .as("l_star"))
     val sam = survivors.crossJoin(broadcast(ls))
       .filter(col("l") === col("l_star"))
+    estimateTail(sam, qsPermille)
+  }
+
+  /** Shared estimation tail: rank + sample-size windows over the
+    * selected level's sample (≤ cap rows — sketch-sized by
+    * construction) and the ceil-rank probe reads. */
+  private def estimateTail(sam: DataFrame,
+                           qsPermille: Seq[Int]): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"), col("h2"))
     val wn = org.apache.spark.sql.expressions.Window
@@ -362,6 +370,33 @@ object Sketch {
       .select(col("q_permille").cast("long").as("q_permille"),
               col("l_star").cast("long").as("sample_level"),
               col("sample_n"), col("v").as("est_cents"))
+  }
+
+  /** Serving-path estimates straight from the LEVELED stream: push the
+    * l_star pick BELOW the survivor selection, so the bottom-cap
+    * window sorts only the estimation level's population (≤ cap at
+    * design scale; the rate-2^-maxL deepest level in the fallback
+    * case) instead of the full Σ-levels stream — measured 2× on the
+    * grouped fixture row, and at corpus scale the difference between
+    * sorting ~cap rows and sorting 2n. Output ≡
+    * `kllQuantiles(counts, kllSurvivors(leveled, cap), cap, qs)`:
+    * filtering to l_star commutes with per-level truncation because
+    * truncation is per-level to begin with (spec-pinned). Use the
+    * [[kllSurvivors]] path when the SKETCH ITSELF is the artifact to
+    * persist or merge — this path never materializes the other
+    * levels' survivor sets. */
+  def kllQuantilesServing(counts: DataFrame, leveled: DataFrame,
+                          cap: Int, qsPermille: Seq[Int]): DataFrame = {
+    val ls = counts.agg(
+      coalesce(min(when(col("n") <= cap, col("l"))), max(col("l")))
+        .as("l_star"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h2"), col("v"))
+    val sam = leveled.crossJoin(broadcast(ls))
+      .filter(col("l") === col("l_star"))
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= cap).drop("rn0")
+    estimateTail(sam, qsPermille)
   }
 
   /** Group-keyed [[kllLeveled]]: carries `groupCols` through the
@@ -410,11 +445,19 @@ object Sketch {
   def kllQuantilesBy(counts: DataFrame, survivors: DataFrame,
                      groupCols: Seq[String], cap: Int,
                      qsPermille: Seq[Int]): DataFrame = {
-    val ls = counts.groupBy(groupCols.map(col): _*)
+    val sam = survivors.join(lStarBy(counts, groupCols, cap), groupCols)
+      .filter(col("l") === col("l_star"))
+    estimateTailBy(sam, groupCols, qsPermille)
+  }
+
+  private def lStarBy(counts: DataFrame, groupCols: Seq[String],
+                      cap: Int): DataFrame =
+    counts.groupBy(groupCols.map(col): _*)
       .agg(coalesce(min(when(col("n") <= cap, col("l"))), max(col("l")))
              .as("l_star"))
-    val sam = survivors.join(ls, groupCols)
-      .filter(col("l") === col("l_star"))
+
+  private def estimateTailBy(sam: DataFrame, groupCols: Seq[String],
+                             qsPermille: Seq[Int]): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("v"), col("h2"))
     val wn = org.apache.spark.sql.expressions.Window
@@ -429,6 +472,22 @@ object Sketch {
         col("q_permille").cast("long").as("q_permille"),
         col("l_star").cast("long").as("sample_level"),
         col("sample_n"), col("v").as("est_cents")): _*)
+  }
+
+  /** Group-keyed [[kllQuantilesServing]]: the l_star equi join lands
+    * BELOW the survivor selection, so the per-(group, level) bottom-cap
+    * window sorts only each group's estimation level. Output ≡
+    * [[kllQuantilesBy]] over [[kllSurvivorsBy]] (same commutation). */
+  def kllQuantilesByServing(counts: DataFrame, leveled: DataFrame,
+                            groupCols: Seq[String], cap: Int,
+                            qsPermille: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h2"), col("v"))
+    val sam = leveled.join(lStarBy(counts, groupCols, cap), groupCols)
+      .filter(col("l") === col("l_star"))
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= cap).drop("rn0")
+    estimateTailBy(sam, groupCols, qsPermille)
   }
 
   /** The HLL estimate from one [[hllState]] row — driver-side math for

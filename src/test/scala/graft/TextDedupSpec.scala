@@ -255,6 +255,46 @@ class TextDedupSpec extends SparkSpec {
     graft.operators.PlanCache.releaseAll()
   }
 
+  test("KLL serving path ≡ sketch path (l_star filter commutes with truncation)") {
+    // cap small enough that the estimation level is TRUNCATED (the
+    // fallback branch), so the commutation is exercised where it could
+    // actually differ — and on the fixture rows, where it's untruncated
+    val rows = (0 until 4096).map(i => ((i * 2654435761L) % 100003L, i.toLong))
+      .toDF("v", "i")
+    val qs = Seq(100, 500, 900)
+    // maxL = 2 at cap = 16 forces the FALLBACK branch (every populated
+    // level > cap) with real truncation of the estimation level;
+    // maxL = 12 covers the untruncated design regime
+    for ((maxL, cap) <- Seq((2, 16), (12, 256), (12, 2048))) {
+      val lev = Sketch.kllLeveled(rows, $"v", concat_ws("|", $"i"), maxL)
+      val sketchPath = Sketch.kllQuantiles(Sketch.kllCounts(lev),
+          Sketch.kllSurvivors(lev, cap), cap, qs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val serving = Sketch.kllQuantilesServing(Sketch.kllCounts(lev),
+          lev, cap, qs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(serving == sketchPath && serving.nonEmpty, s"maxL=$maxL cap=$cap")
+    }
+    // grouped twin on the fixture
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.RelationalQueries.{KllCap, KllQs}
+    val base = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      $"l_returnflag".as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", $"l_orderkey", $"l_linenumber",
+                $"l_partkey", $"l_suppkey").as("rk"))
+    val glev = Sketch.kllLeveledBy(base, Seq("flag"), $"cents", $"rk")
+    val gSketch = Sketch.kllQuantilesBy(Sketch.kllCountsBy(glev, Seq("flag")),
+        Sketch.kllSurvivorsBy(glev, Seq("flag"), KllCap),
+        Seq("flag"), KllCap, KllQs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val gServing = Sketch.kllQuantilesByServing(
+        Sketch.kllCountsBy(glev, Seq("flag")), glev,
+        Seq("flag"), KllCap, KllQs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(gServing == gSketch && gServing.nonEmpty)
+  }
+
   test("KLL level pick falls back to the deepest POPULATED level") {
     // every populated level exceeds cap AND the design max level (12)
     // is absent from the counts: the estimator must estimate from the
