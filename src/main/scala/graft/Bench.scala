@@ -52,6 +52,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // drop warm-up persisted intermediates
+      // pair EVERY clearCache with pruneStale (the retry path always
+      // did; this one didn't until r14): the warm-up's reuse() entries
+      // stay queued after the clear, and their delayed FIFO eviction
+      // during pass 1 uncaches BY PLAN — killing any pin that re-cached
+      // the same plan (the ~8 s rel_kll_* pass-1 phantom, r12-r14)
+      graft.operators.PlanCache.pruneStale()
       // absorb the post-warm-up cliff OUTSIDE any query's timing: freeing
       // ~90 queries' caches leaves a major-GC debt + JIT churn that
       // otherwise lands on whichever query happens to run first

@@ -59,7 +59,19 @@ private[graft] object PlanCache {
       live.enqueue(df)
       while (live.size > MaxLive) {
         nEvictions += 1
-        live.dequeue().unpersist(blocking = false)
+        val old = live.dequeue()
+        // unpersist() uncaches BY PLAN (CacheManager sameResult), not by
+        // instance: evicting a STALE entry — e.g. one left in the queue
+        // by an external clearCache without pruneStale — whose plan a
+        // PIN has since re-cached would silently kill the pin. That was
+        // the r14 pass-1 bug: Bench's warm-up left same-plan-as-pin
+        // entries queued, and their delayed FIFO eviction uncached the
+        // KLL pins right around their consumers' alphabetical position
+        // (~7 s rebuild charged to rel_kll_error, three rounds running).
+        // Never unpersist a plan a pinned frame holds.
+        val oldPlan = old.queryExecution.analyzed
+        if (!pinned.exists(_.queryExecution.analyzed.sameResult(oldPlan)))
+          old.unpersist(blocking = false)
       }
       df
     }

@@ -11,12 +11,21 @@ import graft.SparkEntry
   * storage level and a timed re-count (warm ≈ 0.1 s, a silently-
   * rebuilt frame ≈ its cold build), and (b) time the target queries.
   *
-  * Usage: runMain graft.tools.PinProbe [sfDir] [target...]
+  * With `--warmup` the probe FIRST replicates Bench's untimed full-
+  * registry warm-up + clearCache (without pruneStale — the r14 bug
+  * reproduction: the warm-up leaves same-plan-as-pin entries in
+  * PlanCache.live, and pass-1 FIFO evictions then uncache the pins BY
+  * PLAN); `--warmup-prune` replicates the FIXED warm-up
+  * (clearCache + pruneStale paired).
+  *
+  * Usage: runMain graft.tools.PinProbe [--warmup|--warmup-prune] [sfDir] [target...]
   */
 object PinProbe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val targets = if (args.length > 1) args.tail.toSeq
+    val flags = args.filter(_.startsWith("--")).toSet
+    val rest = args.filterNot(_.startsWith("--"))
+    val dir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
+    val targets = if (rest.length > 1) rest.tail.toSeq
                   else Seq("rel_kll_error", "rel_kll_group_quantiles",
                            "rel_kll_merge", "rel_kll_quantiles")
     val spark = graft.GraftSession.tuned(
@@ -24,6 +33,17 @@ object PinProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (flags("--warmup") || flags("--warmup-prune")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, dir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      if (flags("--warmup-prune")) graft.operators.PlanCache.pruneStale()
+      println(f"[probe] warm-up (prune=${flags("--warmup-prune")}) in ${(System.nanoTime() - t0) / 1e9}%.1f s; plan_cache=${graft.operators.PlanCache.stats}")
+    }
 
     val frames =
       graft.queries.DocQueries.prewarmSharedFrames(spark, dir) ++

@@ -380,6 +380,49 @@ object ScalingBench {
                    col("n_id9")).as("n_hits"),
                sum(col("chars_after") % lit(1000003L)).as("chk"))
       }),
+      // round-14 sketch family: the KLL quantile-sketch BUILD over 8x
+      // lineitem with DISTINCT row keys (distinct keys = corpus growth:
+      // each copy levels independently under the seeded md5; replicated
+      // keys would co-sample every copy identically and halve the
+      // effective body). The measured shape: per-row md5 leveling + the
+      // ~2x level explode + the per-level bottom-cap WindowGroupLimit
+      // selection + the level-population aggregate — the value-grain
+      // bounded-survivor-window family the panel lacked (VERDICT r13
+      // #6). Built WITHOUT PlanCache (the scaled_line_dedup rule):
+      // counts and survivors each re-derive the leveled stream —
+      // constant factor, same at every core count. Sized per the r13
+      // lesson: 8x·600k rows -> ~9.6M leveled rows per pass, 2 passes.
+      // (sized 4x = measured t1 ≈ 37 s: the leveled stream is derived
+      // TWICE — counts + survivors, no persist — and the 1-core cell
+      // sorts each derivation's full leveled stream in one task; the
+      // first-coded 8x cell ran >3 min/run at 1 core — the r13
+      // scaled_bootstrap mistake repeated, caught in-round this time
+      // by sizing the cell alone via SPARK_GRAFT_SCALED_ONLY: 2x
+      // measured 18.7 s, and 2x's 32-core cell would sit on the ~1 s
+      // latency floor)
+      "scaled_kll" -> ((s: SparkSession, dir: String) => {
+        val n = 4
+        val cap = 1024
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_partkey"), col("l_suppkey"),
+                  col("l_extendedprice"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select(
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"),
+            concat_ws("|", col("l_orderkey") * n + col("id"),
+                      col("l_linenumber"), col("l_partkey"),
+                      col("l_suppkey")).as("rk"))
+        def lev = graft.operators.Sketch.kllLeveled(li, col("cents"),
+                                                    col("rk"))
+        val counts = graft.operators.Sketch.kllCounts(lev)
+        val surv = graft.operators.Sketch.kllSurvivors(lev, cap)
+        surv.agg(count(lit(1)).as("n_survivors"),
+                 sum(col("h2") % lit(1000003L)).as("chk"))
+          .crossJoin(counts.agg(sum(col("n")).as("n_leveled")))
+      }),
       // round-10 quality-filter family: char-diversity over 256x
       // documents with DISTINCT per-copy doc ids — the (doc, char)
       // explode + two map-side-combined hash aggregations is the
@@ -404,6 +447,10 @@ object ScalingBench {
     val coreSteps = sys.env.getOrElse("SPARK_GRAFT_CORES", "1,2,4,8,16,32")
       .split(',').toSeq.map(_.trim.toInt)
     val panel = Panel.filter(SparkEntry.queries.contains)
+    // dev-only subset filter for sizing new scaled cells without paying
+    // the whole panel (comma-separated scaled-row names)
+    val onlyScaled = sys.env.get("SPARK_GRAFT_SCALED_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet)
 
     def session(cores: Int): SparkSession = {
       val s = GraftSession.tuned(
@@ -415,7 +462,10 @@ object ScalingBench {
     }
 
     val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      panel.map(n => n -> SparkEntry.queries(n)) ++ ScaledPanel
+      onlyScaled match {
+        case Some(names) => ScaledPanel.filter(q => names(q._1))
+        case None => panel.map(n => n -> SparkEntry.queries(n)) ++ ScaledPanel
+      }
 
     def runPanel(s: SparkSession): Seq[(String, Double)] =
       allQueries.map { case (name, fn) =>

@@ -34,6 +34,27 @@ class PlanCacheSpec extends SparkSpec {
       "releaseAll must release pins too")
   }
 
+  test("evicting a stale same-plan entry never uncaches a pin (r14 bug)") {
+    PlanCache.releaseAll()
+    // a tracked entry left STALE by an external clearCache without
+    // pruneStale — the state Bench's warm-up used to leave behind
+    val stale = PlanCache.reuse(spark.range(7777, 7877).toDF())
+    spark.catalog.clearCache()
+    // the same PLAN re-cached through a fresh instance, then pinned
+    val pin = PlanCache.pin(PlanCache.reuse(spark.range(7777, 7877).toDF()))
+    assert(pin.storageLevel != StorageLevel.NONE)
+    assert(stale.storageLevel != StorageLevel.NONE,
+      "by-plan lookup sees the pin's cache through the stale instance")
+    // churn the queue past the cap so the stale entry is FIFO-evicted:
+    // unpersist() removes cached data BY PLAN, so without the pinned-
+    // plan guard this eviction silently killed the pin mid-bench-pass
+    (0 until PlanCache.MaxLive + 4)
+      .foreach(i => PlanCache.reuse(spark.range(i, i + 50).toDF()))
+    assert(pin.storageLevel != StorageLevel.NONE,
+      "stale same-plan eviction must not uncache the pin")
+    PlanCache.releaseAll()
+  }
+
   test("reuse is idempotent on already-cached plans") {
     PlanCache.releaseAll()
     val df = spark.range(0, 50).toDF()
