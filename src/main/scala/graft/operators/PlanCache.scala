@@ -49,7 +49,7 @@ private[graft] object PlanCache {
   // persist was issued; `evictions` = FIFO dequeues past MaxLive. Bench
   // snapshots these into bench_detail.json so a mid-run eviction storm is
   // visible, not hypothesized.
-  private var nHits, nMisses, nEvictions, nPins = 0L
+  private var nHits, nMisses, nEvictions, nPins, nPinSkips = 0L
 
   def reuse(df: DataFrame): DataFrame = synchronized {
     if (df.storageLevel != StorageLevel.NONE) { nHits += 1; df }
@@ -58,7 +58,6 @@ private[graft] object PlanCache {
       df.persist(StorageLevel.MEMORY_AND_DISK)
       live.enqueue(df)
       while (live.size > MaxLive) {
-        nEvictions += 1
         val old = live.dequeue()
         // unpersist() uncaches BY PLAN (CacheManager sameResult), not by
         // instance: evicting a STALE entry — e.g. one left in the queue
@@ -68,10 +67,22 @@ private[graft] object PlanCache {
         // entries queued, and their delayed FIFO eviction uncached the
         // KLL pins right around their consumers' alphabetical position
         // (~7 s rebuild charged to rel_kll_error, three rounds running).
-        // Never unpersist a plan a pinned frame holds.
+        // Never unpersist a plan a LIVE pinned frame holds — live only:
+        // a pin externally cleared by clearCache reads storageLevel NONE
+        // (the lookup is by plan, so NONE means the plan truly isn't
+        // cached and the unpersist below is a harmless no-op), and
+        // letting it block would leave the dequeued same-plan entry
+        // persisted-but-untracked until releaseAll (ADVICE r14).
         val oldPlan = old.queryExecution.analyzed
-        if (!pinned.exists(_.queryExecution.analyzed.sameResult(oldPlan)))
+        if (!pinned.exists(p => p.storageLevel != StorageLevel.NONE &&
+              p.queryExecution.analyzed.sameResult(oldPlan))) {
+          // count only REAL evictions: a pin-protected dequeue is a
+          // no-op and inflating `evictions` with it would mask the very
+          // mid-pass eviction storms the telemetry exists to flag
+          // (ADVICE r14) — those are tallied separately below.
+          nEvictions += 1
           old.unpersist(blocking = false)
+        } else nPinSkips += 1
       }
       df
     }
@@ -133,11 +144,12 @@ private[graft] object PlanCache {
   /** Counter snapshot for bench telemetry; see field comment. */
   def stats: Map[String, Long] = synchronized(Map(
     "hits" -> nHits, "misses" -> nMisses, "evictions" -> nEvictions,
-    "pins" -> nPins, "live" -> live.size.toLong,
+    "pins" -> nPins, "pin_skips" -> nPinSkips,
+    "live" -> live.size.toLong,
     "pinned" -> pinned.size.toLong))
 
   /** Zero the counters (between bench passes; occupancy is untouched). */
   def resetStats(): Unit = synchronized {
-    nHits = 0; nMisses = 0; nEvictions = 0; nPins = 0
+    nHits = 0; nMisses = 0; nEvictions = 0; nPins = 0; nPinSkips = 0
   }
 }

@@ -527,14 +527,22 @@ object AnalyticsQueries {
   }
 
   /** Time-hierarchy ROLLUP: (year, quarter, month) subtotal ladder in
-    * one pass, grouping_id disambiguating natural NULLs. */
+    * one pass, grouping_id disambiguating natural NULLs. Pre-aggregated
+    * to the (y, q, m) leaf grain first (r15 Expand sweep — see
+    * RelationalQueries.cubeSales): the rollup's ×4 Expand then multiplies
+    * ~84 month cells, not the orders table; decimal partials and counts
+    * regroup exactly. */
   def rollupTime(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .rollup(year(col("o_orderdate")).as("y"),
-              quarter(col("o_orderdate")).as("q"),
-              month(col("o_orderdate")).as("m"))
-      .agg(count(lit(1)).as("n_orders"),
-           exactSum(col("o_totalprice")).as("sum_price"),
+      .groupBy(year(col("o_orderdate")).as("y"),
+               quarter(col("o_orderdate")).as("q"),
+               month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("c"),
+           sum(Canon.dec(col("o_totalprice"))).as("s_dec"))
+      .rollup(col("y"), col("q"), col("m"))
+      .agg(sum(col("c")).as("n_orders"),
+           sum(col("s_dec")).cast(org.apache.spark.sql.types.DoubleType)
+             .as("sum_price"),
            grouping_id().as("gid"))
 
   /** Two-sample distribution tests in pure INTEGER arithmetic —

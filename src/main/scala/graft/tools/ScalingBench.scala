@@ -380,7 +380,7 @@ object ScalingBench {
                    col("n_id9")).as("n_hits"),
                sum(col("chars_after") % lit(1000003L)).as("chk"))
       }),
-      // round-14 sketch family: the KLL quantile-sketch BUILD over 8x
+      // round-14 sketch family: the KLL quantile-sketch BUILD over 4x
       // lineitem with DISTINCT row keys (distinct keys = corpus growth:
       // each copy levels independently under the seeded md5; replicated
       // keys would co-sample every copy identically and halve the
@@ -391,7 +391,7 @@ object ScalingBench {
       // #6). Built WITHOUT PlanCache (the scaled_line_dedup rule):
       // counts and survivors each re-derive the leveled stream —
       // constant factor, same at every core count. Sized per the r13
-      // lesson: 8x·600k rows -> ~9.6M leveled rows per pass, 2 passes.
+      // lesson: 4x·600k rows -> ~4.8M leveled rows per pass, 2 passes.
       // (sized 4x = measured t1 ≈ 37 s: the leveled stream is derived
       // TWICE — counts + survivors, no persist — and the 1-core cell
       // sorts each derivation's full leveled stream in one task; the

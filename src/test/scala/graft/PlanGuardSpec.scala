@@ -70,6 +70,7 @@ class PlanGuardSpec extends SparkSpec {
     "rel_kll_quantiles",      // 1-row estimation-level (l_star) broadcast
     "rel_kll_error",          // same l_star 1-row + 5-row estimate table
     "rel_kll_merge",          // same 1-row l_star pick over the merged state
+    "rel_kll_merge_disk",     // same 1-row l_star pick, sketches read from parquet
     "pipe_domain_weights",    // corpus-point + Σm 1-row broadcasts
     "rel_kmv_intersect",      // year-flag pair table (7 rows) + sketch
     "rel_modularity",         // undirected-edge-count m 1-row broadcast

@@ -188,6 +188,35 @@ class TextDedupSpec extends SparkSpec {
     assert(sRep == sWhole.toSet)
   }
 
+  test("KLL disk roundtrip: persisted shard sketches merge to the in-memory result") {
+    // the parquet hop must be invisible: round-tripping each parity
+    // shard's (counts, survivors) state through storage and merging the
+    // read-back frames yields bit-identical estimates to the all-in-
+    // memory merge at the same probe grid — the sketch state is plain
+    // longs, so persistence preserves exactly the mergeable contract
+    val dir = "/root/testdata/sf0.001"
+    val disk = graft.queries.RelationalQueries.kllMergeDiskQuery(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val base = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", $"l_orderkey", $"l_linenumber",
+                $"l_partkey", $"l_suppkey").as("rk"),
+      ($"l_orderkey" % 2).as("par"))
+    val lev = Sketch.kllLeveledBy(base, Seq("par"), $"cents", $"rk")
+    def half(p: Int) = lev.filter($"par" === p)
+    val cap = graft.queries.RelationalQueries.KllCap
+    val mem = Sketch.kllQuantiles(
+        Sketch.kllMergeCounts(Sketch.kllCounts(half(0)),
+                              Sketch.kllCounts(half(1))),
+        Sketch.kllMergeSurvivors(cap,
+                                 Sketch.kllSurvivors(half(0), cap),
+                                 Sketch.kllSurvivors(half(1), cap)),
+        cap, graft.queries.RelationalQueries.KllDiskQs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(disk.nonEmpty && disk.sameElements(mem))
+    graft.operators.PlanCache.releaseAll()
+  }
+
   test("KLL estimator: exact at level 0, 5σ rank bound on the fixture") {
     // n ≤ cap → l_star = 0, the sample IS the data, estimates are exact
     // order statistics at rank ceil(q·n)
