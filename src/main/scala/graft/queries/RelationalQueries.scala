@@ -526,22 +526,29 @@ object RelationalQueries {
     * scales never alias. */
   def kllMergeDiskQuery(s: SparkSession, dir: String): DataFrame = {
     val lev = kllLev(s, dir)
-    def half(p: Int) = lev.filter(col("par") === p)
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = s"${sys.props("user.dir")}/target/graft-scratch/kll_shards/$tag"
-    Seq(0, 1).foreach { p =>
-      graft.sources.Sinks.writeSortedParquet(
-        Sketch.kllCounts(half(p)), Seq("l"), s"$base/counts_p$p")
-      graft.sources.Sinks.writeSortedParquet(
-        Sketch.kllSurvivors(half(p), KllCap), Seq("l", "h2"),
-        s"$base/survivors_p$p")
-    }
+    // ONE job per state half, hive-partitioned by shard (`par=0/`,
+    // `par=1/` directories): the group-keyed builders derive every
+    // shard's cells in a single pass over the pinned leveled stream, and
+    // writePartitioned gives the read side directory pruning on the
+    // shard predicate — 2 write jobs instead of 4 per-shard ones (at N
+    // shards/days: 2 jobs instead of 2N, the same per-shard layout a
+    // real ingest would leave). In-registry cost is ~2.5 s, ~1.4 s over
+    // the in-memory merge row: the two write jobs' driver barriers plus
+    // the 4 read-back scans — the price of actually exercising the
+    // persist→read path rather than an in-JVM shortcut.
+    graft.sources.Sinks.writePartitioned(
+      Sketch.kllCountsBy(lev, Seq("par")), Seq("par"), s"$base/counts")
+    graft.sources.Sinks.writePartitioned(
+      Sketch.kllSurvivorsBy(lev, Seq("par"), KllCap), Seq("par"),
+      s"$base/survivors")
+    def rd(sub: String, p: Int) =
+      s.read.parquet(s"$base/$sub").filter(col("par") === p).drop("par")
     Sketch.kllQuantiles(
-      Sketch.kllMergeCounts(s.read.parquet(s"$base/counts_p0"),
-                            s.read.parquet(s"$base/counts_p1")),
-      Sketch.kllMergeSurvivors(KllCap,
-                               s.read.parquet(s"$base/survivors_p0"),
-                               s.read.parquet(s"$base/survivors_p1")),
+      Sketch.kllMergeCounts(rd("counts", 0), rd("counts", 1)),
+      Sketch.kllMergeSurvivors(KllCap, rd("survivors", 0),
+                               rd("survivors", 1)),
       KllCap, KllDiskQs)
   }
 

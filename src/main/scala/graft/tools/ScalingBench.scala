@@ -423,6 +423,63 @@ object ScalingBench {
                  sum(col("h2") % lit(1000003L)).as("chk"))
           .crossJoin(counts.agg(sum(col("n")).as("n_leveled")))
       }),
+      // round-15 prefix-filter dedup shape (VERDICT r14 #6): the
+      // PPJoin pipeline — df counts, per-doc (sdf, shingle) prefix
+      // windows, the prefix-postings self-join + PPJoin length bound,
+      // and the |A∩B|-bounded intersection verify — over an 8x corpus
+      // whose copies get DISJOINT shingle universes (xxhash64 salted
+      // with the copy id) and distinct doc ids. Disjoint universes are
+      // the point: they model CORPUS GROWTH (candidates and output
+      // pairs scale ~n, sdf per shingle unchanged), where replicated
+      // universes would make every cross-copy pair a J=1 candidate — a
+      // quadratic n²·|docs| blow-up no real 8x corpus has. Built inline
+      // WITHOUT PlanCache (the scaled_line_dedup rule): the shingle
+      // stream is re-derived per consumer (~4x, constant at every core
+      // count). t = 0.6 per the round-5 economics note (t >= 0.5 or the
+      // prefix filter loses its power).
+      "scaled_prefix_dedup" -> ((s: SparkSession, dir: String) => {
+        val n = 8
+        val t = 0.6
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+        def sh = docs.select(
+            (col("doc_id") * n + col("id")).as("d"),
+            explode(array_distinct(
+              graft.operators.TextOps.wordShingles(col("text"), 3)))
+              .as("shingle"),
+            col("id"))
+          .select(col("d"), xxhash64(col("shingle"), col("id")).as("h"))
+        val sdf = sh.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d")).orderBy(col("sdf").asc, col("h").asc)
+        val wsz = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d"))
+        val prefixes = sh.join(sdf, "h")
+          .withColumn("pos", row_number().over(w))
+          .withColumn("sz", count(lit(1)).over(wsz))
+          .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+          .select(col("d"), col("h"), col("sz"))
+        val candidates = prefixes
+          .select(col("d").as("a"), col("h"), col("sz").as("sz_a"))
+          .join(prefixes.select(col("d").as("b"), col("h"),
+                                col("sz").as("sz_b")), Seq("h"))
+          .filter(col("a") < col("b") &&
+                  least(col("sz_a"), col("sz_b")) >=
+                    lit(t) * greatest(col("sz_a"), col("sz_b")))
+          .select(col("a"), col("b"), col("sz_a"), col("sz_b"))
+          .distinct()
+        candidates
+          .join(sh.select(col("d").as("a"), col("h")), Seq("a"))
+          .join(sh.select(col("d").as("b"), col("h")), Seq("b", "h"))
+          .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common").cast("double") /
+                    (col("sz_a") + col("sz_b") - col("n_common")) >= t)
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(col("n_common") % lit(1000003L)).as("chk"))
+      }),
       // round-10 quality-filter family: char-diversity over 256x
       // documents with DISTINCT per-copy doc ids — the (doc, char)
       // explode + two map-side-combined hash aggregations is the
