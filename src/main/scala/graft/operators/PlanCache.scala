@@ -46,9 +46,12 @@ private[graft] object PlanCache {
   // could not be attributed because reuse had no occupancy/eviction
   // counters). `hits` = reuse() found the plan already cached (CacheManager
   // sameResult, which includes pinned same-plan copies); `misses` = a new
-  // persist was issued; `evictions` = FIFO dequeues past MaxLive. Bench
-  // snapshots these into bench_detail.json so a mid-run eviction storm is
-  // visible, not hypothesized.
+  // persist was issued; `evictions` = FIFO dequeues past MaxLive that
+  // actually unpersisted a cached plan; `pin_skips` = dequeues skipped
+  // because a live pin holds the same plan (stale already-cleared
+  // dequeues count as neither). Bench snapshots these into
+  // bench_detail.json so a mid-run eviction storm is visible, not
+  // hypothesized.
   private var nHits, nMisses, nEvictions, nPins, nPinSkips = 0L
 
   def reuse(df: DataFrame): DataFrame = synchronized {
@@ -69,20 +72,32 @@ private[graft] object PlanCache {
         // (~7 s rebuild charged to rel_kll_error, three rounds running).
         // Never unpersist a plan a LIVE pinned frame holds — live only:
         // a pin externally cleared by clearCache reads storageLevel NONE
-        // (the lookup is by plan, so NONE means the plan truly isn't
-        // cached and the unpersist below is a harmless no-op), and
-        // letting it block would leave the dequeued same-plan entry
-        // persisted-but-untracked until releaseAll (ADVICE r14).
+        // (the lookup is by plan, so NONE usually means the plan truly
+        // isn't cached), and letting it block would leave the dequeued
+        // same-plan entry persisted-but-untracked until releaseAll
+        // (ADVICE r14). Residual accepted case: if an external clear
+        // skipped pruneStale AND a later reuse() re-cached the SAME
+        // plan, the stale pin reads as live (storageLevel is
+        // plan-resolved — instances are indistinguishable) and still
+        // blocks, leaving that one frame persisted until releaseAll.
+        // That is the right side of the trade: the alternative —
+        // unpersisting through a possibly-live pin — is exactly the r14
+        // mid-pass pin-kill bug, a 7 s phantom per consumer; the leak
+        // is one re-derivable MEMORY_AND_DISK frame, and it requires
+        // violating the clearCache→pruneStale pairing rule to arise.
         val oldPlan = old.queryExecution.analyzed
-        if (!pinned.exists(p => p.storageLevel != StorageLevel.NONE &&
+        if (pinned.exists(p => p.storageLevel != StorageLevel.NONE &&
               p.queryExecution.analyzed.sameResult(oldPlan))) {
-          // count only REAL evictions: a pin-protected dequeue is a
-          // no-op and inflating `evictions` with it would mask the very
-          // mid-pass eviction storms the telemetry exists to flag
-          // (ADVICE r14) — those are tallied separately below.
+          nPinSkips += 1
+        } else if (old.storageLevel != StorageLevel.NONE) {
+          // REAL evictions only: stale dequeues (plan already cleared
+          // externally — the unpersist would be a no-op) and
+          // pin-protected dequeues both stay out of `evictions`, which
+          // exists to flag genuine mid-pass eviction storms (ADVICE
+          // r14/r15).
           nEvictions += 1
           old.unpersist(blocking = false)
-        } else nPinSkips += 1
+        }
       }
       df
     }

@@ -310,6 +310,10 @@ object RelationalQueries {
     // partial-distinct aggregate whose post-shuffle volume is bounded
     // by the true NDVs, never the table — and read both counts off the
     // distinct grain.
+    // count(when(..., k)) — not count(when(..., lit(1))) — so a NULL
+    // key survives the distinct but is NOT counted, preserving
+    // COUNT(DISTINCT)'s null-excluding semantics on any future
+    // NULL-bearing fixture roll (fixtures regenerate every round).
     val exact = li.select(col("l_returnflag"), explode(array(
           struct(lit(1).as("cid"), col("l_partkey").as("k")),
           struct(lit(2).as("cid"), col("l_suppkey").as("k")))).as("x"))
@@ -317,10 +321,14 @@ object RelationalQueries {
               col("x.k").as("k"))
       .distinct()
       .groupBy(col("l_returnflag"))
-      .agg(count(when(col("cid") === 1, lit(1))).as("exact_parts"),
-           count(when(col("cid") === 2, lit(1))).as("exact_supps"))
-    // 3-row × 3-row equi-join on the group key — AQE broadcasts it.
-    sketch.join(exact, Seq("l_returnflag"))
+      .agg(count(when(col("cid") === 1, col("k"))).as("exact_parts"),
+           count(when(col("cid") === 2, col("k"))).as("exact_supps"))
+      .withColumnRenamed("l_returnflag", "flag_e")
+    // 3-row × 3-row join on the group key — AQE broadcasts it.
+    // NULL-SAFE equality (<=>): both aggregates emit a NULL-flag group
+    // if the fixture ever carries one, and a plain equi-join would
+    // silently drop that output row the old single-aggregate form kept.
+    sketch.join(exact, col("l_returnflag") <=> col("flag_e"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")).cast("double") /
           col("exact_parts") <= 0.10).as("parts_within_10pct"),
@@ -524,10 +532,22 @@ object RelationalQueries {
     * the [[KllDiskQs]] grid. Writes are Overwrite-idempotent and land
     * under the build's scratch dir, keyed by the sf dir so concurrent
     * scales never alias. */
+  /** Per-JVM scratch token: two concurrent JVMs constructing this query
+    * against the SAME sf dir (a background gate's Verify plus a test
+    * suite's PlanGuard plan-build, say) must not alias one scratch path
+    * — one side's Overwrite would delete directories the other is
+    * mid-read on. pid@host is stable within the JVM (same-session
+    * re-runs stay Overwrite-idempotent) and unique across processes;
+    * the per-process dirs are KB-sized and live under build `target/`. */
+  private lazy val scratchToken: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+
   def kllMergeDiskQuery(s: SparkSession, dir: String): DataFrame = {
     val lev = kllLev(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = s"${sys.props("user.dir")}/target/graft-scratch/kll_shards/$tag"
+    val base = s"${sys.props("user.dir")}/target/graft-scratch/" +
+      s"kll_shards/$scratchToken/$tag"
     // ONE job per state half, hive-partitioned by shard (`par=0/`,
     // `par=1/` directories): the group-keyed builders derive every
     // shard's cells in a single pass over the pinned leveled stream, and
