@@ -440,9 +440,6 @@ object Graphs {
     val raw = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .as[(Long, Long)].rdd
-    val nodes = raw.flatMap { case (a, b) => Iterator(a, b) }
-      .distinct(sc.defaultParallelism)
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     def mix(u: Long, v: Long): Long =
       ((u * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L) ^
@@ -496,6 +493,13 @@ object Graphs {
       math.min(sc.defaultParallelism.toLong,
                prev._1 / 65536L + 1L).toInt.max(1))
     dbg(s"partitions=${part.numPartitions}")
+    // node set sized like the loop (r15): nodes ≤ 2·edges, and the only
+    // consumer is the final label fold — defaultParallelism here meant
+    // 32 near-empty tasks ×3 stages on a 3-partition loop (the r7
+    // latency anti-pattern, fixed in the loop but not in this tail)
+    val nodes = raw.flatMap { case (a, b) => Iterator(a, b) }
+      .distinct(part.numPartitions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -515,9 +519,11 @@ object Graphs {
       s"ccStar did not converge within $maxIter rounds (needs ~log2(n))")
     // stars point members at the component min; roots and isolated
     // nodes (self-labeled seeds) fold in via the same min
+    // the loop's self-sized partitioner, not defaultParallelism: e is
+    // already part-partitioned (narrow side), and label cardinality is
+    // nodes-bounded — same latency argument as the loop stages
     val labels = nodes.map(n => (n, n)).union(e)
-      .reduceByKey(new HashPartitioner(sc.defaultParallelism),
-                   (a: Long, b: Long) => math.min(a, b))
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
     // eager: materialize labels BEFORE releasing the loop's persisted
     // RDDs, or a downstream re-execution would replay the whole loop
     val out = spark.createDataset(labels).toDF("id", "cluster_id")
