@@ -244,10 +244,11 @@ object AnalyticsQueries {
     * the interpolation `lower + (higher-lower)*frac` is the same IEEE
     * expression in both engines (see rel_percentiles). */
   def userValueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val perUser = reused(Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(sum(dec(col("value"))).as("total_dec"))
-      .withColumn("total_d", col("total_dec").cast(DoubleType)))
+    // per-user decimal totals off the shared pinned panel (r16): the
+    // panel's total_dec is this query's previous dedicated aggregate
+    val perUser = EventQueries.userPanel(s, dir)
+      .select(col("user_id"), col("total_dec"))
+      .withColumn("total_d", col("total_dec").cast(DoubleType))
     val cuts = perUser.agg(expr(
       "percentile(total_d, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
       .as("cuts"))
@@ -473,9 +474,8 @@ object AnalyticsQueries {
     * nested-loop: bounded output, but compute linear in the date
     * range.) */
   def dauWau(s: SparkSession, dir: String): DataFrame = {
-    val userDays = reused(Tables.events(s, dir)
-      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
-      .distinct())
+    // shared pinned user-day frame (r16 evt pass)
+    val userDays = EventQueries.userDays(s, dir)
     val dau = userDays.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
     val spine = userDays.select(col("day")).distinct()
@@ -510,8 +510,10 @@ object AnalyticsQueries {
     * register table (≤ 64 rows/day), not the corpus. */
   def hllWau(s: SparkSession, dir: String): DataFrame = {
     val w = 64
-    val days = Tables.events(s, dir)
-      .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
+    // shared pinned user-day frame (r16): per-bucket register MAX is
+    // dedup-invariant, so registers over the distinct (user, day) set
+    // are bit-identical to registers over raw events
+    val days = EventQueries.userDays(s, dir)
     val regs = graft.operators.Sketch.hllRegisters(days, "user_id",
                                                    Seq("day"), w)
     val spine = regs.select(col("day")).distinct()

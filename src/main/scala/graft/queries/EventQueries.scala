@@ -29,6 +29,64 @@ object EventQueries {
   private def withTsUs(df: DataFrame): DataFrame =
     df.withColumn("ts_us", expr("ts_ns DIV 1000"))
 
+  // ------------------------------------------------------------------
+  // Family-shared frames (r16 evt pass — VERDICT r15 #1): the event
+  // family's recurring subtrees, built ONCE (PlanCache.reuse, prewarm-
+  // pinned) instead of once per consumer. At fixture scale every evt row
+  // is driver-latency-bound (events is 100 k rows; 8 cores ≈ 32 cores on
+  // the family, PERF_r15 scaling block), so the win is skipping whole
+  // scan→shuffle subtrees per query, not CPU. At corpus scale the same
+  // frames are the family's natural materialization grain: user-day
+  // activity (bounded by user-days, not raw events), the per-user
+  // lifetime panel (|users| rows), the type-transition matrix
+  // (|types|²·|users| at the mid grain).
+  // ------------------------------------------------------------------
+
+  /** Deduplicated (user_id, day) activity — consumed by
+    * [[stickiness]], [[AnalyticsQueries.dauWau]], [[retentionDaily]],
+    * [[hllWau]] (register max is dedup-invariant) and, via
+    * [[userFirstDay]], the first-seen queries. */
+  private[queries] def userDays(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ns DIV 1000 DIV $DayUs").as("day"))
+        .distinct())
+
+  /** Per-user first-seen day (min over the deduplicated day set ≡ min
+    * over raw events) — consumed by [[newUsersDaily]] and
+    * [[retentionDaily]]'s cohorts. */
+  private[queries] def userFirstDay(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      userDays(s, dir).groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day")))
+
+  /** Per-user lifetime panel: one corpus scan + one user-keyed hash
+    * aggregate serving five registry rows' per-user bases —
+    * [[userConcentration]] (n_events, cents), [[rfmSegments]]
+    * (last_us, n_events, purchase_cents), [[funnel]] / [[funnelTiming]]
+    * (per-type first timestamps), [[windowFunnel]]'s anchor stage
+    * (signup_us), [[AnalyticsQueries.userValueDeciles]] (total_dec).
+    * Every column is an exact aggregate (BIGINT / DECIMAL / conditional
+    * min), so each consumer's values are bit-identical to its previous
+    * dedicated aggregate. |users|-bounded at any corpus size. */
+  private[queries] def userPanel(s: SparkSession, dir: String): DataFrame =
+    PlanCache.reuse(
+      withTsUs(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             max(col("ts_us")).as("last_us"),
+             sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+             sum(when(col("event_type") === "purchase",
+                 expr("CAST(round(value * 100) AS BIGINT)"))
+               .otherwise(0L)).as("purchase_cents"),
+             sum(Canon.dec(col("value"))).as("total_dec"),
+             min(when(col("event_type") === "signup", col("ts_us")))
+               .as("signup_us"),
+             min(when(col("event_type") === "click", col("ts_us")))
+               .as("click_us"),
+             min(when(col("event_type") === "purchase", col("ts_us")))
+               .as("purchase_us")))
+
   /** Tumbling 1-hour windows × event_type — Spark's native `window()`
     * (struct of ntz start/end), exact-decimal value sums. */
   def tumblingHourly(s: SparkSession, dir: String): DataFrame =
@@ -52,7 +110,11 @@ object EventQueries {
   def sessionWindows(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    withTsUs(Tables.events(s, dir))
+    // the session table is CacheManager-shared (r16): [[topSessions]]
+    // consumes the same frame one bench slot later, and without the
+    // reuse it re-ran the whole lag→cumsum→aggregate sessionization
+    // (the dedup_simhash_pairs precedent)
+    PlanCache.reuse(withTsUs(Tables.events(s, dir))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
@@ -64,7 +126,7 @@ object EventQueries {
            min(col("ts_us")).as("start_us"),
            max(col("ts_us")).as("end_us"))
       .withColumn("duration_min",
-        (col("end_us") - col("start_us")).cast(DoubleType) / lit(60000000.0))
+        (col("end_us") - col("start_us")).cast(DoubleType) / lit(60000000.0)))
   }
 
   /** Top-10 longest sessions corpus-wide: the session labeling composed
@@ -180,9 +242,10 @@ object EventQueries {
     * curve. The standard growth-analytics query — distinct-counting over
     * an expanding window WITHOUT a per-day distinct pass. */
   def newUsersDaily(s: SparkSession, dir: String): DataFrame = {
-    val firstSeen = withTsUs(Tables.events(s, dir))
-      .groupBy(col("user_id"))
-      .agg(min(expr(s"ts_us DIV $DayUs")).as("day"))
+    // shared first-seen frame (r16): min over the pinned user-day set is
+    // identical to min over raw events
+    val firstSeen = userFirstDay(s, dir)
+      .select(col("user_id"), col("first_day").as("day"))
     val daily = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
     // unpartitioned window is fine HERE: input is already day-grain
     // (one row per day), so the single-partition pass sees ≤ days rows
@@ -204,13 +267,14 @@ object EventQueries {
     * rollup of size days×8. No windows, no cross join. */
   def retentionDaily(s: SparkSession, dir: String,
                      maxK: Long = 7L): DataFrame = {
-    val ev = withTsUs(Tables.events(s, dir))
-      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
-    val cohorts = PlanCache.reuse(ev.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day")))
+    // shared frames (r16): activity rides the pinned user-day set,
+    // cohorts the pinned first-seen frame — both value-identical to the
+    // dedicated scans they replace
+    val cohorts = userFirstDay(s, dir)
+      .select(col("user_id"), col("first_day").as("cohort_day"))
     val sizes = cohorts.groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("n_cohort"))
-    ev.distinct().join(cohorts, Seq("user_id"))
+    userDays(s, dir).join(cohorts, Seq("user_id"))
       .select(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
       .filter(col("k") >= 0 && col("k") <= maxK)
       .groupBy(col("cohort_day"), col("k"))
@@ -233,9 +297,7 @@ object EventQueries {
     * (the 7× fan-out rides map-side), day-grain rollups; no windows,
     * no cross join. */
   def stickiness(s: SparkSession, dir: String): DataFrame = {
-    val ud = PlanCache.reuse(withTsUs(Tables.events(s, dir))
-      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
-      .distinct())
+    val ud = userDays(s, dir)
     val days = ud.select(col("day")).distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud
@@ -279,11 +341,10 @@ object EventQueries {
     * user's FIRST occurrence of each step. One conditional-min pivot per
     * user (single shuffle), then integer flag counting. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    def firstUs(t: String) =
-      min(when(col("event_type") === t, col("ts_us"))).as(s"${t}_us")
-    val perUser = withTsUs(Tables.events(s, dir))
-      .groupBy(col("user_id"))
-      .agg(firstUs("signup"), firstUs("click"), firstUs("purchase"))
+    // per-type firsts read off the shared user panel (r16) — the panel's
+    // conditional mins are this query's previous dedicated aggregate
+    val perUser = userPanel(s, dir)
+      .select(col("signup_us"), col("click_us"), col("purchase_us"))
     perUser.agg(
       count(lit(1)).as("n_users"),
       sum(when(col("signup_us").isNotNull, 1).otherwise(0)).as("n_signup"),
@@ -303,12 +364,10 @@ object EventQueries {
     * step branches), then a scalar panel per step over the tiny
     * converting-user set. */
   def funnelTiming(s: SparkSession, dir: String): DataFrame = {
-    def firstUs(t: String) =
-      min(when(col("event_type") === t, col("ts_us"))).as(s"${t}_us")
-    val perUser = PlanCache.reuse(
-      withTsUs(Tables.events(s, dir))
-        .groupBy(col("user_id"))
-        .agg(firstUs("signup"), firstUs("click"), firstUs("purchase")))
+    // per-type firsts off the shared user panel (r16; both step branches
+    // scan the one pinned frame)
+    val perUser = userPanel(s, dir)
+      .select(col("signup_us"), col("click_us"), col("purchase_us"))
     def step(name: String, gap: org.apache.spark.sql.Column,
              cond: org.apache.spark.sql.Column): DataFrame =
       perUser.filter(cond)
@@ -332,16 +391,13 @@ object EventQueries {
     * the tiny (from,to) matrix then aggregates with map-side combine.
     * Ordering is exact: µs event time with event_id as the unique
     * tie-break (fixture ns timestamps can collide at µs grain). */
-  def transitions(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").asc, col("event_id").asc)
-    withTsUs(Tables.events(s, dir))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type"))
-      .agg(count(lit(1)).as("n_transitions"),
-           countDistinct(col("user_id")).as("n_users"))
-  }
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    // off the shared (src, dst, user) mid-grain frame (r16): Σc per pair
+    // ≡ the raw transition count, rows per pair ≡ COUNT(DISTINCT user)
+    transitionUserEdges(s, dir)
+      .groupBy(col("src").as("prev_type"), col("dst").as("event_type"))
+      .agg(sum(col("c")).as("n_transitions"),
+           count(lit(1)).as("n_users"))
 
   /** The SHARED event-type transition digraph: (src, dst, w) weighted
     * edges from each user's time-ordered event stream, built once
@@ -353,15 +409,30 @@ object EventQueries {
     * event-TYPE-bounded, so the cached frame is tiny at any corpus
     * scale. */
   private[graft] def transitionEdges(s: SparkSession,
-                                     dir: String): DataFrame = {
+                                     dir: String): DataFrame =
+    // Σc over the mid grain ≡ COUNT(*) over raw transitions (r16); the
+    // corpus-scale lag+shuffle runs once, in the mid frame
+    graft.operators.PlanCache.reuse(
+      transitionUserEdges(s, dir)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("c")).as("w")))
+
+  /** The (src, dst, user_id) mid-grain transition counts — ONE
+    * lag-window pass over the corpus (the family's only transition
+    * shuffle), consumed by [[transitions]] (per-pair totals + distinct
+    * users fall out of the grain) and by [[transitionEdges]] (the
+    * (src, dst, w) digraph is its Σc rollup). |types|²·|users|-bounded. */
+  private[graft] def transitionUserEdges(s: SparkSession,
+                                         dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     graft.operators.PlanCache.reuse(
       withTsUs(Tables.events(s, dir))
         .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
         .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("w")))
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"),
+                 col("user_id"))
+        .agg(count(lit(1)).as("c")))
   }
 
   /** User-concentration (Pareto) panel — the "what share of traffic do
@@ -377,12 +448,10 @@ object EventQueries {
     * the 2-group rollup ride a 1-row broadcast
     * (PlanGuard-allowlisted). */
   def userConcentration(s: SparkSession, dir: String): DataFrame = {
-    val perUser = PlanCache.reuse(
-      withTsUs(Tables.events(s, dir))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-             sum(expr("CAST(round(value * 100) AS BIGINT)"))
-               .as("cents")))
+    // per-user counts/cents off the shared panel (r16); the three
+    // references (cutpoint, totals, rollup) each scan the pinned frame
+    val perUser = userPanel(s, dir)
+      .select(col("user_id"), col("n_events"), col("cents"))
     val cut = perUser.agg(
       expr("percentile(n_events, CAST(9 AS DOUBLE)/10)").as("p90"))
     val tot = perUser.agg(sum(col("n_events")).as("tot_events"),
@@ -436,8 +505,19 @@ object EventQueries {
     * (VERDICT r11 #1). */
   def prewarmSharedFrames(s: SparkSession,
                           dir: String): Seq[(String, DataFrame)] = Seq(
+    // the mid-grain transition frame feeds both the digraph and
+    // evt_transitions; pin it in its own right (the gramState rule —
+    // pinning only the outer wrapper leaves the inner build on whichever
+    // consumer runs first)
+    "transition_user" ->
+      graft.operators.PlanCache.pin(transitionUserEdges(s, dir)),
     "transition_edges" ->
-      graft.operators.PlanCache.pin(transitionEdges(s, dir)))
+      graft.operators.PlanCache.pin(transitionEdges(s, dir)),
+    // r16 family-shared frames: user-day activity (4 consumers),
+    // first-seen day (2), the per-user lifetime panel (6)
+    "evt_user_days"  -> graft.operators.PlanCache.pin(userDays(s, dir)),
+    "evt_first_day"  -> graft.operators.PlanCache.pin(userFirstDay(s, dir)),
+    "evt_user_panel" -> graft.operators.PlanCache.pin(userPanel(s, dir)))
 
   /** Weighted PageRank over the event-type transition digraph
     * ([[transitionEdges]] is the shared edge builder), 3 iterations of
@@ -788,8 +868,11 @@ object EventQueries {
     val w = windowHours * HourUs
     val ev = PlanCache.reuse(withTsUs(Tables.events(s, dir))
       .select(col("user_id"), col("event_type"), col("ts_us")))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    // anchor stage off the shared panel (r16): signup_us is the panel's
+    // conditional min, NULL-filtered — identical rows to the dedicated
+    // filter+min aggregate it replaces
+    val s1 = userPanel(s, dir).filter(col("signup_us").isNotNull)
+      .select(col("user_id"), col("signup_us"))
     val s2 = ev.filter(col("event_type") === "click")
       .join(s1, Seq("user_id"))
       .filter(col("ts_us") > col("signup_us") &&
@@ -823,14 +906,11 @@ object EventQueries {
     * per-user frame is |users|-sized, and the census is bounded at
     * 5³ cells. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val perUser = PlanCache.reuse(
-      withTsUs(Tables.events(s, dir))
-        .groupBy(col("user_id"))
-        .agg(max(col("ts_us")).as("last_us"),
-             count(lit(1)).as("frequency"),
-             sum(when(col("event_type") === "purchase",
-                 expr("CAST(round(value * 100) AS BIGINT)"))
-               .otherwise(0L)).as("monetary_cents")))
+    // recency/frequency/monetary base off the shared panel (r16)
+    val perUser = userPanel(s, dir)
+      .select(col("user_id"), col("last_us"),
+              col("n_events").as("frequency"),
+              col("purchase_cents").as("monetary_cents"))
     val ref = perUser.agg(max(col("last_us")).as("ref_us"))
     val rfm = perUser.crossJoin(broadcast(ref))
       .withColumn("recency_days",
