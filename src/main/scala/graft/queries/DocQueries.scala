@@ -569,6 +569,31 @@ object DocQueries {
     * aggregate with map-side combine plus a doc-keyed rollup. Every
     * rule is integer cross-multiplied — no float ever reaches the
     * compare. */
+  /** The SHARED (doc_id, n, c, glen) gram-count frame for n = 2..10
+    * (r16): [[textGopherRepetition]] (n ≤ 4) and [[textGopherDupeNgrams]]
+    * (n ≥ 5) each ran their own explode → (doc, n, gram) hash aggregate
+    * over the corpus — together one 9-size pass split across two 1.7-1.9 s
+    * rows. Both consumers only need the count and the gram's LENGTH past
+    * the aggregate (top-gram tie-break and char-mass sums), so the cached
+    * frame projects the gram string away — the group key stays the exact
+    * gram (no hashing: a collision would merge distinct grams and change
+    * counts). Pinned in [[prewarmSharedFrames]]. */
+  private[graft] def gopherGramCounts(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val ns = 2 to 10
+    PlanCache.reuse(
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(array(ns.map(n =>
+          struct(lit(n).as("n"),
+                 TextOps.wordShingles(col("text"), n).as("g"))): _*)).as("ng"))
+        .select(col("doc_id"), col("ng.n").as("n"),
+                explode(col("ng.g")).as("gram"))
+        .groupBy(col("doc_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("n"), col("c"),
+                length(col("gram")).cast("long").as("glen")))
+  }
+
   def textGopherRepetition(s: SparkSession, dir: String): DataFrame = {
     val slots = 1L << 20
     val docs = PlanCache.reuse(
@@ -585,17 +610,13 @@ object DocQueries {
           slice(col("t"), (i - 1) * lit(w) + lit(1), lit(w)))))
         .otherwise(array().cast("array<string>"))
     }
-    val grams = docs
-      .select(col("doc_id"), explode(array(Seq(2, 3, 4).map(n =>
-        struct(lit(n).as("n"),
-               TextOps.wordShingles(col("text"), n).as("g"))): _*)).as("ng"))
-      .select(col("doc_id"), col("ng.n").as("n"), explode(col("ng.g")).as("gram"))
-    val cov = grams
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+    // top-gram coverage off the shared n = 2..10 gram-count frame (r16):
+    // the n ≤ 4 slice of the pinned aggregate IS this query's previous
+    // dedicated (doc, n, gram) count
+    val cov = gopherGramCounts(s, dir)
+      .filter(col("n") <= 4)
       .groupBy(col("doc_id"), col("n"))
-      .agg(max(col("c") * lit(slots) + length(col("gram")).cast("long"))
-        .as("cm"))
+      .agg(max(col("c") * lit(slots) + col("glen")).as("cm"))
       .select(col("doc_id"), col("n"),
               (expr(s"cm DIV $slots") * (col("cm") % lit(slots)))
                 .as("covered"))
@@ -646,19 +667,13 @@ object DocQueries {
     * DECIMAL(38,0) past the BIGINT cliff (Σ char-mass × 1000 at corpus
     * scale). */
   def textGopherDupeNgrams(s: SparkSession, dir: String): DataFrame = {
-    val ns = Seq(5, 6, 7, 8, 9, 10)
-    val grams = Tables.spread(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(array(ns.map(n =>
-        struct(lit(n).as("n"),
-               TextOps.wordShingles(col("text"), n).as("g"))): _*)).as("ng"))
-      .select(col("doc_id"), col("ng.n").as("n"), explode(col("ng.g")).as("gram"))
-    val perDoc = grams
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+    // duplicated-mass rollup off the shared n = 2..10 gram-count frame
+    // (r16): the n ≥ 5 slice is this query's previous dedicated count
+    val perDoc = gopherGramCounts(s, dir)
+      .filter(col("n") >= 5)
       .groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("c") * length(col("gram")).cast("long")).as("tm"),
-           sum(when(col("c") >= 2,
-                    col("c") * length(col("gram")).cast("long"))
+      .agg(sum(col("c") * col("glen")).as("tm"),
+           sum(when(col("c") >= 2, col("c") * col("glen"))
              .otherwise(0L)).as("dm"))
     perDoc
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
@@ -3042,6 +3057,15 @@ object DocQueries {
         Dedup.jaccardPairs(docs, "doc_id", "text")),
       "minhash_pairs" -> PlanCache.pin(Dedup.minHashCandidatePairs(
         docs, "doc_id", "text", ShingleN, MinHashK, RowsPerBand)),
+      // the SimHash pair table joined the reuse() convention in r15 but
+      // relied on FIFO adjacency of its two consumers to stay cached
+      // (ADVICE r15); pinned like its jaccard/minhash siblings
+      "simhash_pairs" -> PlanCache.pin(
+        Dedup.simHashPairs(docs, "doc_id", "text")),
+      // n = 2..10 gram counts shared by text_gopher_repetition (n ≤ 4)
+      // and text_gopher_dupe_ngrams (n ≥ 5) — one 9-size explode+agg
+      // pass instead of a 3-size + a 6-size pass (r16)
+      "gopher_grams" -> PlanCache.pin(gopherGramCounts(s, dir)),
       "bpe_word_freq" -> PlanCache.pin(
         TextOps.bpeWordFreq(Tables.spread(docs), "text")),
       // consumed by text_winnowing AND pipe_contamination_winnow

@@ -459,10 +459,27 @@ object RelationalQueries {
     * rel_kll_error consume it; prewarm-pinned so the ~1-2 s build
     * lands in the bench's attributed line, not on whichever row runs
     * first — the alphabetically-first-absorption rule). */
-  private def kllLev(s: SparkSession, dir: String): DataFrame =
+  /** ONE leveled stream carrying BOTH group keys (r16): [[kllLev]] (par
+    * shards) and [[kllLevGrp]] (return-flag groups) previously each ran
+    * the md5 + conv + explode build over lineitem — the two most
+    * expensive prewarm pins (5.7 s + 8.9 s sequential). The level/tiebreak
+    * hashes ignore group columns ([[Sketch.kllLeveledBy]] law), so both
+    * frames are pure projections of this shared build — bit-identical
+    * rows, one corpus pass, one pinned cache entry. */
+  private[graft] def kllLevShared(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 2).as("par"),
+      col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey")).as("rk"))
     PlanCache.reuse(
-      Sketch.kllLeveledBy(kllBase(s, dir), Seq("par"),
+      Sketch.kllLeveledBy(base, Seq("par", "flag"),
                           col("cents"), col("rk")))
+  }
+
+  private def kllLev(s: SparkSession, dir: String): DataFrame =
+    kllLevShared(s, dir).select(col("par"), col("l"), col("v"), col("h2"))
 
   def kllQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
     val lev = kllLev(s, dir)
@@ -613,15 +630,8 @@ object RelationalQueries {
     * composable). */
   /** The group-keyed leveled stream (prewarm-pinned, same rationale
     * as [[kllLev]]). */
-  private def kllLevGrp(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir).select(
-      col("l_returnflag").as("flag"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-                col("l_partkey"), col("l_suppkey")).as("rk"))
-    PlanCache.reuse(
-      Sketch.kllLeveledBy(base, Seq("flag"), col("cents"), col("rk")))
-  }
+  private def kllLevGrp(s: SparkSession, dir: String): DataFrame =
+    kllLevShared(s, dir).select(col("flag"), col("l"), col("v"), col("h2"))
 
   def kllGroupQuantilesQuery(s: SparkSession, dir: String): DataFrame = {
     val lev = kllLevGrp(s, dir)
@@ -1488,12 +1498,11 @@ object RelationalQueries {
     "co_ship_edges"     -> PlanCache.pin(coShipEdges(s, dir)),
     "lpa_labels"        -> PlanCache.pin(
       Graphs.labelPropagation(coPurchaseEdges(s, dir), "a", "b", rounds = 4)),
-    // KLL leveled streams: 3 consumers / 2 consumers (error+quantiles+
-    // merge / the grouped row); the ~1.2M-row build otherwise lands on
-    // the alphabetically-first family row (measured 6.4/6.0 s
-    // in-registry vs 1.8/0.9 s warm, r13)
-    "kll_leveled"     -> PlanCache.pin(kllLev(s, dir)),
-    "kll_leveled_grp" -> PlanCache.pin(kllLevGrp(s, dir)),
+    // ONE shared KLL leveled stream (r16): the par-sharded and
+    // flag-grouped frames are projections of this pinned build — the
+    // two separate ~6/9 s pins it replaces were near-duplicate md5 +
+    // explode passes over lineitem (see kllLevShared)
+    "kll_shared"      -> PlanCache.pin(kllLevShared(s, dir)),
     // the 5-row estimate frame (2 consumers: rel_kll_quantiles +
     // rel_kll_error's broadcast side) — its build pays the survivor
     // windows over the leveled stream; unpinned, that cost landed on
