@@ -478,8 +478,15 @@ object Graphs {
 
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     def dbg(s: => String): Unit = if (debug) System.err.println(s"[ccstar] $s")
-    var e = raw.filter { case (u, v) => u != v }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist the RAW pair base once (r16): the node self-labels the
+    // final fold needs used to come from a SEPARATE raw.distinct RDD —
+    // one extra shuffle + persist, and because that RDD materialized
+    // lazily at fold time it re-ran the whole upstream DataFrame plan
+    // (scan + window) a second time. The fold now derives self-labels
+    // narrowly from this cached base; reduceByKey absorbs duplicates,
+    // so the distinct was never needed.
+    val base = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    var e: RDD[(Long, Long)] = base.filter { case (u, v) => u != v }
     var t0 = System.nanoTime()
     var prev = sigOf(e)
     dbg(f"init sig=$prev ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -493,13 +500,6 @@ object Graphs {
       math.min(sc.defaultParallelism.toLong,
                prev._1 / 65536L + 1L).toInt.max(1))
     dbg(s"partitions=${part.numPartitions}")
-    // node set sized like the loop (r15): nodes ≤ 2·edges, and the only
-    // consumer is the final label fold — defaultParallelism here meant
-    // 32 near-empty tasks ×3 stages on a 3-partition loop (the r7
-    // latency anti-pattern, fixed in the loop but not in this tail)
-    val nodes = raw.flatMap { case (a, b) => Iterator(a, b) }
-      .distinct(part.numPartitions)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -518,17 +518,21 @@ object Graphs {
     require(converged,
       s"ccStar did not converge within $maxIter rounds (needs ~log2(n))")
     // stars point members at the component min; roots and isolated
-    // nodes (self-labeled seeds) fold in via the same min
-    // the loop's self-sized partitioner, not defaultParallelism: e is
-    // already part-partitioned (narrow side), and label cardinality is
+    // nodes (self-labeled seeds) fold in via the same min. Self-labels
+    // come narrowly off the cached pair base (duplicates collapse in
+    // the reduce — no distinct pass); the loop's self-sized
+    // partitioner, not defaultParallelism: e is already
+    // part-partitioned (narrow side), and label cardinality is
     // nodes-bounded — same latency argument as the loop stages
-    val labels = nodes.map(n => (n, n)).union(e)
+    val labels = base
+      .flatMap { case (a, b) => Iterator((a, a), (b, b)) }
+      .union(e)
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
     // eager: materialize labels BEFORE releasing the loop's persisted
     // RDDs, or a downstream re-execution would replay the whole loop
     val out = spark.createDataset(labels).toDF("id", "cluster_id")
       .localCheckpoint()
-    nodes.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     e.unpersist(blocking = false)
     val dtA = pairs.schema(aCol).dataType
     if (dtA == org.apache.spark.sql.types.LongType ||

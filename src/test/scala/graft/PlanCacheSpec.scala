@@ -55,6 +55,34 @@ class PlanCacheSpec extends SparkSpec {
     PlanCache.releaseAll()
   }
 
+  test("accepted residual: stale pin over a re-cached plan blocks " +
+       "eviction until releaseAll (r15 guard)") {
+    PlanCache.releaseAll()
+    // a pin left STALE by an external clearCache without pruneStale...
+    val stalePin = PlanCache.pin(spark.range(6600, 6700).toDF())
+    spark.catalog.clearCache()
+    assert(stalePin.storageLevel == StorageLevel.NONE)
+    // ...whose plan a later reuse() RE-CACHED: by-plan storageLevel now
+    // reads live through the stale pin instance, so the two are
+    // indistinguishable and the eviction guard must err on the side of
+    // the r14 bug class (never unpersist through a possibly-live pin)
+    val recached = PlanCache.reuse(spark.range(6600, 6700).toDF())
+    assert(stalePin.storageLevel != StorageLevel.NONE)
+    val skipsBefore = PlanCache.stats("pin_skips")
+    // churn the queue so `recached` is FIFO-dequeued: the guard must
+    // SKIP it (pin_skips, not evictions) and leave the plan persisted —
+    // the accepted one-frame leak, reclaimed by releaseAll
+    (0 until PlanCache.MaxLive + 4)
+      .foreach(i => PlanCache.reuse(spark.range(i, i + 50).toDF()))
+    assert(PlanCache.stats("pin_skips") > skipsBefore,
+      "the dequeue must be counted as a pin-protected skip")
+    assert(recached.storageLevel != StorageLevel.NONE,
+      "the re-cached plan must survive the dequeue (guard blocks)")
+    PlanCache.releaseAll()
+    assert(recached.storageLevel == StorageLevel.NONE,
+      "releaseAll reclaims the accepted residual")
+  }
+
   test("reuse is idempotent on already-cached plans") {
     PlanCache.releaseAll()
     val df = spark.range(0, 50).toDF()
