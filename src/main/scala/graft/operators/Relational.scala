@@ -213,6 +213,12 @@ object Relational {
     * min/max (round-1 gotcha) and timestamps don't share a cast grid.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // the int-ordinal unpivot keys rows by position, so duplicate names
+    // would profile as separate rows and an empty list would fail at
+    // cols.head before stack()'s own error — reject both up front
+    // (ADVICE r15)
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"profileColumns needs a non-empty list of distinct columns: $cols")
     val dec = org.apache.spark.sql.types.DecimalType(38, 4)
     // the unpivot tags each branch with a small INT ordinal, not the
     // column-name string (r15, guide §2.3 "narrower types"): the

@@ -485,6 +485,40 @@ object ScalingBench {
       // explode + two map-side-combined hash aggregations is the
       // canonical one-scan quality-metric shape; replicated ids would
       // merge per-doc alphabets and collapse the rollup being measured
+      // round-16 evt family (VERDICT r15 #7): the family's most
+      // shuffle-heavy shape — exact windowed-distinct DAU/WAU — over
+      // 64x events with DISTINCT per-copy user ids (user growth at a
+      // fixed day range, how a production event stream actually
+      // scales). Measured body: the (user, day) DISTINCT shuffle, the
+      // bounded 7x trailing-window fan-out, and the second
+      // (window-day, user) distinct-grain shuffle — DAU rides the same
+      // pass as an off==0 flag, so the cell consumes the distinct
+      // frame ONCE (no PlanCache, the scaled_line_dedup rule). Phantom
+      // lead-out days past the fixture range stay (synthetic cell, no
+      // oracle twin — the registry row keeps the spine semi-join).
+      "scaled_dau_wau" -> ((s: SparkSession, dir: String) => {
+        val n = 128
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"),
+                  expr("ts_ns DIV 1000 DIV 86400000000").as("day"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(s.range(n)))
+          .select((col("user_id") * n + col("id")).as("user_id"),
+                  col("day"))
+          .distinct()
+        val perDay = ud
+          .select(col("user_id"), col("day"),
+                  explode(sequence(lit(0L), lit(6L))).as("off"))
+          .select(col("user_id"), (col("day") + col("off")).as("d"),
+                  when(col("off") === 0, 1L).otherwise(0L).as("d0"))
+          .groupBy(col("d"), col("user_id"))
+          .agg(max(col("d0")).as("active"))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("wau"), sum(col("active")).as("dau"))
+        perDay.agg(count(lit(1)).as("n_days"),
+                   sum(col("wau") % lit(1000003L)).as("chk_wau"),
+                   sum(col("dau") % lit(1000003L)).as("chk_dau"))
+      }),
       "scaled_entropy" -> ((s: SparkSession, dir: String) => {
         val n = 256
         val docs = Tables.documents(s, dir)
