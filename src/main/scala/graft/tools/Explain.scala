@@ -13,10 +13,20 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
+    // --exec: run the query first, so the printed plan is AQE's FINAL
+    // adaptive plan (runtime join-strategy conversions, coalesced
+    // reads) rather than the static initial plan
+    val exec = args.contains("--exec")
+    val names0 = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq
+    val names = names0.filterNot(_ == "--exec")
     names.foreach { n =>
       println(s"\n########## $n ##########")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (exec) {
+        try df.queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      df.explain("formatted")
     }
     spark.stop()
   }
